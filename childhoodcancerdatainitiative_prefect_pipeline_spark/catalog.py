@@ -1,0 +1,123 @@
+"""Dataset catalog: load node tables, normalize NA, stamp row index.
+
+The reference's "manifest" is a ``dict[sheet -> pandas.DataFrame]``
+(src/utils.py:1061-1089).  Here a :class:`Catalog` is a dict of
+Spark DataFrames registered as temp views, so every operator and the
+SQL surface see the same tables.
+
+Scale note: tables are plain parquet directory scans — predicate
+pushdown / column pruning / partition pruning apply unchanged at
+100 TB; nothing is materialized on the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: The reference's NA bank (src/utils.py:1101, src/s3_catcherry.py:63-85).
+NA_BANK: tuple[str, ...] = ("NA", "na", "N/A", "n/a", "")
+
+#: Driver-generated synthetic tables (TESTDATA.md).
+TESTDATA_TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Stable ingest row index column.  The reference reports 1-based
+#: Excel coordinates (+2 offset, src/s3_validationry_refactored.py:150);
+#: we capture an index at read time because monotonically_increasing_id
+#: is not stable across shuffles.
+ROW_INDEX_COL = "__row_index__"
+
+
+def normalize_na(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Map the reference NA bank to true nulls on string columns.
+
+    Mirrors the read-time ``na_values`` + ``keep_default_na`` handling
+    in src/utils.py:1110-1117 — a single projection, fully codegen'd.
+    """
+    targets = set(columns) if columns is not None else None
+    exprs = []
+    for f_ in df.schema.fields:
+        c = f_.name
+        if f_.dataType.simpleString() == "string" and (targets is None or c in targets):
+            exprs.append(
+                F.when(F.trim(F.col(c)).isin(*NA_BANK), F.lit(None))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            exprs.append(F.col(c))
+    return df.select(*exprs)
+
+
+def with_row_index(df: DataFrame, order_by: list[str]) -> DataFrame:
+    """Attach a deterministic 1-based row index ordered by ``order_by``.
+
+    Spark equivalent of the reference's "+2 Excel row" bookkeeping —
+    a global row_number window.  Use only on manifest-sized tables
+    (the single-partition window is the documented cost); large fact
+    tables should carry a natural key instead.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn(ROW_INDEX_COL, F.row_number().over(w))
+
+
+@dataclass
+class Catalog:
+    """A named collection of DataFrames registered as temp views."""
+
+    spark: SparkSession
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+
+    def register(self, name: str, df: DataFrame) -> DataFrame:
+        self.tables[name] = df
+        df.createOrReplaceTempView(name)
+        return df
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return self.tables[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.tables
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+
+def load_testdata(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TESTDATA_TABLES,
+    register_views: bool = True,
+) -> Catalog:
+    """Load the driver's synthetic parquet tables as a Catalog."""
+    cat = Catalog(spark)
+    for name in tables:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # TIMESTAMP(NANOS) parquet columns arrive as long nanos under
+        # `nanosAsLong`; normalize to microsecond timestamps (same
+        # truncation DuckDB applies when it reads TIMESTAMP_NS).
+        for fld in df.schema.fields:
+            if fld.name == "ts" and fld.dataType.simpleString() == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+        if register_views:
+            cat.register(name, df)
+        else:
+            cat.tables[name] = df
+    return cat

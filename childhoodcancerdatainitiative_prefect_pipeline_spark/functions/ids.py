@@ -1,0 +1,90 @@
+"""Identifier minting (SURVEY.md §2.10 F15, §2.14).
+
+Two flavors in the reference:
+
+- random DCF guids ``dg.4DFC/<uuid4>`` minted once per distinct
+  (file_url, md5sum) pair (src/s3_catcherry.py:1234-1262) — in Spark
+  minted on the *distinct* pairs then joined back, so re-used rows
+  share a guid and the generation never runs per-row on the fact
+  table;
+- deterministic RFC-4122 UUIDv5 ``uuid5(md5("ccdi"), study::node::key)``
+  (src/s3_ccdi_to_tabbreakery.py:11-38) — not expressible in SQL, so
+  it is a vectorized Pandas UDF, bit-exact with ``uuid.uuid5``.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def uuid5_namespace(seed: str = "ccdi") -> uuid.UUID:
+    """The reference derives its namespace as ``UUID(md5(seed))``
+    (src/s3_ccdi_to_tabbreakery.py:11-16)."""
+    import hashlib
+
+    return uuid.UUID(hashlib.md5(seed.encode()).hexdigest())
+
+
+def make_uuid5_udf(seed: str = "ccdi"):
+    """Scalar Pandas UDF: name → str(uuid5(namespace, name)).
+
+    Arrow-batched; verified bit-exact against ``uuid.uuid5`` by
+    golden vectors in tests.
+    """
+    ns = uuid5_namespace(seed)
+
+    @pandas_udf("string")
+    def _uuid5(names: pd.Series) -> pd.Series:
+        return names.map(lambda n: str(uuid.uuid5(ns, n)) if n is not None else None)
+
+    return _uuid5
+
+
+def deterministic_uuid5(
+    df: DataFrame,
+    out_col: str,
+    study_col: str | Column,
+    node: str,
+    key_col: str | Column,
+    seed: str = "ccdi",
+) -> DataFrame:
+    """F15 deterministic — stamp ``uuid5(ns, f"{study}::{node}::{key}")``.
+
+    Reference: src/s3_ccdi_to_tabbreakery.py:18-38 (and the DCC
+    variant src/dcc_tabbreaker.py:12-41).
+    """
+    s = F.col(study_col) if isinstance(study_col, str) else study_col
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    name = F.concat_ws("::", s, F.lit(node), k)
+    return df.withColumn(out_col, make_uuid5_udf(seed)(name))
+
+
+def mint_guids_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    out_col: str = "dcf_indexd_guid",
+    prefix: str = "dg.4DFC/",
+) -> DataFrame:
+    """F15 random — one fresh guid per distinct group, joined back.
+
+    Reference: src/s3_catcherry.py:1234-1262
+    (``groupby().apply(lambda g: "dg.4DFC/" + uuid4())``).  Only
+    groups currently lacking a guid receive one; existing guids are
+    preserved (null-only fill).
+    """
+    distinct = (
+        df.select(*group_cols)
+        .dropDuplicates(group_cols)
+        .withColumn("__minted__", F.concat(F.lit(prefix), F.expr("uuid()")))
+    )
+    joined = df.join(distinct, on=group_cols, how="left")
+    if out_col in df.columns:
+        filled = F.coalesce(F.col(out_col), F.col("__minted__"))
+    else:
+        filled = F.col("__minted__")
+    return joined.withColumn(out_col, filled).drop("__minted__")

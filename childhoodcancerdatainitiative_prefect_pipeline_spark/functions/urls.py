@@ -1,0 +1,76 @@
+"""URL / filename scalar functions (SURVEY.md §2.10: F11, F12, F18).
+
+All built-ins (`parse_url`, `substring_index`, `regexp_extract`) —
+no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def s3_bucket(url: Column | str) -> Column:
+    """F11 — ``s3://bucket/key`` → bucket (src/utils.py:1211-1224)."""
+    return F.regexp_extract(_c(url), r"^s3://([^/]+)/", 1)
+
+
+def s3_key(url: Column | str) -> Column:
+    """F11 — ``s3://bucket/key`` → key."""
+    return F.regexp_extract(_c(url), r"^s3://[^/]+/(.*)$", 1)
+
+
+def url_basename(url: Column | str) -> Column:
+    """F11 — last path segment (src/s3_validationry_refactored.py:1201-1232)."""
+    return F.substring_index(_c(url), "/", -1)
+
+
+def url_dirname(url: Column | str) -> Column:
+    """F11 — everything before the basename, with trailing '/'.
+
+    Reference: active_location_URL derivation, src/s3_ccdi_to_sra.py:227-235.
+    """
+    return F.regexp_extract(_c(url), r"^(.*/)[^/]*$", 1)
+
+
+#: F12 — extension→file_type inference table
+#: (src/s3_validationry_refactored.py:1235-1338): .gz double-extension
+#: handling plus special cases; >6-char extensions fall back to txt.
+SPECIAL_EXT_TYPES: tuple[tuple[str, str], ...] = (
+    ("bam", "bam"), ("bai", "bai"), ("cram", "cram"), ("crai", "crai"),
+    ("fastq", "fastq"), ("fq", "fastq"), ("fasta", "fasta"), ("fa", "fasta"),
+    ("tbi", "tbi"), ("dcm", "dicom"), ("nii", "nifti"), ("tab", "tsv"),
+    ("vcf", "vcf"), ("txt", "txt"), ("tsv", "tsv"), ("csv", "csv"),
+    ("pdf", "pdf"), ("html", "html"), ("json", "json"),
+)
+
+
+def file_extension(name: Column | str) -> Column:
+    """F12 — extension with .gz double-extension handling:
+    ``x.vcf.gz`` → ``vcf.gz``, ``x.bam`` → ``bam``."""
+    n = _c(name)
+    last = F.lower(F.substring_index(n, ".", -1))
+    prev = F.lower(F.element_at(F.split(n, r"\."), -2))
+    return F.when(last == "gz", F.concat(prev, F.lit(".gz"))).otherwise(last)
+
+
+def infer_file_type(name: Column | str) -> Column:
+    """F12 — ``when`` cascade mapping extension → canonical type."""
+    ext = file_extension(name)
+    base = F.regexp_replace(ext, r"\.gz$", "")
+    expr = None
+    for e, t in SPECIAL_EXT_TYPES:
+        cond = base == e
+        expr = F.when(cond, F.lit(t)) if expr is None else expr.when(cond, F.lit(t))
+    return expr.when(F.length(base) > 6, F.lit("txt")).otherwise(base)
+
+
+def uniquify_filename(name: Column | str, md5: Column | str, is_dup: Column) -> Column:
+    """F18 — duplicated filenames get ``last4(md5)_name``
+    (src/s3_ccdi_to_sra.py:1297-1331)."""
+    n, m = _c(name), _c(md5)
+    return F.when(is_dup, F.concat(F.substring(m, -4, 4), F.lit("_"), n)).otherwise(n)

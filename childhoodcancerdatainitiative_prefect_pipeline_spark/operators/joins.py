@@ -1,0 +1,265 @@
+"""Join pack (SURVEY.md §2.3, J1-J11).
+
+All equi-joins are declared with the DataFrame API so Catalyst/AQE
+pick broadcast-hash vs sort-merge (dimension sides are hinted with
+``broadcast``).  The reference's iterative graph walks become bounded
+driver loops of joins with frontier early-exit — the *plan* per hop
+is still fully declarative.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def left_join(
+    parent: DataFrame,
+    child: DataFrame,
+    key: str,
+    broadcast_child: bool = False,
+) -> DataFrame:
+    """J1 — left equi-join parent⨝child on a shared key.
+
+    Reference: src/s3_ccdi_to_cds.py:269-279 (``join_node``), which
+    renames ``<p>.<p>_id`` to ``<p>_id`` then ``pd.merge(how='left')``.
+    """
+    right = F.broadcast(child) if broadcast_child else child
+    return parent.join(right, on=key, how="left")
+
+
+def coalesce_conflicts(
+    joined: DataFrame,
+    left_suffix: str = "_x",
+    right_suffix: str = "_y",
+    right_wins: Sequence[str] = (),
+) -> DataFrame:
+    """J2 — resolve post-join column collisions, parent wins.
+
+    Reference: src/s3_ccdi_to_cds.py:281-297 (``combine_first``; the
+    ``anatomic_site`` column reverses priority, :563-681).  Columns
+    named ``c_x``/``c_y`` collapse to ``c = coalesce(c_x, c_y)`` (or
+    reversed when ``c`` is listed in ``right_wins``).
+    """
+    lefts = {c[: -len(left_suffix)]: c for c in joined.columns if c.endswith(left_suffix)}
+    rights = {c[: -len(right_suffix)]: c for c in joined.columns if c.endswith(right_suffix)}
+    out_cols = []
+    consumed = set()
+    for c in joined.columns:
+        base = None
+        if c.endswith(left_suffix) and c[: -len(left_suffix)] in rights:
+            base = c[: -len(left_suffix)]
+        if base is None:
+            if c in consumed:
+                continue
+            out_cols.append(F.col(c))
+            continue
+        lcol, rcol = lefts[base], rights[base]
+        consumed.add(rcol)
+        first, second = (rcol, lcol) if base in right_wins else (lcol, rcol)
+        out_cols.append(F.coalesce(F.col(first), F.col(second)).alias(base))
+    return joined.select(*out_cols)
+
+
+def lookup_join(
+    df: DataFrame,
+    mapping: DataFrame,
+    on: str,
+    from_col: str,
+    to_col: str,
+    out_col: str | None = None,
+    default_keep_original: bool = True,
+) -> DataFrame:
+    """J4 — broadcast lookup-table join with dict-get(default) semantics.
+
+    Reference: src/s3_catcherry.py:312-411, :651-695 — a 2-column TSV
+    loaded into a dict and applied with ``.get(v, v)``.  Spark-first:
+    broadcast left join + ``coalesce(mapped, original)``; the lookup
+    never shuffles the fact side.
+    """
+    out = out_col or on
+    m = F.broadcast(
+        mapping.select(
+            F.col(from_col).alias("__from__"), F.col(to_col).alias("__to__")
+        ).dropDuplicates(["__from__"])
+    )
+    joined = df.join(m, df[on] == m["__from__"], "left")
+    mapped = (
+        F.coalesce(F.col("__to__"), F.col(on))
+        if default_keep_original
+        else F.col("__to__")
+    )
+    return joined.withColumn(out, mapped).drop("__from__", "__to__")
+
+
+def diff_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    indicator_col: str = "_merge",
+) -> DataFrame:
+    """J5 — full-outer diff join with pandas-style indicator.
+
+    Reference: workflows/compare_dataframes.py:27-50
+    (``merge(indicator=True)`` → both / left_only / right_only).
+    """
+    lmark = left.withColumn("__l__", F.lit(1))
+    rmark = right.withColumn("__r__", F.lit(1))
+    joined = lmark.join(rmark, on=list(keys), how="full_outer")
+    indicator = (
+        F.when(F.col("__l__").isNotNull() & F.col("__r__").isNotNull(), "both")
+        .when(F.col("__l__").isNotNull(), "left_only")
+        .otherwise("right_only")
+    )
+    return joined.withColumn(indicator_col, indicator).drop("__l__", "__r__")
+
+
+def anti_join(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """J6 — rows of ``left`` with no key match in ``right``.
+
+    Reference: src/s3_validationry_refactored.py:1387-1427 (bucket
+    objects missing from manifest), src/neo4j_data_tools.py:1152-1227.
+    """
+    return left.join(right, on=list(keys), how="left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """J7 — rows of ``left`` with ≥1 key match in ``right``.
+
+    Reference: src/s3_ccdi_to_dbgap.py:236-273.
+    """
+    return left.join(right, on=list(keys), how="left_semi")
+
+
+def multi_path_flatten(
+    base: DataFrame,
+    paths: Sequence[Sequence[tuple[DataFrame, str]]],
+    dedup_keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """J3 — union of several join chains from the same base table.
+
+    Reference: src/s3_ccdi_to_cds.py:299-729 — 14+ named file→…→
+    {participant|study} join paths, concatenated then deduplicated.
+    Each path is a list of ``(table, key)`` hops applied as left
+    joins; results are combined with ``unionByName(allowMissing)``
+    and deduplicated.  At scale each hop is an equi-join Catalyst can
+    broadcast when the dimension side is small; the union is a no-
+    shuffle concatenation and the final dedup is the only extra
+    exchange.
+    """
+    outs: list[DataFrame] = []
+    for path in paths:
+        cur = base
+        for table, key in path:
+            cur = cur.join(table, on=key, how="left")
+        outs.append(cur)
+    result = outs[0]
+    for other in outs[1:]:
+        result = result.unionByName(other, allowMissingColumns=True)
+    if dedup_keys:
+        result = result.dropDuplicates(list(dedup_keys))
+    else:
+        result = result.dropDuplicates()
+    return result
+
+
+def iterative_resolve(
+    frontier: DataFrame,
+    hops: Sequence[tuple[DataFrame, str, str]],
+    target_col: str,
+    max_hops: int = 10,
+) -> DataFrame:
+    """J8 — bounded iterative chain traversal (``deep_search``).
+
+    Reference: src/s3_catcherry.py:770-905 — file→sample→(pdx/
+    cell_line→sample)*→participant→consent walk bounded at 10 hops;
+    same shape as dbGaP SSM re-parenting (src/s3_ccdi_to_dbgap.py:59-204).
+
+    ``frontier`` carries (id, current_key); each hop ``(table,
+    join_key, next_key)`` maps current_key → next value.  Rows whose
+    ``target_col`` resolves leave the frontier (early exit when the
+    frontier is empty — checked with a cheap limit-1 count).  This is
+    procedural *driver* control flow but every hop is a declarative
+    join, so the per-hop plan broadcasts/prunes normally.
+    """
+    resolved: DataFrame | None = None
+    cur = frontier
+    for _ in range(max_hops):
+        if cur.limit(1).count() == 0:
+            break
+        table, join_key, next_key = hops[0] if len(hops) == 1 else hops[_ % len(hops)]
+        step = cur.join(
+            table.select(
+                F.col(join_key).alias("__k__"), F.col(next_key).alias(target_col)
+            ),
+            cur["__cursor__"] == F.col("__k__"),
+            "left",
+        ).drop("__k__")
+        done = step.filter(F.col(target_col).isNotNull()).drop("__cursor__")
+        cur = (
+            step.filter(F.col(target_col).isNull())
+            .drop(target_col)
+        )
+        resolved = done if resolved is None else resolved.unionByName(done)
+    return resolved if resolved is not None else frontier.limit(0)
+
+
+def fuzzy_relink(
+    manifest: DataFrame,
+    listing: DataFrame,
+    name_col: str = "file_name",
+    size_col: str = "file_size",
+    url_col: str = "file_url",
+    listing_path_col: str = "file_path",
+) -> DataFrame:
+    """J9 — repair broken urls by (name, size) match against a listing.
+
+    Reference: src/s3_catcherry.py:1130-1182 — size-exact match
+    preferred; unique-name fallback; ambiguous names reported.
+    Implemented as one join on name + window counts to classify
+    unique/ambiguous, then a ``when`` cascade — no driver loops.
+    """
+    from pyspark.sql import Window
+
+    cand = manifest.join(
+        listing.select(
+            F.col(name_col),
+            F.col(size_col).alias("__ls_size__"),
+            F.col(listing_path_col).alias("__ls_path__"),
+        ),
+        on=name_col,
+        how="left",
+    )
+    w = Window.partitionBy(name_col, url_col)
+    size_match = F.col("__ls_size__") == F.col(size_col)
+    cand = cand.withColumn("__n_cand__", F.count("__ls_path__").over(w)).withColumn(
+        "__n_size__", F.sum(size_match.cast("int")).over(w)
+    )
+    status = (
+        F.when(F.col("__n_cand__") == 0, "missing")
+        .when(F.col("__n_size__") == 1, "size_match")
+        .when(F.col("__n_cand__") == 1, "name_match")
+        .otherwise("ambiguous")
+    )
+    picked = (
+        F.when((F.col("__n_size__") == 1) & size_match, F.col("__ls_path__"))
+        .when((F.col("__n_cand__") == 1) & (F.col("__n_size__") != 1), F.col("__ls_path__"))
+        .otherwise(F.lit(None))
+    )
+    out = (
+        cand.withColumn("relink_status", status)
+        .withColumn("__picked__", picked)
+        .withColumn(
+            "resolved_url", F.coalesce(F.col("__picked__"), F.col(url_col))
+        )
+    )
+    keep = (F.col("__picked__").isNotNull()) | (
+        F.col("relink_status").isin("missing", "ambiguous")
+    )
+    return (
+        out.filter(keep)
+        .dropDuplicates([name_col, url_col])
+        .drop("__ls_size__", "__ls_path__", "__n_cand__", "__n_size__", "__picked__")
+    )
