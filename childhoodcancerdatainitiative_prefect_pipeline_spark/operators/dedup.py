@@ -1,0 +1,307 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's exact dedup (A9, ``drop_duplicates``), this
+pack adds the near-dup family a 100 TB text corpus needs: MinHash+LSH,
+SimHash, and n-gram Jaccard verification.
+
+Design for scale:
+
+- signatures (shingles → minhash / simhash) are computed **row-local**
+  with higher-order functions (``transform``/``aggregate``/``zip_with``)
+  — zero shuffles, whole-stage codegen, no Python;
+- candidate generation shuffles only (band_key, doc_id) pairs — the
+  banded self-join is the single exchange, and band keys distribute
+  uniformly because they are hashes;
+- verification (exact Jaccard) runs only on LSH candidates, never on
+  the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# shingling / signatures (row-local, shuffle-free)
+# ---------------------------------------------------------------------------
+
+
+def normalized_tokens(text: Column | str) -> Column:
+    """Lower-cased word tokens of a text column (JVM regex split)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-gram (word) shingles as an array<string>.
+
+    ``transform`` over token indexes — row-local, no explode.
+    """
+    toks = normalized_tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return F.array_distinct(
+        F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signature(shingle_col: Column | str, num_hashes: int = 64) -> Column:
+    """MinHash signature: array of ``num_hashes`` minima.
+
+    Each hash family member is ``xxhash64(shingle, seed_i)`` — the
+    built-in 64-bit hash with a distinct seed literal per member, so
+    the whole signature is computed in one codegen'd projection.
+    """
+    c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+
+    def hasher(seed: int):
+        # one-arg lambda via closure: a default-arg lambda would be
+        # seen as the 2-arg (element, index) HOF form by pyspark
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    mins = [
+        F.array_min(F.transform(c, hasher(i))) for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def simhash64(token_col: Column | str) -> Column:
+    """64-bit SimHash of a token array, as a bigint.
+
+    Row-local fold: accumulate per-bit +1/−1 votes with
+    ``aggregate``+``zip_with`` over ``sequence(0,63)``, then pack the
+    sign bits.  No shuffle, no UDF.
+    """
+    toks = F.col(token_col) if isinstance(token_col, str) else token_col
+    # hash once per token, then fold the hash array once per bit
+    # (bit counts must be Python ints for shiftright/shiftleft)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def voter(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        vote_i = F.aggregate(hashes, F.lit(0).cast("long"), voter(i))
+        bit_i = F.when(
+            vote_i > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        packed = packed.bitwiseOR(bit_i)
+    return packed
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (popcount via bin())."""
+    x = a.bitwiseXOR(b)
+    return F.length(F.regexp_replace(F.bin(x), "0", ""))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by content hash.
+
+    Hash-groupBy on ``xxhash64(text)`` (cheaper to shuffle than the
+    text itself at corpus scale); emits (content key, representative
+    = min id, n_dups).
+    """
+    return (
+        df.select(F.xxhash64(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("representative"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact_keep_first(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop exact duplicates, keeping the smallest id per content."""
+    from .aggregates import dedup_keep_last
+
+    keyed = df.withColumn("__ch__", F.xxhash64(F.col(text_col)))
+    kept = dedup_keep_last(keyed, ["__ch__"], [F.col(id_col).asc()])
+    return kept.drop("__ch__")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    shingle → signature (row-local) → split into ``bands`` → hash
+    each band to a bucket key → self-join on (band, bucket).  Output:
+    (id_a, id_b) with id_a < id_b, distinct.
+
+    The only shuffle is the band-key exchange of (key, id) pairs —
+    ``bands``×|corpus| rows of two small columns.  Skew is bounded
+    because bucket keys are hashes; a pathological bucket (e.g.
+    boilerplate-heavy corpora) can be capped upstream by dropping
+    buckets with > N members before the join.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(shingles(text_col, shingle_k), num_hashes).alias("__sig__"),
+    )
+    band_keys = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("__sig__", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bucket")
+    left = band_keys.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
+    )
+    right = band_keys.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b")
+    )
+    pairs = left.join(right, on=["band", "bucket"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return pairs.select("id_a", "id_b").distinct()
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only.
+
+    Joins the shingle arrays back to each side and computes
+    |∩|/|∪| with ``array_intersect``/``array_union`` — row-local
+    after the two joins.  Returns pairs ≥ threshold with the score.
+    """
+    sh = df.select(
+        F.col(id_col), shingles(text_col, shingle_k).alias("__sh__")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh__").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh__").alias("sh_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → Jaccard verify.
+
+    Returns verified near-duplicate pairs (id_a < id_b, jaccard).
+    """
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
+    return jaccard_verify(df, cands, text_col, id_col, shingle_k, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: a 64-bit simhash split into 4 16-bit chunks —
+    any pair within Hamming 3 shares at least one exact chunk, so the
+    self-join runs per chunk value, then the exact Hamming distance
+    filters.  Same single-shuffle shape as MinHash LSH.
+    """
+    sig = df.select(
+        F.col(id_col), simhash64(normalized_tokens(F.col(text_col))).alias("__sh__")
+    )
+    chunks = sig.select(
+        F.col(id_col),
+        F.col("__sh__"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_no"),
+                        F.shiftright("__sh__", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "__sh__", "c.chunk_no", "c.chunk")
+    a = chunks.select(
+        "chunk_no", "chunk", F.col(id_col).alias("id_a"), F.col("__sh__").alias("sh_a")
+    )
+    b = chunks.select(
+        "chunk_no", "chunk", F.col(id_col).alias("id_b"), F.col("__sh__").alias("sh_b")
+    )
+    pairs = (
+        a.join(b, on=["chunk_no", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, both pure DataFrame ops:
+
+- **brute-force cosine top-k** — the correctness baseline: broadcast
+  the query vector(s), compute dot/norms with row-local HOFs
+  (``zip_with`` + ``aggregate``), window top-k.  One pass over the
+  corpus, no shuffle except the final top-k.
+- **IVF (inverted-file) ANN** — the scale path: partition the corpus
+  into ``n_cells`` Voronoi cells around centroid vectors; a query
+  probes only the ``n_probe`` nearest cells, cutting the scan to
+  ``n_probe/n_cells`` of the corpus.  Centroids are corpus rows
+  picked deterministically (a k-means refinement can replace them
+  without changing the query plan).
+
+All arithmetic is done in double precision in index order (sequential
+left fold), so scores are reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_array(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_top_k(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    score_scale: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``query`` is one row per query (query_id, vector); it broadcasts,
+    so the corpus is scanned once regardless of query count.  Scores
+    are rounded to ``score_scale`` and ties break on corpus id so the
+    result set is fully deterministic.
+    """
+    q = F.broadcast(
+        query.select(
+            F.col(query_id_col), as_double_array(vec_col).alias("__q__")
+        )
+    )
+    c = corpus.select(F.col(id_col), as_double_array(vec_col).alias("__v__"))
+    scored = c.crossJoin(q).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col("__v__"), F.col("__q__")), score_scale).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )
+
+
+def pick_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid seed: rows whose id hashes into n_cells.
+
+    (vec_id pmod n == 0 style selection — stable across runs; swap in
+    k-means centroids for better recall without touching the plan.)
+    """
+    w = Window.orderBy(F.col(id_col))
+    ranked = corpus.select(
+        F.col(id_col), as_double_array(vec_col).alias("centroid")
+    ).withColumn("__rn__", F.row_number().over(w))
+    total = corpus.count()
+    step = max(total // n_cells, 1)
+    return (
+        ranked.filter(((F.col("__rn__") - 1) % step == 0) & (F.col("__rn__") <= step * n_cells))
+        .withColumn("cell_id", ((F.col("__rn__") - 1) / step).cast("int"))
+        .select("cell_id", "centroid")
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF build: tag every corpus vector with its nearest centroid.
+
+    Broadcast the (small) centroid table, score all cells row-local,
+    keep the argmax — one corpus scan, one narrow shuffle for the
+    window.  The result is the "index": persist it partitioned by
+    ``cell_id`` so probes prune partitions.
+    """
+    scored = corpus.select(
+        F.col(id_col), as_double_array(vec_col).alias("__v__")
+    ).crossJoin(F.broadcast(centroids))
+    scored = scored.withColumn("sim", cosine(F.col("__v__"), F.col("centroid")))
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(F.col(id_col), F.col("cell_id"), F.col("__v__").alias(vec_col))
+    )
+
+
+def ivf_top_k(
+    indexed: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF probe: rank cells per query, scan top ``n_probe`` cells.
+
+    ``indexed`` is the output of :func:`assign_cells` (ideally
+    persisted partitioned by cell_id → partition pruning).  Recall is
+    approximate; raise ``n_probe`` to trade scan cost for recall.
+    """
+    q = query.select(F.col(query_id_col), as_double_array(vec_col).alias("__q__"))
+    cell_scores = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "cell_sim", cosine(F.col("__q__"), F.col("centroid"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cell_sim").desc(), F.col("cell_id")
+    )
+    probe = (
+        cell_scores.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= n_probe)
+        .select(query_id_col, "cell_id", "__q__")
+    )
+    cands = indexed.join(F.broadcast(probe), on="cell_id")
+    scored = cands.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(as_double_array(vec_col), F.col("__q__")), 6).alias("cosine_sim"),
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w2))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )

@@ -1,0 +1,162 @@
+"""Text-analysis operators for training-data curation.
+
+Language ID (stopword-profile scoring), quality scoring, token
+counting, and document fingerprinting — all as built-in-function
+Column expressions over a text column.  Everything is row-local
+(no shuffle) and codegen'd; a 100 TB corpus pays exactly one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_tokens, shingles
+
+#: Minimal stopword profiles for the n-gram/stopword language
+#: heuristic.  Real deployments would broadcast a richer profile
+#: table; the operator shape is identical.
+STOPWORD_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "für", "ein", "nicht"),
+    "fr": ("le", "la", "les", "de", "et", "est", "un", "une", "pour", "dans"),
+    "es": ("el", "la", "los", "de", "y", "es", "un", "una", "por", "para"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不", "这", "他"),
+}
+
+ENGLISH_STOPWORDS = STOPWORD_PROFILES["en"]
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (``regexp_extract_all(\\S+)`` length)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(r"\S+"), 0))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: words + digits + punctuation runs.
+
+    The regex mirrors common BPE pre-tokenizers (letter runs, digit
+    runs, single punctuation marks each count as ≥1 token).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(
+        F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    )
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    """Fraction of tokens that are (given-language) stopwords."""
+    toks = normalized_tokens(text)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.size(toks)
+    return F.when(n > 0, n_stop.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are punctuation."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    return F.when(
+        F.length(c) > 0, n_punct.cast("double") / F.length(c)
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column | str) -> Column:
+    toks = normalized_tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", scale: int = 6
+) -> DataFrame:
+    """Quality-scoring feature battery: one projection, all metrics.
+
+    length / token count / stopword ratio / punct ratio / mean word
+    length — the standard heuristics used to filter web-scraped
+    training text.  Ratios round to ``scale`` for cross-engine
+    reproducibility.
+    """
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_chars_computed": F.length(t).cast("long"),
+            "n_tokens": token_count(t).cast("long"),
+            "stopword_ratio": F.round(stopword_ratio(t), scale),
+            "punct_ratio": F.round(punct_ratio(t), scale),
+            "mean_word_len": F.round(mean_word_length(t), scale),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar [0,1] quality score from the feature battery.
+
+    A transparent linear rubric (not a model): reward stopword
+    presence and sane word lengths, punish extreme punctuation.
+    """
+    feats = quality_features(df, text_col)
+    score = (
+        F.lit(0.4) * F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
+        + F.lit(0.3)
+        * F.when((F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10), 1.0).otherwise(0.3)
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.col("punct_ratio") * 5, F.lit(1.0)))
+    )
+    return feats.withColumn("quality_score", F.round(score, 6))
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    profiles: dict[str, tuple[str, ...]] = STOPWORD_PROFILES,
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Language ID by stopword-profile scoring.
+
+    Scores every profile in one projection (an array of (lang, hits)
+    structs), picks the argmax with deterministic tie-break on lang
+    code, 'und' when nothing matches.  Row-local; the profile table
+    is compiled into the expression (broadcast-join variant scales to
+    large profiles).
+    """
+    toks = normalized_tokens(F.col(text_col))
+    entries = []
+    for lang in sorted(profiles):
+        sw = F.array(*[F.lit(s) for s in profiles[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        entries.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    arr = F.array(*entries)
+    # explicit fold → on tied hit counts the alphabetically-first
+    # language (array order) wins, deterministically
+    first_wins = F.aggregate(
+        arr,
+        F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lang")),
+        lambda acc, e: F.when(e["hits"] > acc["hits"], e).otherwise(acc),
+    )
+    pred = F.when(first_wins["hits"] > 0, first_wins["lang"]).otherwise(F.lit("und"))
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    out_col: str = "fingerprint",
+) -> DataFrame:
+    """Document fingerprint: min-hash of character-level k-gram hashes.
+
+    A winnowing-style content fingerprint — the minimum ``xxhash64``
+    over word 5-gram shingles — stable under whitespace changes,
+    cheap to compare for containment clustering.
+    """
+    fp = F.array_min(
+        F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s))
+    )
+    return df.withColumn(out_col, fp)

@@ -1,0 +1,270 @@
+"""Rule engine — the reference's core "query workload" (SURVEY.md §2.11).
+
+The reference runs 14 validation rule families over every node sheet
+(ValidationRy, src/s3_validationry_refactored.py:2192-2339) and a
+mutating twin that repairs values instead of reporting
+(CatchERRy, src/s3_catcherry.py:22-1345).  Both are driven by the
+same schema metadata (Dictionary + Terms-and-Value-Sets sheets).
+
+Here that metadata *compiles* to Spark Column expressions:
+
+- :func:`validate` renders rules as violation queries — one narrow
+  union of filters, all codegen'd, no Python per cell;
+- :func:`repair` renders the same rules as ``withColumn`` rewrites.
+
+At 100 TB the violation scan is a single pass per table (all rule
+predicates evaluate in one projection), and enum vocabularies join
+broadcast — the rule metadata never exceeds driver scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import checks
+from ..functions.cleaning import sort_delimited_cell
+
+SEVERITY_ERROR = "ERROR"
+SEVERITY_WARNING = "WARNING"
+
+
+@dataclass
+class PropertyRule:
+    """Schema row for one (node, property) — Dictionary sheet shape.
+
+    Reference: src/utils.py:1137-1165 (Dictionary columns Node,
+    Property, Type, Required, Key) and the TaVS sheet term lists.
+    """
+
+    prop: str
+    type: str = "string"  # string|integer|number|enum|string;enum|array[...]
+    required: bool = False
+    key: bool = False
+    enum_terms: tuple[str, ...] = ()
+    free_text: bool = False  # subject to PII scan
+
+    @property
+    def is_array(self) -> bool:
+        return self.type.startswith("array[")
+
+    @property
+    def inner_type(self) -> str:
+        return self.type[6:-1] if self.is_array else self.type
+
+    @property
+    def enum_strict(self) -> bool:
+        """enum → ERROR; string;enum → WARNING (open vocabulary)."""
+        return self.inner_type == "enum"
+
+
+@dataclass
+class NodeSchema:
+    node: str
+    rules: list[PropertyRule] = field(default_factory=list)
+    key_props: list[str] = field(default_factory=list)
+
+    def rule(self, prop: str) -> PropertyRule | None:
+        for r in self.rules:
+            if r.prop == prop:
+                return r
+        return None
+
+
+def _violation(df: DataFrame, node: str, rule: PropertyRule, rule_name: str,
+               severity: str, cond, key_col: str | None) -> DataFrame:
+    """Project a violation frame: (node, property, rule, severity, row_ref, value)."""
+    row_ref = F.col(key_col).cast("string") if key_col else F.lit(None).cast("string")
+    return df.filter(cond).select(
+        F.lit(node).alias("node"),
+        F.lit(rule.prop).alias("property"),
+        F.lit(rule_name).alias("rule"),
+        F.lit(severity).alias("severity"),
+        row_ref.alias("row_ref"),
+        F.col(rule.prop).cast("string").alias("value"),
+    )
+
+
+def validate(df: DataFrame, schema: NodeSchema) -> DataFrame:
+    """ValidationRy — run every expression-rank rule, union violations.
+
+    Covers the rule families that are per-row expressions:
+    required-props (:132-198), whitespace (:201-272), terms/value-sets
+    (:275-471), int/numeric (:474-612), PII regex (:615-746), age
+    (:749-834), key charset (:1952-2051).  Aggregate/join-rank rules
+    (unique keys, cross-links, bucket reconcile) are separate
+    functions below so each keeps a single-purpose plan.
+    """
+    key_col = schema.key_props[0] if schema.key_props else None
+    parts: list[DataFrame] = []
+    for r in schema.rules:
+        if r.prop not in df.columns:
+            if r.required:
+                parts.append(
+                    df.limit(1).select(
+                        F.lit(schema.node).alias("node"),
+                        F.lit(r.prop).alias("property"),
+                        F.lit("missing_column").alias("rule"),
+                        F.lit(SEVERITY_ERROR).alias("severity"),
+                        F.lit(None).cast("string").alias("row_ref"),
+                        F.lit(None).cast("string").alias("value"),
+                    )
+                )
+            continue
+        c = F.col(r.prop)
+        if r.required:
+            parts.append(
+                _violation(df, schema.node, r, "required", SEVERITY_ERROR,
+                           c.isNull(), key_col)
+            )
+        parts.append(
+            _violation(df, schema.node, r, "whitespace", SEVERITY_ERROR,
+                       c.isNotNull() & (c.cast("string") != F.trim(c.cast("string"))),
+                       key_col)
+        )
+        if r.inner_type in ("enum", "string;enum") and r.enum_terms:
+            terms = F.array(*[F.lit(t) for t in r.enum_terms])
+            if r.is_array:
+                elems = F.split(c.cast("string"), ";")
+                bad = F.exists(elems, lambda x: ~F.array_contains(terms, F.trim(x)))
+            else:
+                bad = ~F.array_contains(terms, c.cast("string"))
+            sev = SEVERITY_ERROR if r.enum_strict else SEVERITY_WARNING
+            parts.append(
+                _violation(df, schema.node, r, "enum", sev, c.isNotNull() & bad, key_col)
+            )
+        if r.inner_type == "integer":
+            parts.append(
+                _violation(df, schema.node, r, "not_integer", SEVERITY_ERROR,
+                           c.isNotNull() & ~checks.is_intlike(c), key_col)
+            )
+            if r.prop.startswith("age_at"):
+                parts.append(
+                    _violation(df, schema.node, r, "age_pii", SEVERITY_ERROR,
+                               checks.age_exceeds_limit(c), key_col)
+                )
+        if r.inner_type == "number":
+            parts.append(
+                _violation(df, schema.node, r, "not_number", SEVERITY_ERROR,
+                           c.isNotNull() & ~checks.is_floatlike(c), key_col)
+            )
+        if r.free_text:
+            parts.append(
+                _violation(df, schema.node, r, "pii_pattern", SEVERITY_ERROR,
+                           c.isNotNull() & checks.contains_pii(c.cast("string")),
+                           key_col)
+            )
+        if r.key:
+            parts.append(
+                _violation(df, schema.node, r, "key_charset", SEVERITY_ERROR,
+                           c.isNotNull() & ~checks.is_valid_key_id(c.cast("string")),
+                           key_col)
+            )
+    if not parts:
+        raise ValueError(f"no rules compiled for node {schema.node}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def validate_unique_keys(df: DataFrame, schema: NodeSchema) -> DataFrame:
+    """Unique-key rule (A3 rank): key values seen on >1 row.
+
+    Reference: src/s3_validationry_refactored.py:913-1019.
+    """
+    parts = []
+    for k in schema.key_props:
+        dup = (
+            df.filter(F.col(k).isNotNull())
+            .groupBy(k)
+            .agg(F.count(F.lit(1)).alias("dup_count"))
+            .filter(F.col("dup_count") > 1)
+            .select(
+                F.lit(schema.node).alias("node"),
+                F.lit(k).alias("property"),
+                F.lit("unique_key").alias("rule"),
+                F.lit(SEVERITY_ERROR).alias("severity"),
+                F.col(k).cast("string").alias("row_ref"),
+                F.col("dup_count").cast("string").alias("value"),
+            )
+        )
+        parts.append(dup)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def validate_cross_links(
+    child: DataFrame,
+    child_node: str,
+    link_col: str,
+    parent: DataFrame,
+    parent_key: str,
+    key_col: str | None = None,
+    multi_valued: bool = False,
+) -> DataFrame:
+    """Cross-link rule: every link value must exist in the parent sheet.
+
+    Reference: src/s3_validationry_refactored.py:1786-1949
+    (multiplicity-aware ';' parsing, anti-join vs parent keys).
+    """
+    links = child.select(
+        (F.col(key_col) if key_col else F.lit(None)).cast("string").alias("row_ref"),
+        F.col(link_col).alias("__link__"),
+    ).filter(F.col("__link__").isNotNull())
+    if multi_valued:
+        links = links.withColumn(
+            "__link__", F.explode(F.split(F.col("__link__").cast("string"), ";"))
+        )
+    parent_keys = parent.select(
+        F.col(parent_key).cast("string").alias("__link__")
+    ).distinct()
+    dangling = links.withColumn("__link__", F.col("__link__").cast("string")).join(
+        parent_keys, on="__link__", how="left_anti"
+    )
+    return dangling.select(
+        F.lit(child_node).alias("node"),
+        F.lit(link_col).alias("property"),
+        F.lit("dangling_link").alias("rule"),
+        F.lit(SEVERITY_ERROR).alias("severity"),
+        F.col("row_ref"),
+        F.col("__link__").alias("value"),
+    )
+
+
+def repair(df: DataFrame, schema: NodeSchema) -> DataFrame:
+    """CatchERR — the mutating rendering of the same rule metadata.
+
+    Applies (in the reference's order, src/s3_catcherry.py:22-1345):
+    trim every string cell (:88), NA-bank → null, enum case-snap
+    (:508-541), ';'-array casefolded sort (:459-469).
+    """
+    from ..catalog import NA_BANK
+
+    exprs = []
+    for f_ in df.schema.fields:
+        name = f_.name
+        if f_.dataType.simpleString() != "string":
+            exprs.append(F.col(name))
+            continue
+        c = F.trim(F.col(name))
+        c = F.when(c.isin(*NA_BANK), F.lit(None)).otherwise(c)
+        r = schema.rule(name)
+        if r is not None and r.enum_terms and not r.is_array:
+            snapped = None
+            for term in r.enum_terms:
+                cond = F.lower(c) == term.lower()
+                snapped = (
+                    F.when(cond, F.lit(term))
+                    if snapped is None
+                    else snapped.when(cond, F.lit(term))
+                )
+            c = snapped.otherwise(c) if snapped is not None else c
+        if r is not None and r.is_array:
+            c = sort_delimited_cell(c)
+        exprs.append(c.alias(name))
+    return df.select(*exprs)

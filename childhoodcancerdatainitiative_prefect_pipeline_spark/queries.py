@@ -717,3 +717,615 @@ def o_top_limit(spark, sf_dir):
         .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Rule engine (SURVEY §2.11) — ValidationRy + CatchERR renderings.
+# Violations are planted deterministically (modulo rules on keys) so
+# the oracle reproduces them exactly.
+# ---------------------------------------------------------------------------
+
+
+def _dirty_lineitem(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    return lineitem.select(
+        k.cast("string").alias("row_ref"),
+        F.when(k % 79 == 0, F.lit(None))
+        .otherwise(F.col("l_partkey").cast("string"))
+        .alias("pk"),
+        F.when(k % 89 == 0, F.concat(F.lit(" "), F.col("l_returnflag")))
+        .otherwise(F.col("l_returnflag"))
+        .alias("flag"),
+        F.when(k % 83 == 0, F.lit("X")).otherwise(F.col("l_linestatus")).alias("status"),
+        F.when(k % 97 == 0, F.lit("abc"))
+        .otherwise(F.col("l_linenumber").cast("string"))
+        .alias("linenum"),
+    )
+
+
+_DIRTY_SQL = """
+  SELECT CAST(l_orderkey AS VARCHAR) AS row_ref,
+         CASE WHEN l_orderkey % 79 = 0 THEN NULL
+              ELSE CAST(l_partkey AS VARCHAR) END AS pk,
+         CASE WHEN l_orderkey % 89 = 0 THEN ' ' || l_returnflag
+              ELSE l_returnflag END AS flag,
+         CASE WHEN l_orderkey % 83 = 0 THEN 'X' ELSE l_linestatus END AS status,
+         CASE WHEN l_orderkey % 97 = 0 THEN 'abc'
+              ELSE CAST(l_linenumber AS VARCHAR) END AS linenum
+  FROM lineitem
+"""
+
+
+@register(
+    "rules_validate",
+    f"""WITH d AS ({_DIRTY_SQL})
+       SELECT 'lineitem_node' AS node, 'pk' AS property, 'required' AS rule,
+              'ERROR' AS severity, row_ref, pk AS value
+       FROM d WHERE pk IS NULL
+       UNION ALL
+       SELECT 'lineitem_node', 'pk', 'whitespace', 'ERROR', row_ref, pk
+       FROM d WHERE pk IS NOT NULL AND pk <> trim(pk)
+       UNION ALL
+       SELECT 'lineitem_node', 'flag', 'whitespace', 'ERROR', row_ref, flag
+       FROM d WHERE flag IS NOT NULL AND flag <> trim(flag)
+       UNION ALL
+       SELECT 'lineitem_node', 'status', 'whitespace', 'ERROR', row_ref, status
+       FROM d WHERE status IS NOT NULL AND status <> trim(status)
+       UNION ALL
+       SELECT 'lineitem_node', 'status', 'enum', 'ERROR', row_ref, status
+       FROM d WHERE status IS NOT NULL AND status NOT IN ('F', 'O')
+       UNION ALL
+       SELECT 'lineitem_node', 'linenum', 'whitespace', 'ERROR', row_ref, linenum
+       FROM d WHERE linenum IS NOT NULL AND linenum <> trim(linenum)
+       UNION ALL
+       SELECT 'lineitem_node', 'linenum', 'not_integer', 'ERROR', row_ref, linenum
+       FROM d WHERE linenum IS NOT NULL AND TRY_CAST(linenum AS BIGINT) IS NULL""",
+    "§2.11 ValidationRy: metadata-compiled violation scan",
+)
+def rules_validate(spark, sf_dir):
+    from .plans.rules import NodeSchema, PropertyRule, validate
+
+    dirty = _dirty_lineitem(spark, sf_dir)
+    schema = NodeSchema(
+        node="lineitem_node",
+        rules=[
+            PropertyRule("pk", type="string", required=True),
+            PropertyRule("flag", type="string"),
+            PropertyRule("status", type="enum", enum_terms=("F", "O")),
+            PropertyRule("linenum", type="integer"),
+        ],
+        key_props=["row_ref"],
+    )
+    return validate(dirty, schema)
+
+
+@register(
+    "rules_repair",
+    """WITH d AS (
+         SELECT c_custkey,
+                CASE WHEN c_custkey % 3 = 0 THEN '  ' || lower(c_mktsegment) || ' '
+                     WHEN c_custkey % 5 = 0 THEN 'NA'
+                     ELSE c_mktsegment END AS segment
+         FROM customer
+       ), trimmed AS (
+         SELECT c_custkey, trim(segment) AS t FROM d
+       )
+       SELECT c_custkey,
+              CASE WHEN t IN ('NA','na','N/A','n/a','') THEN NULL
+                   WHEN lower(t) = 'automobile' THEN 'AUTOMOBILE'
+                   WHEN lower(t) = 'building' THEN 'BUILDING'
+                   WHEN lower(t) = 'furniture' THEN 'FURNITURE'
+                   WHEN lower(t) = 'household' THEN 'HOUSEHOLD'
+                   WHEN lower(t) = 'machinery' THEN 'MACHINERY'
+                   ELSE t END AS segment
+       FROM trimmed""",
+    "§2.11 CatchERR: trim + NA-bank + enum case-snap repair",
+)
+def rules_repair(spark, sf_dir):
+    from .plans.rules import NodeSchema, PropertyRule, repair
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dirty = customer.select(
+        k.alias("c_custkey"),
+        F.when(k % 3 == 0, F.concat(F.lit("  "), F.lower("c_mktsegment"), F.lit(" ")))
+        .when(k % 5 == 0, F.lit("NA"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    schema = NodeSchema(
+        node="customer_node",
+        rules=[
+            PropertyRule(
+                "segment",
+                type="enum",
+                enum_terms=(
+                    "AUTOMOBILE",
+                    "BUILDING",
+                    "FURNITURE",
+                    "HOUSEHOLD",
+                    "MACHINERY",
+                ),
+            )
+        ],
+    )
+    return repair(dirty, schema)
+
+
+@register(
+    "liftover_node",
+    """SELECT 'account' AS type, CAST(c_custkey AS VARCHAR) AS account_id,
+              c_name AS account_name, CAST(c_acctbal AS VARCHAR) AS balance,
+              c_name || ';' || c_mktsegment AS label, c_mktsegment AS segment
+       FROM customer
+       UNION ALL
+       SELECT 'account', CAST(s_suppkey AS VARCHAR), s_name,
+              CAST(s_acctbal AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+       FROM supplier""",
+    "§2.9 L2 mapping-driven node liftover with ';' collision concat",
+)
+def liftover_node(spark, sf_dir):
+    from .plans.liftover import MappingRow, lift_node
+
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    mapping = [
+        MappingRow("customer", "c_custkey", "account", "account_id"),
+        MappingRow("customer", "c_name", "account", "account_name"),
+        MappingRow("customer", "c_acctbal", "account", "balance"),
+        MappingRow("customer", "c_mktsegment", "account", "segment"),
+        MappingRow("customer", "c_name", "account", "label"),
+        MappingRow("customer", "c_mktsegment", "account", "label"),
+        MappingRow("supplier", "s_suppkey", "account", "account_id"),
+        MappingRow("supplier", "s_name", "account", "account_name"),
+        MappingRow("supplier", "s_acctbal", "account", "balance"),
+    ]
+    return lift_node({"customer": customer, "supplier": supplier}, mapping, "account")
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function pack queries (SURVEY §2.10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_url_parse",
+    r"""WITH u AS (
+         SELECT doc_id,
+                's3://bucket-' || source || '/docs/d' || CAST(doc_id AS VARCHAR) ||
+                CASE WHEN doc_id % 3 = 0 THEN '.vcf.gz' ELSE '.txt' END AS url
+         FROM documents)
+       SELECT doc_id,
+              regexp_extract(url, '^s3://([^/]+)/', 1) AS bucket,
+              regexp_extract(url, '^s3://[^/]+/(.*)$', 1) AS key,
+              regexp_extract(url, '([^/]*)$', 1) AS file_name,
+              CASE WHEN url LIKE '%.gz'
+                   THEN regexp_extract(url, '([^./]+)\.gz$', 1) || '.gz'
+                   ELSE regexp_extract(url, '\.([^./]+)$', 1) END AS ext,
+              CASE WHEN url LIKE '%.vcf.gz' THEN 'vcf'
+                   ELSE regexp_extract(url, '\.([^./]+)$', 1) END AS file_type
+       FROM u""",
+    "F11/F12 url parse + extension→type inference",
+)
+def f_url_parse(spark, sf_dir):
+    from .functions import urls
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("s3://bucket-"),
+        F.col("source"),
+        F.lit("/docs/d"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".vcf.gz")).otherwise(F.lit(".txt")),
+    )
+    with_url = documents.select("doc_id", url.alias("__url__"))
+    return with_url.select(
+        "doc_id",
+        urls.s3_bucket("__url__").alias("bucket"),
+        urls.s3_key("__url__").alias("key"),
+        urls.url_basename("__url__").alias("file_name"),
+        urls.file_extension(urls.url_basename("__url__")).alias("ext"),
+        urls.infer_file_type(urls.url_basename("__url__")).alias("file_type"),
+    )
+
+
+@register(
+    "f_scalar_cleanup",
+    """SELECT p_partkey, trim(p_name) AS name_trimmed, lower(p_brand) AS brand_lower,
+              rpad(coalesce(p_type, ''), 250, ' ') || '.' AS type_padded,
+              CAST(p_partkey % 1000 AS VARCHAR) || ';' ||
+              CAST(p_partkey % 100 AS VARCHAR) AS id_list
+       FROM part""",
+    "F1/F5/F14 scalar cleanup battery",
+)
+def f_scalar_cleanup(spark, sf_dir):
+    from .functions import cleaning
+
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        cleaning.trim_all("p_name").alias("name_trimmed"),
+        F.lower(F.col("p_brand")).alias("brand_lower"),
+        cleaning.pad_description("p_type").alias("type_padded"),
+        F.concat_ws(
+            ";",
+            (F.col("p_partkey") % 1000).cast("string"),
+            (F.col("p_partkey") % 100).cast("string"),
+        ).alias("id_list"),
+    )
+
+
+@register(
+    "j4_lookup_join",
+    """SELECT c_custkey,
+              CASE c_mktsegment WHEN 'BUILDING' THEN 'B' WHEN 'AUTOMOBILE' THEN 'A'
+                   WHEN 'FURNITURE' THEN 'F' ELSE c_mktsegment END AS segment_code
+       FROM customer""",
+    "J4 broadcast lookup join with dict-get(default) semantics",
+)
+def j4_lookup(spark, sf_dir):
+    from .operators.joins import lookup_join
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    mapping = spark.createDataFrame(
+        [("BUILDING", "B"), ("AUTOMOBILE", "A"), ("FURNITURE", "F")],
+        ["from_value", "to_value"],
+    )
+    mapped = lookup_join(
+        customer,
+        mapping,
+        on="c_mktsegment",
+        from_col="from_value",
+        to_col="to_value",
+        out_col="segment_code",
+    )
+    return mapped.select("c_custkey", "segment_code")
+
+
+@register(
+    "j2_coalesce_conflicts",
+    """WITH p AS (SELECT o_orderkey, o_custkey,
+                        CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                             ELSE o_orderpriority END AS priority
+                 FROM orders),
+            c AS (SELECT c_custkey, c_mktsegment AS priority FROM customer)
+       SELECT o_orderkey, COALESCE(p.priority, c.priority) AS priority
+       FROM p LEFT JOIN c ON p.o_custkey = c.c_custkey""",
+    "J2 join-conflict coalesce, parent wins (src/s3_ccdi_to_cds.py:281-297)",
+)
+def j2_coalesce(spark, sf_dir):
+    from .operators.joins import coalesce_conflicts
+
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    parent = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority_x"),
+    )
+    child = customer.select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("priority_y")
+    )
+    joined = parent.join(child, on="custkey", how="left")
+    return coalesce_conflicts(joined).select("o_orderkey", "priority")
+
+
+@register(
+    "w3_unpivot_numbered",
+    """SELECT l_orderkey, CAST(rn AS BIGINT) AS file_index, l_partkey, l_quantity
+       FROM (SELECT l_orderkey, l_partkey, l_quantity,
+                    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                       ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+             FROM lineitem)
+       WHERE rn <= 2""",
+    "W3 unpivot of numbered wide columns (src/s3_ccdi_to_sra.py:408-447)",
+)
+def w3_unpivot(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    wide = reshape.spread_numbered(
+        lineitem.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
+        key="l_orderkey",
+        order_by=["l_linenumber", "l_partkey", "l_quantity"],
+        value_cols=["l_partkey", "l_quantity"],
+        max_n=2,
+    )
+    long = reshape.unpivot_numbered(
+        wide,
+        key_cols=["l_orderkey"],
+        value_cols=["l_partkey", "l_quantity"],
+        max_n=2,
+    )
+    return long.withColumn("file_index", F.col("file_index").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: dedup / similarity / text / multimodal.
+# First-class additions beyond the reference surface (BASELINE.json
+# north star); documents + embeddings tables.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_prefix",
+    """SELECT prefix, MIN(doc_id) AS representative, COUNT(*) AS n_dups
+       FROM (SELECT substring(text, 1, 40) AS prefix, doc_id FROM documents)
+       GROUP BY prefix HAVING COUNT(*) > 1""",
+    "exact dedup via hash-groupBy on normalized content key",
+)
+def dedup_exact_prefix(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    keyed = documents.select(
+        F.substring(F.col("text"), 1, 40).alias("prefix"), F.col("doc_id")
+    )
+    return (
+        keyed.groupBy("prefix")
+        .agg(
+            F.min("doc_id").alias("representative"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+@register(
+    "dedup_exact_groups",
+    None,  # xxhash64 content keys are Spark-specific → rows-only check
+    "exact duplicate groups by 64-bit content hash (scale path)",
+)
+def dedup_exact_groups(spark, sf_dir):
+    from .operators.dedup import exact_duplicates
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return exact_duplicates(documents)
+
+
+@register(
+    "dedup_minhash_pairs",
+    None,  # LSH banding is hash-seeded → rows-only; Jaccard verified in tests
+    "MinHash+LSH near-dup candidate pairs with exact Jaccard verify",
+)
+def dedup_minhash_pairs(spark, sf_dir):
+    from .operators.dedup import minhash_dedup
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return minhash_dedup(documents, threshold=0.5)
+
+
+@register(
+    "dedup_simhash_pairs",
+    None,
+    "SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole banding",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    from .operators.dedup import simhash_candidates
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return simhash_candidates(documents, max_hamming=3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    r"""WITH t AS (
+         SELECT doc_id, lang, source,
+                list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '') AS toks
+         FROM documents
+       ), s AS (
+         SELECT doc_id, lang, source,
+                CASE WHEN len(toks) >= 3
+                     THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                     ELSE [array_to_string(toks, ' ')] END AS sh
+         FROM t
+       )
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       FROM s a JOIN s b
+         ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2""",
+    "blocked pairwise n-gram Jaccard (exact, oracle-checked)",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from .operators.dedup import shingles
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sh = documents.select(
+        "doc_id", "lang", "source", shingles("text", 3).alias("sh")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("sh").alias("sh_b"),
+    )
+    pairs = a.join(b, on=["lang", "source"]).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union
+    return (
+        pairs.filter(jac >= 0.2)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "sim_cosine_topk",
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                           (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(e.embedding AS DOUBLE[]))) *
+                            sqrt(list_inner_product(q.qv, q.qv))), 6) AS cosine_sim
+              FROM embeddings e CROSS JOIN q),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cosine_sim DESC, vec_id) AS rn
+              FROM scored)
+       SELECT query_id, vec_id, cosine_sim FROM ranked WHERE rn <= 10""",
+    "brute-force cosine top-k per query vector (exact ANN baseline)",
+)
+def sim_cosine_topk(spark, sf_dir):
+    from .operators.similarity import brute_force_top_k
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    query = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return brute_force_top_k(embeddings, query, k=10)
+
+
+@register(
+    "sim_ivf_topk",
+    None,  # approximate (cell pruning) → rows-only; recall tested in tests/
+    "IVF-bucketed approximate top-k (scale path for ANN)",
+)
+def sim_ivf_topk(spark, sf_dir):
+    from .operators.similarity import assign_cells, ivf_top_k, pick_centroids
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    centroids = pick_centroids(embeddings, n_cells=8)
+    indexed = assign_cells(embeddings, centroids)
+    query = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_top_k(indexed, centroids, query, k=10, n_probe=3)
+
+
+@register(
+    "text_token_stats",
+    r"""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+              CAST(length(text) AS BIGINT) AS n_chars_computed,
+              CAST(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+       FROM documents""",
+    "token counting: whitespace + BPE-ish regex",
+)
+def text_token_stats(spark, sf_dir):
+    from .operators.text import bpe_ish_token_count, token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    r"""WITH t AS (
+         SELECT doc_id, text,
+                list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '') AS toks
+         FROM documents)
+       SELECT doc_id,
+              ROUND(CASE WHEN len(toks) > 0 THEN
+                    CAST(len(list_filter(toks, t2 -> list_contains(
+                      ['the','a','of','and','to','in','is','that','it','for'], t2)))
+                      AS DOUBLE) / len(toks) ELSE 0.0 END, 6) AS stopword_ratio,
+              ROUND(CASE WHEN length(text) > 0 THEN
+                    CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) /
+                    length(text) ELSE 0.0 END, 6) AS punct_ratio,
+              ROUND(CASE WHEN len(toks) > 0 THEN
+                    CAST(list_sum(list_transform(toks, t2 -> length(t2))) AS DOUBLE) /
+                    len(toks) ELSE 0.0 END, 6) AS mean_word_len
+       FROM t""",
+    "quality scoring: stopword / punctuation / word-length heuristics",
+)
+def text_quality(spark, sf_dir):
+    from .operators.text import quality_features
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    feats = quality_features(documents)
+    return feats.select("doc_id", "stopword_ratio", "punct_ratio", "mean_word_len")
+
+
+@register(
+    "text_lang_id",
+    r"""WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '') AS toks
+         FROM documents
+       ), h AS (
+         SELECT doc_id,
+           len(list_filter(toks, x -> list_contains(
+             ['der','die','das','und','ist','von','mit','für','ein','nicht'], x))) AS h_de,
+           len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','in','is','that','it','for'], x))) AS h_en,
+           len(list_filter(toks, x -> list_contains(
+             ['el','la','los','de','y','es','un','una','por','para'], x))) AS h_es,
+           len(list_filter(toks, x -> list_contains(
+             ['le','la','les','de','et','est','un','une','pour','dans'], x))) AS h_fr,
+           len(list_filter(toks, x -> list_contains(
+             ['的','是','在','了','和','有','我','不','这','他'], x))) AS h_zh
+         FROM t)
+       SELECT doc_id,
+              CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) <= 0 THEN 'und'
+                   WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+                   WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                   WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                   WHEN h_fr = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                   ELSE 'zh' END AS lang_pred
+       FROM h""",
+    "language ID via stopword-profile scoring (first-wins tie-break)",
+)
+def text_lang_id(spark, sf_dir):
+    from .operators.text import language_id
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return language_id(documents).select("doc_id", "lang_pred")
+
+
+@register(
+    "text_fingerprint",
+    None,  # xxhash64-based → rows-only; stability tested in tests/
+    "document fingerprint: min-hash over word 5-gram shingles",
+)
+def text_fingerprint(spark, sf_dir):
+    from .operators.text import fingerprint
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return fingerprint(documents).select("doc_id", "fingerprint")
+
+
+@register(
+    "multimodal_stub_features",
+    """SELECT doc_id AS media_id, 'image' AS modality,
+              'stub_digest' AS feature_kind,
+              'len=' || CAST(14 + length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+                AS feature_value
+       FROM documents""",
+    "multimodal plumbing: binary payload → mapInPandas feature extract (stub kernel)",
+)
+def multimodal_stub_features(spark, sf_dir):
+    from .operators.multimodal import extract_features, synthesize_media
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    media = synthesize_media(documents, "doc_id", modality="image")
+    return extract_features(media)
+
+
+@register(
+    "stream_tumbling_rollup",
+    None,  # approx_count_distinct → rows-only; exact twin: events_daily_rollup
+    "§2.15 tumbling-window rollup (same transform attaches to readStream)",
+)
+def stream_tumbling_rollup(spark, sf_dir):
+    from .streaming.events import tumbling_rollup
+
+    (events,) = _t(spark, sf_dir, "events")
+    return tumbling_rollup(events, "1 hour")

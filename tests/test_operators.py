@@ -1,0 +1,328 @@
+"""Behavioral tests for operators whose semantics the DuckDB oracle
+cannot express (hash-seeded LSH, approximate ANN, streaming, UDFs)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# near-dup dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun light"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("afternoon", "morning")),  # near dup of 1
+        (4, "completely different content about spark dataframes and "
+            "catalyst optimizer plans with shuffles and broadcasts everywhere"),
+        (5, "yet another unrelated document mentioning minhash lsh bands "
+            "rows signatures buckets and jaccard similarity estimation"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(near_dup_docs):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.dedup import (
+        exact_duplicates,
+    )
+
+    groups = exact_duplicates(near_dup_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["representative"] == 1
+    assert groups[0]["n_dups"] == 2
+
+
+def test_minhash_finds_planted_near_dups(near_dup_docs):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.dedup import (
+        minhash_dedup,
+    )
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_dedup(near_dup_docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5  # near dup
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash_near_dups(near_dup_docs):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.dedup import (
+        simhash_candidates,
+    )
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_candidates(near_dup_docs, max_hamming=6).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # identical text → identical simhash
+    assert (1, 3) in pairs  # one-word change → small hamming distance
+    assert (1, 4) not in pairs
+
+
+def test_fingerprint_stable_under_whitespace(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.text import (
+        fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "  alpha  beta   gamma delta epsilon zeta eta theta "),
+            (3, "alpha beta gamma delta epsilon zeta eta iota"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert rows[1] == rows[2]  # whitespace-insensitive
+    assert rows[1] != rows[3]
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.similarity import (
+        assign_cells,
+        brute_force_top_k,
+        ivf_top_k,
+        pick_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = {
+        r["vec_id"] for r in brute_force_top_k(emb, query, k=10).collect()
+    }
+    centroids = pick_centroids(emb, n_cells=8)
+    indexed = assign_cells(emb, centroids)
+    approx = {
+        r["vec_id"]
+        for r in ivf_top_k(indexed, centroids, query, k=10, n_probe=4).collect()
+    }
+    # probing half the cells must recover most of the exact top-10
+    assert len(exact & approx) >= 5
+    # the query vector itself (cosine 1.0) must always be found
+    assert 7 in approx
+
+
+# ---------------------------------------------------------------------------
+# deterministic UUIDv5 (F15)
+# ---------------------------------------------------------------------------
+
+
+def test_uuid5_bit_exact_with_python(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.functions.ids import (
+        deterministic_uuid5,
+        uuid5_namespace,
+    )
+
+    df = spark.createDataFrame(
+        [("phs000123", "s1"), ("phs000123", "s2"), ("phs999999", "x")],
+        ["study", "key"],
+    )
+    out = {
+        (r["study"], r["key"]): r["guid"]
+        for r in deterministic_uuid5(
+            df, "guid", "study", "sample", "key"
+        ).collect()
+    }
+    ns = uuid5_namespace("ccdi")
+    for (study, key), guid in out.items():
+        assert guid == str(uuid.uuid5(ns, f"{study}::sample::{key}"))
+
+
+def test_mint_guids_one_per_group(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.functions.ids import (
+        mint_guids_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", "m1", None), ("u1", "m1", None), ("u2", "m2", "dg.4DFC/keep")],
+        ["url", "md5", "dcf_indexd_guid"],
+    )
+    rows = mint_guids_per_group(df, ["url", "md5"]).collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault((r["url"], r["md5"]), set()).add(r["dcf_indexd_guid"])
+    assert len(by_group[("u1", "m1")]) == 1  # same guid for the group
+    assert by_group[("u2", "m2")] == {"dg.4DFC/keep"}  # existing preserved
+    minted = next(iter(by_group[("u1", "m1")]))
+    assert minted.startswith("dg.4DFC/")
+
+
+# ---------------------------------------------------------------------------
+# fuzzy relink (J9)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_relink_cascade(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.joins import (
+        fuzzy_relink,
+    )
+
+    manifest = spark.createDataFrame(
+        [
+            ("a.txt", 10, "s3://old/a.txt"),   # size-exact match
+            ("b.txt", 20, "s3://old/b.txt"),   # unique name, size mismatch
+            ("c.txt", 30, "s3://old/c.txt"),   # ambiguous (2 candidates)
+            ("d.txt", 40, "s3://old/d.txt"),   # missing from listing
+        ],
+        ["file_name", "file_size", "file_url"],
+    )
+    listing = spark.createDataFrame(
+        [
+            ("a.txt", 10, "s3://new/a.txt"),
+            ("b.txt", 99, "s3://new/b.txt"),
+            ("c.txt", 31, "s3://new/1/c.txt"),
+            ("c.txt", 32, "s3://new/2/c.txt"),
+        ],
+        ["file_name", "file_size", "file_path"],
+    )
+    out = {r["file_name"]: r for r in fuzzy_relink(manifest, listing).collect()}
+    assert out["a.txt"]["relink_status"] == "size_match"
+    assert out["a.txt"]["resolved_url"] == "s3://new/a.txt"
+    assert out["b.txt"]["relink_status"] == "name_match"
+    assert out["b.txt"]["resolved_url"] == "s3://new/b.txt"
+    assert out["c.txt"]["relink_status"] == "ambiguous"
+    assert out["c.txt"]["resolved_url"] == "s3://old/c.txt"  # unchanged
+    assert out["d.txt"]["relink_status"] == "missing"
+
+
+# ---------------------------------------------------------------------------
+# liftover mapping evaluation (L1)
+# ---------------------------------------------------------------------------
+
+
+def test_liftover_mapping_evaluation():
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.plans.liftover import (
+        MappingRow,
+        evaluate_mapping,
+    )
+
+    mapping = [
+        MappingRow("n1", "a", "m1", "x"),
+        MappingRow("n1", "b", "m1", "x"),  # many→one
+        MappingRow("n1", "c", "m1", "y"),
+        MappingRow("n1", "c", "m2", "z"),  # one→many
+    ]
+    report = evaluate_mapping(
+        mapping,
+        source_props={"n1": ["a", "b", "c", "unmapped_src"]},
+        target_props={"m1": ["x", "y", "missing_dst"], "m2": ["z"]},
+    )
+    assert ("n1", "unmapped_src") in report["unmapped_source_props"]
+    assert ("m1", "missing_dst") in report["unmapped_target_props"]
+    assert ("m1", "x") in report["many_to_one"]
+    assert ("n1", "c") in report["one_to_many"]
+
+
+# ---------------------------------------------------------------------------
+# structured streaming (§2.15): the batch-tested transform attached
+# to a real file stream with watermark + memory sink
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.catalog import (
+        load_testdata,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.streaming.events import (
+        tumbling_rollup,
+    )
+
+    events = load_testdata(
+        spark, sf_dir, tables=("events",), register_views=False
+    )["events"]
+    src = str(tmp_path / "stream_src")
+    events.write.mode("overwrite").parquet(src)
+
+    batch_result = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in tumbling_rollup(events, "1 hour").collect()
+    }
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        tumbling_rollup(stream, "1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_result = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM rollup_test").collect()
+        }
+    finally:
+        q.stop()
+    assert stream_result == batch_result
+
+
+def test_streaming_dedup(spark, tmp_path):
+    import datetime
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.streaming.events import (
+        streaming_dedup,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10, "click", 1.0),
+        (1, t0, 10, "click", 1.0),  # duplicate event_id
+        (2, t0, 11, "view", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    src = str(tmp_path / "dedup_src")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT event_id FROM dedup_test").collect()
+    finally:
+        q.stop()
+    assert sorted(r["event_id"] for r in out) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_frame_sample_plan(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.multimodal import (
+        frame_sample_plan,
+        synthesize_media,
+    )
+
+    base = spark.range(3).select(F.col("id"))
+    media = synthesize_media(base, "id", modality="video")
+    frames = frame_sample_plan(media, every_n=1).collect()
+    assert len(frames) >= 3  # ≥1 frame per video
+    assert all(r["frame_no"] >= 0 for r in frames)
