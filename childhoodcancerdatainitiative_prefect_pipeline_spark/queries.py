@@ -1329,3 +1329,259 @@ def stream_tumbling_rollup(spark, sf_dir):
 
     (events,) = _t(spark, sf_dir, "events")
     return tumbling_rollup(events, "1 hour")
+
+
+# ---------------------------------------------------------------------------
+# Sources pack (SURVEY §2.1): EAV graph intake, inventory reconcile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eav_roundtrip",
+    """SELECT event_id AS startNodeId, event_type,
+              printf('%.3f', value) AS value,
+              CAST(user_id AS VARCHAR) AS "user.id"
+       FROM events""",
+    "S10→W1 EAV long→wide pivot with link re-attach (src/neo4j_data_tools.py:1666-1759)",
+)
+def eav_roundtrip(spark, sf_dir):
+    from .sources.eav import eav_to_node_table
+
+    (events,) = _t(spark, sf_dir, "events")
+    # build the long EAV extract the reference's exporter would emit
+    props = events.select(
+        F.col("event_id").alias("startNodeId"),
+        F.lit("event").alias("startNodeLabels"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("event_type").alias("p"), F.col("event_type").alias("v")
+                ),
+                F.struct(
+                    F.lit("value").alias("p"),
+                    F.format_string("%.3f", F.col("value")).alias("v"),
+                ),
+            )
+        ).alias("pv"),
+        F.lit(None).cast("long").alias("linkedNodeId"),
+        F.lit(None).cast("string").alias("linkedNodeLabels"),
+    ).select(
+        "startNodeId",
+        "startNodeLabels",
+        F.col("pv.p").alias("startNodePropertyName"),
+        F.col("pv.v").alias("startNodePropertyValue"),
+        "linkedNodeId",
+        "linkedNodeLabels",
+    )
+    links = events.select(
+        F.col("event_id").alias("startNodeId"),
+        F.lit("event").alias("startNodeLabels"),
+        F.lit(None).cast("string").alias("startNodePropertyName"),
+        F.lit(None).cast("string").alias("startNodePropertyValue"),
+        F.col("user_id").alias("linkedNodeId"),
+        F.lit("user").alias("linkedNodeLabels"),
+    )
+    eav = props.unionByName(links)
+    wide = eav_to_node_table(
+        eav, "event", prop_values=["event_type", "value"], link_labels=["user"]
+    )
+    return wide.select(
+        "startNodeId", "event_type", "value", F.col("`user.id`")
+    )
+
+
+@register(
+    "s3_inventory_reconcile",
+    """WITH m AS (
+         SELECT 'data/p' || CAST(p_partkey AS VARCHAR) || '.dat' AS file_path,
+                CAST(p_size AS BIGINT) AS manifest_size
+         FROM part WHERE p_partkey % 11 <> 0
+       ), i AS (
+         SELECT 'data/p' || CAST(p_partkey AS VARCHAR) || '.dat' AS file_path,
+                CAST(p_size + CASE WHEN p_partkey % 7 = 0 THEN 1 ELSE 0 END
+                     AS BIGINT) AS bucket_size
+         FROM part WHERE p_partkey % 5 <> 0
+       )
+       SELECT COALESCE(m.file_path, i.file_path) AS file_path,
+              CASE WHEN m.file_path IS NULL THEN 'missing_in_manifest'
+                   WHEN i.file_path IS NULL THEN 'missing_in_bucket'
+                   WHEN manifest_size <> bucket_size THEN 'size_mismatch'
+                   ELSE 'ok' END AS status
+       FROM m FULL OUTER JOIN i ON m.file_path = i.file_path""",
+    "S6+J6 two-way manifest↔bucket reconcile (src/s3_validationry_refactored.py:1618-1783)",
+)
+def s3_inventory_reconcile(spark, sf_dir):
+    from .sources.s3 import reconcile_with_inventory
+
+    (part,) = _t(spark, sf_dir, "part")
+    path = F.concat(F.lit("data/p"), F.col("p_partkey").cast("string"), F.lit(".dat"))
+    manifest = part.filter(F.col("p_partkey") % 11 != 0).select(
+        F.concat(F.lit("s3://bucket/"), path).alias("file_url"),
+        F.col("p_size").cast("long").alias("file_size"),
+    )
+    inventory = part.filter(F.col("p_partkey") % 5 != 0).select(
+        path.alias("file_path"),
+        path.alias("file_name"),
+        (
+            F.col("p_size")
+            + F.when(F.col("p_partkey") % 7 == 0, 1).otherwise(0)
+        ).cast("long").alias("file_size"),
+        F.lit("dat").alias("ext"),
+    )
+    out = reconcile_with_inventory(manifest, inventory)
+    return out.select("file_path", "status")
+
+
+# ---------------------------------------------------------------------------
+# Ordering / set-op / scalar coverage (O2, O4, F6, U2, W-b)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o2_custom_order",
+    """SELECT o_orderpriority FROM (SELECT DISTINCT o_orderpriority FROM orders)
+       ORDER BY CASE o_orderpriority
+                WHEN '2-HIGH' THEN 0 WHEN '1-URGENT' THEN 1 ELSE 99 END,
+                o_orderpriority
+       LIMIT 3""",
+    "O2 custom categorical order via position table (src/s3_validationry_refactored.py:120-125)",
+)
+def o2_custom_order(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    position = spark.createDataFrame(
+        [("2-HIGH", 0), ("1-URGENT", 1)], ["o_orderpriority", "position"]
+    )
+    distinct = orders.select("o_orderpriority").distinct()
+    return (
+        distinct.join(F.broadcast(position), on="o_orderpriority", how="left")
+        .withColumn("position", F.coalesce(F.col("position"), F.lit(99)))
+        .orderBy("position", "o_orderpriority")
+        .limit(3)
+        .select("o_orderpriority")
+    )
+
+
+@register(
+    "o4_incell_sort",
+    """SELECT c_custkey,
+              array_to_string(list_transform(list_sort(list_transform(
+                string_split(c_name || ';' || c_mktsegment || ';' || 'zeta', ';'),
+                x -> [lower(x), x])), p -> p[2]), ';') AS sorted_cell
+       FROM customer""",
+    "O4 casefolded in-cell ';'-list sort (src/s3_catcherry.py:459-469)",
+)
+def o4_incell_sort(spark, sf_dir):
+    from .functions.cleaning import sort_delimited_cell
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    cell = F.concat_ws(";", F.col("c_name"), F.col("c_mktsegment"), F.lit("zeta"))
+    return customer.select(
+        "c_custkey", sort_delimited_cell(cell).alias("sorted_cell")
+    )
+
+
+@register(
+    "f6_enum_normalize",
+    """SELECT o_orderkey,
+              CASE o_orderpriority WHEN '1-URGENT' THEN 'URGENT'
+                   WHEN '2-HIGH' THEN 'HIGH' ELSE 'OTHER' END AS priority_norm
+       FROM orders""",
+    "F6 hardcoded normalization map with unknown→OTHER (src/s3_ccdi_to_sra.py:485-722)",
+)
+def f6_enum_normalize(spark, sf_dir):
+    from .functions.cleaning import map_values
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        map_values(
+            "o_orderpriority",
+            {"1-URGENT": "URGENT", "2-HIGH": "HIGH"},
+            unknown_value="OTHER",
+        ).alias("priority_norm"),
+    )
+
+
+@register(
+    "u2_union_previous_keep_last",
+    """WITH prev AS (SELECT c_custkey, c_mktsegment || '_old' AS segment FROM customer),
+            cur  AS (SELECT c_custkey, c_mktsegment AS segment FROM customer
+                     WHERE c_custkey % 2 = 0)
+       SELECT c_custkey,
+              CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+                   ELSE c_mktsegment || '_old' END AS segment
+       FROM customer""",
+    "U2 union with previous submission, keep-last on key (src/s3_ccdi_to_sra.py:1511-1527)",
+)
+def u2_union_previous(spark, sf_dir):
+    from .operators.setops import union_with_previous
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    previous = customer.select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("_old")).alias("segment"),
+        F.lit(0).alias("generation"),
+    )
+    current = (
+        customer.filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", F.col("c_mktsegment").alias("segment"))
+        .withColumn("generation", F.lit(1))
+    )
+    merged = union_with_previous(
+        current, previous, keys=["c_custkey"], priority=["generation"]
+    )
+    return merged.select("c_custkey", "segment")
+
+
+@register(
+    "wb_first_match_fallback",
+    """SELECT c_custkey, c_mktsegment FROM customer
+       ORDER BY CASE c_mktsegment WHEN 'BUILDING' THEN 0
+                WHEN 'AUTOMOBILE' THEN 1 ELSE 2 END, c_custkey
+       LIMIT 1""",
+    "W-b first-match-with-fallback contact pick (src/s3_ccdi_to_sra.py:50-82)",
+)
+def wb_first_match(spark, sf_dir):
+    from .operators.windows import first_match_with_fallback
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    priority = (
+        F.when(F.col("c_mktsegment") == "BUILDING", 0)
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", 1)
+        .otherwise(2)
+    )
+    picked = first_match_with_fallback(
+        customer.select("c_custkey", "c_mktsegment"), priority, ["c_custkey"]
+    )
+    return picked
+
+
+# ---------------------------------------------------------------------------
+# Exampler pipeline (§2.12): generate → plant errors → validate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exampler_validate",
+    None,  # xxhash-seeded generation is Spark-specific → rows-only
+    "§2.12 synthetic node generation + seeded errors + rule validation",
+)
+def exampler_validate(spark, sf_dir):
+    from .plans.exampler import generate_node, seeded_error_variant
+    from .plans.rules import NodeSchema, PropertyRule, validate
+
+    schema = NodeSchema(
+        node="sample",
+        rules=[
+            PropertyRule("sample_id", type="string", key=True, required=True),
+            PropertyRule("sample_tumor_status", type="enum",
+                         enum_terms=("Tumor", "Normal"), required=True),
+            PropertyRule("age_at_collection", type="integer"),
+            PropertyRule("anatomic_site", type="array[string;enum]",
+                         enum_terms=("Lung", "Liver", "Brain")),
+        ],
+        key_props=["sample_id"],
+    )
+    clean = generate_node(spark, schema, n_rows=500)
+    dirty = seeded_error_variant(clean, schema, every_n=10)
+    return validate(dirty, schema)

@@ -1,0 +1,163 @@
+"""File sources/sinks: TSV/CSV (S3/S4), JSON (S5), parquet.
+
+The engine's working format is parquet (columnar, predicate-pushdown,
+partition pruning); TSV is the reference's interchange format
+(TabBreaker per-node layout, src/s3_ccdi_to_tabbreakery.py:136-142)
+and stays supported at the edges.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import NA_BANK
+
+
+def read_tsv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    string_typed: bool = True,
+    apply_na_bank: bool = True,
+) -> DataFrame:
+    """S3 — TSV scan with the reference's read conventions.
+
+    Mirrors ``read_csv(sep='\\t', dtype=str, na_values=...)``
+    (src/s3_catcherry.py:316-318): header on, everything string-typed
+    unless a schema is given, NA bank → null.
+    """
+    reader = (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .option("nullValue", "")
+    )
+    if schema is not None:
+        df = reader.schema(schema).csv(path)
+    elif string_typed:
+        df = reader.option("inferSchema", False).csv(path)
+    else:
+        df = reader.option("inferSchema", True).csv(path)
+    if apply_na_bank:
+        from ..catalog import normalize_na
+
+        df = normalize_na(df)
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    string_typed: bool = True,
+    apply_na_bank: bool = True,
+) -> DataFrame:
+    """S3 — comma CSV variant (previous-submission reads)."""
+    reader = spark.read.option("header", True).option("nullValue", "")
+    if schema is not None:
+        df = reader.schema(schema).csv(path)
+    elif string_typed:
+        df = reader.option("inferSchema", False).csv(path)
+    else:
+        df = reader.option("inferSchema", True).csv(path)
+    if apply_na_bank:
+        from ..catalog import normalize_na
+
+        df = normalize_na(df)
+    return df
+
+
+def write_tsv(
+    df: DataFrame,
+    path: str,
+    single_file: bool = False,
+    null_as_empty: bool = True,
+) -> None:
+    """S4 — TSV sink.
+
+    The reference writes one named TSV per node; ``single_file``
+    coalesces to one part (manifest-scale only — never at 100 TB,
+    where the directory-of-parts layout is the point).
+    NaN→"" on write mirrors src/s3_catcherry.py:1270-1276.
+    """
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode("overwrite").option("sep", "\t").option("header", True)
+    if null_as_empty:
+        writer = writer.option("nullValue", "").option("emptyValue", "")
+    writer.csv(path)
+
+
+def write_node_tsvs(
+    tables: dict[str, DataFrame], base_path: str, study_id: str
+) -> dict[str, str]:
+    """S4 — TabBreaker layout: ``{study}-{node}`` TSV per node table.
+
+    Reference: src/s3_ccdi_to_tabbreakery.py:136-142 (timestamped
+    names become directory names here).
+    """
+    paths = {}
+    for node, df in tables.items():
+        p = f"{base_path}/{study_id}-{node}"
+        write_tsv(df, p, single_file=True)
+        paths[node] = p
+    return paths
+
+
+def write_json_records(df: DataFrame, path: str) -> None:
+    """S5 — JSON-lines sink (GDC submission records,
+    workflows/mci_gdc_transform.py:296-321)."""
+    df.write.mode("overwrite").json(path)
+
+
+def rows_to_json_column(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """S13 helper — rows → JSON strings for REST submission bodies.
+
+    ``to_json(struct(*))`` keeps serialization on executors; the
+    HTTP fan-out itself is a ``foreachPartition`` side effect.
+    """
+    use = list(cols) if cols else df.columns
+    return df.select(
+        F.to_json(F.struct(*[F.col(c) for c in use])).alias("json_body")
+    )
+
+
+def read_parquet_tables(
+    spark: SparkSession, base_path: str, names: Sequence[str]
+) -> dict[str, DataFrame]:
+    """Parquet directory scan per node — the native storage layout."""
+    return {n: spark.read.parquet(f"{base_path}/{n}.parquet") for n in names}
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    sort_within: Sequence[str] = (),
+) -> None:
+    """Scale-path sink: partitioned, optionally sorted parquet.
+
+    Partition columns should be low-cardinality (node type, date);
+    sorting within files improves min/max pruning for range filters.
+    """
+    out = df
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+__all__ = [
+    "NA_BANK",
+    "read_tsv",
+    "read_csv",
+    "write_tsv",
+    "write_node_tsvs",
+    "write_json_records",
+    "rows_to_json_column",
+    "read_parquet_tables",
+    "write_partitioned_parquet",
+]
