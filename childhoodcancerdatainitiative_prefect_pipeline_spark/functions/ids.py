@@ -8,8 +8,11 @@ Two flavors in the reference:
   share a guid and the generation never runs per-row on the fact
   table;
 - deterministic RFC-4122 UUIDv5 ``uuid5(md5("ccdi"), study::node::key)``
-  (src/s3_ccdi_to_tabbreakery.py:11-38) — not expressible in SQL, so
-  it is a vectorized Pandas UDF, bit-exact with ``uuid.uuid5``.
+  (src/s3_ccdi_to_tabbreakery.py:11-38) — expressible entirely with
+  JVM-side built-ins (``sha1`` over a binary concat + hex surgery,
+  see :func:`uuid5_expr`), so the hot path never crosses the Python
+  boundary; a Pandas-UDF fallback is kept for API parity and both
+  are golden-vector-checked against ``uuid.uuid5``.
 """
 
 from __future__ import annotations
@@ -45,6 +48,39 @@ def make_uuid5_udf(seed: str = "ccdi"):
     return _uuid5
 
 
+def uuid5_expr(name: Column | str, seed: str = "ccdi") -> Column:
+    """F15 deterministic — RFC-4122 UUIDv5 as a pure Column expression.
+
+    ``uuid5(ns, name)`` is the first 16 bytes of ``sha1(ns.bytes ||
+    utf8(name))`` with the version nibble forced to ``5`` and the
+    variant nibble to RFC-4122 (``10xx``).  All of that is hex-string
+    surgery over built-ins (``sha1``/``substring``/``translate``), so
+    it runs inside whole-stage codegen — no Python UDF, no Arrow
+    transfer.  Bit-exact with ``uuid.uuid5`` (golden vectors in
+    tests/test_operators.py).  Reference: src/s3_ccdi_to_tabbreakery.py:11-38.
+
+    Variant nibble: ``(x & 0x3) | 0x8`` maps 0-f onto ``89ab`` cyclically,
+    which is exactly ``translate(.., '0123456789abcdef', '89ab89ab89ab89ab')``.
+    """
+    n = F.col(name) if isinstance(name, str) else name
+    ns = uuid5_namespace(seed)
+    x = F.sha1(F.concat(F.lit(bytearray(ns.bytes)), F.encode(n, "UTF-8")))
+    formatted = F.concat_ws(
+        "-",
+        F.substring(x, 1, 8),
+        F.substring(x, 9, 4),
+        F.concat(F.lit("5"), F.substring(x, 14, 3)),
+        F.concat(
+            F.translate(
+                F.substring(x, 17, 1), "0123456789abcdef", "89ab89ab89ab89ab"
+            ),
+            F.substring(x, 18, 3),
+        ),
+        F.substring(x, 21, 12),
+    )
+    return F.when(n.isNotNull(), formatted)
+
+
 def deterministic_uuid5(
     df: DataFrame,
     out_col: str,
@@ -61,7 +97,7 @@ def deterministic_uuid5(
     s = F.col(study_col) if isinstance(study_col, str) else study_col
     k = F.col(key_col) if isinstance(key_col, str) else key_col
     name = F.concat_ws("::", s, F.lit(node), k)
-    return df.withColumn(out_col, make_uuid5_udf(seed)(name))
+    return df.withColumn(out_col, uuid5_expr(name, seed))
 
 
 def mint_guids_per_group(

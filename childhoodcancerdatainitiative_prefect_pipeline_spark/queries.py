@@ -1585,3 +1585,436 @@ def exampler_validate(spark, sf_dir):
     clean = generate_node(spark, schema, n_rows=500)
     dirty = seeded_error_variant(clean, schema, every_n=10)
     return validate(dirty, schema)
+
+
+# ---------------------------------------------------------------------------
+# Coverage pack 2 (SURVEY §2 gaps): J9-J11, L3, F7/F12/F13/F15/F16,
+# A8, O1, proband rule, streaming sessions/dedup, embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j9_fuzzy_relink",
+    """WITH manifest AS (
+         SELECT p_partkey, p_name AS file_name, p_size AS file_size,
+                's3://old/' || CAST(p_partkey AS VARCHAR) || '/' || p_name AS file_url
+         FROM part),
+       listing AS (
+         SELECT p_name AS file_name, p_size AS ls_size,
+                's3://bucket/data/' || CAST(p_partkey AS VARCHAR) || '/' || p_name AS ls_path
+         FROM part WHERE p_partkey % 3 <> 0),
+       cand AS (
+         SELECT m.*, l.ls_size, l.ls_path
+         FROM manifest m LEFT JOIN listing l USING (file_name)),
+       cnt AS (
+         SELECT *,
+           COUNT(ls_path) OVER w AS n_cand,
+           SUM(CASE WHEN ls_size = file_size THEN 1 ELSE 0 END) OVER w AS n_size
+         FROM cand WINDOW w AS (PARTITION BY file_name, file_url)),
+       flagged AS (
+         SELECT *,
+           CASE WHEN n_cand = 0 THEN 'missing'
+                WHEN n_size = 1 THEN 'size_match'
+                WHEN n_cand = 1 THEN 'name_match'
+                ELSE 'ambiguous' END AS relink_status,
+           CASE WHEN n_size = 1 AND ls_size = file_size THEN ls_path
+                WHEN n_cand = 1 AND n_size <> 1 THEN ls_path
+                END AS picked
+         FROM cnt)
+       SELECT DISTINCT p_partkey, file_name, file_size, file_url,
+              relink_status, COALESCE(picked, file_url) AS resolved_url
+       FROM flagged
+       WHERE picked IS NOT NULL OR relink_status IN ('missing', 'ambiguous')""",
+    "J9 name+size fuzzy url repair (src/s3_catcherry.py:1130-1182)",
+)
+def j9_fuzzy_relink(spark, sf_dir):
+    (part,) = _t(spark, sf_dir, "part")
+    manifest = part.select(
+        "p_partkey",
+        F.col("p_name").alias("file_name"),
+        F.col("p_size").alias("file_size"),
+        F.concat(
+            F.lit("s3://old/"), F.col("p_partkey").cast("string"),
+            F.lit("/"), F.col("p_name"),
+        ).alias("file_url"),
+    )
+    listing = part.filter(F.col("p_partkey") % 3 != 0).select(
+        F.col("p_name").alias("file_name"),
+        F.col("p_size").alias("file_size"),
+        F.concat(
+            F.lit("s3://bucket/data/"), F.col("p_partkey").cast("string"),
+            F.lit("/"), F.col("p_name"),
+        ).alias("file_path"),
+    )
+    return J.fuzzy_relink(manifest, listing)
+
+
+@register(
+    "j10_synonym_attach",
+    """SELECT c.c_custkey, c.c_name, s.synonym_id, s.repository,
+              CASE WHEN s.repository = 'dbGaP'
+                   THEN 'phs-' || CAST(s.synonym_id AS VARCHAR) END
+                AS dbGaP_subject_id
+       FROM customer c
+       LEFT JOIN (
+         SELECT o_custkey, o_orderkey AS synonym_id,
+                CASE WHEN o_orderpriority = '1-URGENT' THEN 'dbGaP'
+                     ELSE 'other' END AS repository
+         FROM orders) s ON s.o_custkey = c.c_custkey""",
+    "J10 synonym attach + conditional column promote (src/s3_ccdi_to_cds.py:731-759)",
+)
+def j10_synonym_attach(spark, sf_dir):
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    synonym = orders.select(
+        F.col("o_custkey"),
+        F.col("o_orderkey").alias("synonym_id"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", "dbGaP")
+        .otherwise("other")
+        .alias("repository"),
+    )
+    return (
+        customer.join(synonym, customer["c_custkey"] == synonym["o_custkey"], "left")
+        .withColumn(
+            "dbGaP_subject_id",
+            F.when(
+                F.col("repository") == "dbGaP",
+                F.concat(F.lit("phs-"), F.col("synonym_id").cast("string")),
+            ),
+        )
+        .select("c_custkey", "c_name", "synonym_id", "repository", "dbGaP_subject_id")
+    )
+
+
+@register(
+    "j11_mapping_eval",
+    """WITH pairs AS (SELECT DISTINCT p_type AS from_prop, p_brand AS to_prop FROM part)
+       SELECT 'one_to_many' AS kind, from_prop AS prop, COUNT(DISTINCT to_prop) AS n
+       FROM pairs GROUP BY from_prop HAVING COUNT(DISTINCT to_prop) > 1
+       UNION ALL
+       SELECT 'many_to_one', to_prop, COUNT(DISTINCT from_prop)
+       FROM pairs GROUP BY to_prop HAVING COUNT(DISTINCT from_prop) > 1""",
+    "J11/L1 mapping-version eval: unmapped/1-to-many/many-to-1 (src/manifest_liftover.py:98-169)",
+)
+def j11_mapping_eval(spark, sf_dir):
+    (part,) = _t(spark, sf_dir, "part")
+    pairs = part.select(
+        F.col("p_type").alias("from_prop"), F.col("p_brand").alias("to_prop")
+    ).dropDuplicates()
+    one_to_many = (
+        pairs.groupBy("from_prop")
+        .agg(F.countDistinct("to_prop").alias("n"))
+        .filter(F.col("n") > 1)
+        .select(F.lit("one_to_many").alias("kind"), F.col("from_prop").alias("prop"), "n")
+    )
+    many_to_one = (
+        pairs.groupBy("to_prop")
+        .agg(F.countDistinct("from_prop").alias("n"))
+        .filter(F.col("n") > 1)
+        .select(F.lit("many_to_one").alias("kind"), F.col("to_prop").alias("prop"), "n")
+    )
+    return one_to_many.unionByName(many_to_one)
+
+
+@register(
+    "l3_unlifted_report",
+    """SELECT 'customer' AS node, 'c_nationkey' AS property, COUNT(c_nationkey) AS n_values FROM customer
+       UNION ALL SELECT 'customer', 'c_acctbal', COUNT(c_acctbal) FROM customer
+       UNION ALL SELECT 'customer', 'c_mktsegment', COUNT(c_mktsegment) FROM customer
+       UNION ALL SELECT 'supplier', 's_name', COUNT(s_name) FROM supplier
+       UNION ALL SELECT 'supplier', 's_nationkey', COUNT(s_nationkey) FROM supplier
+       UNION ALL SELECT 'supplier', 's_acctbal', COUNT(s_acctbal) FROM supplier""",
+    "L3 unlifted-value report: unmapped props holding data (src/manifest_liftover.py:360-385)",
+)
+def l3_unlifted_report(spark, sf_dir):
+    from .plans.liftover import MappingRow, unlifted_value_report
+
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    mapping = [
+        MappingRow("customer", "c_custkey", "participant", "participant_id"),
+        MappingRow("customer", "c_name", "participant", "name"),
+        MappingRow("supplier", "s_suppkey", "center", "center_id"),
+    ]
+    return unlifted_value_report(
+        {"customer": customer, "supplier": supplier}, mapping
+    )
+
+
+@register(
+    "f7_pii_scan",
+    """WITH scan AS (
+         SELECT o_orderkey,
+                CAST(o_orderdate AS VARCHAR) AS odate_str,
+                o_orderpriority,
+                CASE WHEN o_orderkey % 100 = 0 THEN 'dob 1990-01-01'
+                     WHEN o_orderkey % 101 = 0 THEN 'ssn 123-45-6789'
+                     ELSE 'clean note' END AS notes
+         FROM orders)
+       SELECT 'odate_str' AS property,
+              SUM(CASE WHEN regexp_matches(odate_str, '\\d{4}-\\d{2}-\\d{2}')
+                         OR regexp_matches(odate_str, '\\d{3}-\\d{2}-\\d{4}')
+                       THEN 1 ELSE 0 END) AS n_violations FROM scan
+       UNION ALL
+       SELECT 'o_orderpriority',
+              SUM(CASE WHEN regexp_matches(o_orderpriority, '\\d{4}-\\d{2}-\\d{2}')
+                         OR regexp_matches(o_orderpriority, '\\d{3}-\\d{2}-\\d{4}')
+                       THEN 1 ELSE 0 END) FROM scan
+       UNION ALL
+       SELECT 'notes',
+              SUM(CASE WHEN regexp_matches(notes, '\\d{4}-\\d{2}-\\d{2}')
+                         OR regexp_matches(notes, '\\d{3}-\\d{2}-\\d{4}')
+                       THEN 1 ELSE 0 END) FROM scan""",
+    "F7 PII regex scan per string prop (src/s3_validationry_refactored.py:615-746)",
+)
+def f7_pii_scan(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    scan = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("odate_str"),
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 100 == 0, "dob 1990-01-01")
+        .when(F.col("o_orderkey") % 101 == 0, "ssn 123-45-6789")
+        .otherwise("clean note")
+        .alias("notes"),
+    )
+    def pii(c: str):
+        return F.col(c).rlike(r"\d{4}-\d{2}-\d{2}") | F.col(c).rlike(
+            r"\d{3}-\d{2}-\d{4}"
+        )
+
+    parts = [
+        scan.agg(F.sum(pii(c).cast("long")).alias("n_violations")).select(
+            F.lit(c).alias("property"), "n_violations"
+        )
+        for c in ("odate_str", "o_orderpriority", "notes")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "f12_ext_type_infer",
+    # the oracle derives expected types straight from the modulo class —
+    # an independent derivation from the Spark when-cascade over the
+    # constructed filename, so dialect bugs can't cancel out.
+    """WITH named AS (
+         SELECT CASE p_partkey % 8
+                  WHEN 0 THEN 'bam' WHEN 1 THEN 'fastq' WHEN 2 THEN 'vcf'
+                  WHEN 3 THEN 'tbi' WHEN 4 THEN 'dicom' WHEN 5 THEN 'notes'
+                  WHEN 6 THEN 'txt' WHEN 7 THEN 'fasta' END AS file_type
+         FROM part)
+       SELECT file_type, COUNT(*) AS n FROM named GROUP BY file_type""",
+    "F12 extension→type inference cascade (src/s3_validationry_refactored.py:1235-1338)",
+)
+def f12_ext_type_infer(spark, sf_dir):
+    from .functions.urls import infer_file_type
+
+    (part,) = _t(spark, sf_dir, "part")
+    exts = F.array(
+        *[F.lit(e) for e in
+          (".bam", ".fastq.gz", ".vcf.gz", ".tbi", ".dcm", ".notes",
+           ".superlongext", ".fa")]
+    )
+    named = part.select(
+        F.concat(
+            F.lower(F.regexp_replace(F.col("p_name"), " ", "_")),
+            F.element_at(exts, (F.col("p_partkey") % 8 + 1).cast("int")),
+        ).alias("file_name")
+    )
+    return (
+        named.select(infer_file_type("file_name").alias("file_type"))
+        .groupBy("file_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "f13_numeric_checks",
+    """WITH vals AS (
+         SELECT CASE WHEN c_custkey % 3 = 0 THEN printf('%.2f', c_acctbal)
+                     WHEN c_custkey % 3 = 1 THEN 'NA'
+                     ELSE CAST(c_custkey AS VARCHAR) END AS v
+         FROM customer)
+       SELECT
+         SUM(CASE WHEN regexp_matches(v, '^[+-]?\\d+$') THEN 1 ELSE 0 END) AS n_int_ok,
+         SUM(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END) AS n_float_ok,
+         SUM(CASE WHEN TRY_CAST(v AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS n_bad
+       FROM vals""",
+    "F13 numeric parse checks via try_cast (src/s3_validationry_refactored.py:28-41,474-586)",
+)
+def f13_numeric_checks(spark, sf_dir):
+    from .functions.checks import is_floatlike
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    vals = customer.select(
+        F.when(F.col("c_custkey") % 3 == 0, F.format_string("%.2f", F.col("c_acctbal")))
+        .when(F.col("c_custkey") % 3 == 1, F.lit("NA"))
+        .otherwise(F.col("c_custkey").cast("string"))
+        .alias("v")
+    )
+    return vals.agg(
+        F.sum(F.col("v").rlike(r"^[+-]?\d+$").cast("long")).alias("n_int_ok"),
+        F.sum(is_floatlike("v").cast("long")).alias("n_float_ok"),
+        F.sum((~is_floatlike("v")).cast("long")).alias("n_bad"),
+    )
+
+
+@register(
+    "f15_uuid5_mint",
+    None,  # DuckDB 1.0 lacks sha1/blob hashing — bit-exactness vs
+    #        python uuid.uuid5 is asserted by golden vectors in tests
+    "F15 deterministic UUIDv5, pure JVM expression (src/s3_ccdi_to_tabbreakery.py:11-38)",
+)
+def f15_uuid5_mint(spark, sf_dir):
+    from .functions.ids import uuid5_expr
+
+    (part,) = _t(spark, sf_dir, "part")
+    name = F.concat_ws(
+        "::", F.lit("study1"), F.lit("part"), F.col("p_partkey").cast("string")
+    )
+    return part.select(
+        "p_partkey",
+        uuid5_expr(name).alias("guid"),
+    )
+
+
+@register(
+    "f16_code_encoding",
+    """SELECT CASE c_mktsegment
+                WHEN 'BUILDING' THEN 1 WHEN 'AUTOMOBILE' THEN 2
+                WHEN 'MACHINERY' THEN 3 WHEN 'HOUSEHOLD' THEN 4
+                WHEN 'FURNITURE' THEN 5 ELSE 0 END AS segment_code,
+              COUNT(*) AS n
+       FROM customer GROUP BY 1""",
+    "F16 closed-vocabulary → integer encoding (src/s3_ccdi_to_dbgap.py:213-226)",
+)
+def f16_code_encoding(spark, sf_dir):
+    from .functions.cleaning import map_values
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    mapping = {
+        "BUILDING": 1, "AUTOMOBILE": 2, "MACHINERY": 3,
+        "HOUSEHOLD": 4, "FURNITURE": 5,
+    }
+    coded = customer.select(
+        map_values("c_mktsegment", mapping, unknown_value=0).alias("segment_code")
+    )
+    return coded.groupBy("segment_code").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "a8_binned_histogram",
+    """SELECT CASE WHEN c_acctbal < 0 THEN 'Not Reported'
+                   ELSE CAST(CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS VARCHAR)
+              END AS bucket,
+              COUNT(*) AS n
+       FROM customer GROUP BY 1""",
+    "A8 binned histogram with sentinel bucket (workflows/data_catalog_stats.py:78-104)",
+)
+def a8_binned_histogram(spark, sf_dir):
+    (customer,) = _t(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, F.lit("Not Reported"))
+        .otherwise(
+            (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("bigint").cast("string")
+        )
+        .alias("bucket")
+    )
+    return customer.select(bucket).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "o1_order_by_count",
+    """SELECT event_type, COUNT(*) AS n FROM events
+       GROUP BY event_type ORDER BY n DESC, event_type""",
+    "O1 breakdown ordered by count desc (src/read_buckets.py:87-104)",
+)
+def o1_order_by_count(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+    )
+
+
+@register(
+    "rule_proband_family",
+    """SELECT o_custkey AS family_id,
+              SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_probands
+       FROM orders GROUP BY o_custkey
+       HAVING SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) <> 1""",
+    "proband-in-family rule: exactly one proband per family "
+    "(src/s3_validationry_refactored.py:837-910)",
+)
+def rule_proband_family(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("family_id"))
+        .agg(
+            F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("n_probands")
+        )
+        .filter(F.col("n_probands") != 1)
+    )
+
+
+@register(
+    "stream_session_windows",
+    None,  # session_window is streaming-native → rows-only check
+    "§2.15 gap-based session windows per user (streaming-native)",
+)
+def stream_session_windows(spark, sf_dir):
+    from .streaming.events import sessionize
+
+    (events,) = _t(spark, sf_dir, "events")
+    # batch rendering of the same transform (no watermark in batch)
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sess"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "stream_stateful_dedup",
+    """SELECT user_id, event_type, COUNT(*) AS n FROM (
+         SELECT DISTINCT ON (user_id, event_type, CAST(ts AS DATE))
+                user_id, event_type, ts
+         FROM events ORDER BY user_id, event_type, CAST(ts AS DATE), ts)
+       GROUP BY user_id, event_type""",
+    "§2.15 stateful dedup (watermarked dropDuplicates); batch twin is "
+    "first-event-per-(user,type,day)",
+)
+def stream_stateful_dedup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    # batch rendering of streaming_dedup's semantics: first event per
+    # (user, type, day); the streaming path is
+    # events.withWatermark("ts","1 hour").dropDuplicates([...])
+    w = Window.partitionBy(
+        "user_id", "event_type", F.col("ts").cast("date")
+    ).orderBy("ts")
+    return (
+        events.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -326,3 +326,45 @@ def test_multimodal_frame_sample_plan(spark):
     frames = frame_sample_plan(media, every_n=1).collect()
     assert len(frames) >= 3  # ≥1 frame per video
     assert all(r["frame_no"] >= 0 for r in frames)
+
+
+def test_uuid5_expr_golden_vectors(spark):
+    """uuid5_expr must be bit-exact with python uuid.uuid5 for the
+    reference's namespace derivation (src/s3_ccdi_to_tabbreakery.py:11-38)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.functions.ids import (
+        make_uuid5_udf,
+        uuid5_expr,
+        uuid5_namespace,
+    )
+
+    ns = uuid5_namespace("ccdi")
+    names = [
+        "study1::part::42",
+        "s::n::",
+        "phs000123::sample::S-001",
+        "αβγ::x::1",  # non-ASCII utf-8
+        "a" * 300,
+    ]
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    rows = df.select(
+        "name",
+        uuid5_expr("name").alias("jvm"),
+        make_uuid5_udf("ccdi")(F.col("name")).alias("udf"),
+    ).collect()
+    for r in rows:
+        expected = str(uuid.uuid5(ns, r["name"]))
+        assert r["jvm"] == expected, f"jvm path mismatch for {r['name']!r}"
+        assert r["udf"] == expected, f"udf path mismatch for {r['name']!r}"
+
+
+def test_uuid5_expr_null_passthrough(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.functions.ids import (
+        uuid5_expr,
+    )
+
+    df = spark.createDataFrame([(None,)], "name: string")
+    assert df.select(uuid5_expr("name").alias("u")).collect()[0]["u"] is None
