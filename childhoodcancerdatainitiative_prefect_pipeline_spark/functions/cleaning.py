@@ -175,3 +175,29 @@ def sort_delimited_cell(c: Column | str, sep: str = ";") -> Column:
         F.split(col, sep), lambda x: F.struct(F.lower(x).alias("k"), x.alias("v"))
     )
     return F.concat_ws(sep, F.transform(F.array_sort(pairs), lambda p: p["v"]))
+
+
+#: F17 — honorifics the reference strips when parsing personnel names
+#: (src/s3_ccdi_to_cds.py:878-934).
+HONORIFICS: tuple[str, ...] = ("Dr.", "Mr.", "Mrs.", "Ms.", "Prof.")
+
+
+def parse_person_name(c: Column | str) -> Column:
+    """F17 — split a display name into (title, first, middle, last).
+
+    Reference: src/s3_ccdi_to_cds.py:878-934.  Pure array ops: strip
+    a leading honorific, then first/last by position and middle only
+    for 3-token remainders.  Returns a struct column.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    toks = F.split(F.trim(col), r"\s+")
+    hon = F.array(*[F.lit(h) for h in HONORIFICS])
+    has_title = F.array_contains(hon, F.element_at(toks, 1))
+    rest = F.when(has_title, F.slice(toks, 2, F.size(toks) - 1)).otherwise(toks)
+    n = F.size(rest)
+    return F.struct(
+        F.when(has_title, F.element_at(toks, 1)).alias("title"),
+        F.when(n >= 1, F.element_at(rest, 1)).alias("first_name"),
+        F.when(n >= 3, F.element_at(rest, 2)).alias("middle_name"),
+        F.when(n >= 2, F.element_at(rest, -1)).alias("last_name"),
+    )

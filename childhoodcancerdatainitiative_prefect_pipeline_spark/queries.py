@@ -2018,3 +2018,146 @@ def stream_stateful_dedup(spark, sf_dir):
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine_sim
+       FROM n a JOIN n b ON a.vec_id < b.vec_id
+       WHERE ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45""",
+    "embedding-cosine near-dup pairs (exact baseline; minhash/simhash/IVF "
+    "are the blocked scale paths)",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from .operators.similarity import as_double_array, dot, l2_norm
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    # norms computed once per row before the pair join, so the O(n^2)
+    # part is a single dot per candidate pair.  At scale the candidate
+    # set comes from an LSH/IVF blocker (see dedup_minhash_pairs /
+    # sim_ivf_topk); this exact all-pairs variant is the recall oracle.
+    e = embeddings.select(
+        "vec_id", as_double_array("embedding").alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cos)
+        .filter(F.col("cosine_sim") >= 0.45)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+@register(
+    "f_repair_battery",
+    """WITH base AS (
+         SELECT p_partkey, p_name,
+                CAST(p_partkey % 9999 AS VARCHAR) || '/3 : ' || p_name AS coded,
+                p_name || '® – x' AS weird,
+                p_name || ' and nos' AS titled,
+                COUNT(*) OVER (PARTITION BY p_name) AS n_name,
+                md5(p_name || CAST(p_partkey AS VARCHAR)) AS m
+         FROM part)
+       SELECT p_partkey,
+         regexp_replace(coded, '^[^:]*\\d[^:]*\\s*:\\s*', '') AS decoded,
+         replace(replace(replace(replace(replace(weird,
+           '®',''),'™',''),'©',''),'–','-'),'—','-') AS ascii_clean,
+         array_to_string(list_transform(string_split(titled, ' '),
+           x -> CASE WHEN upper(x) IN ('AND','OR','NOS') THEN upper(x)
+                     ELSE upper(substr(x,1,1)) || lower(substr(x,2)) END), ' ')
+           AS title_cased,
+         replace(replace(replace(p_name, ' ', '%20'), ',', '%2C'), '#', '%23')
+           AS encoded_name,
+         CASE WHEN n_name > 1 THEN substr(m, 29, 4) || '_' || p_name
+              ELSE p_name END AS uniquified
+       FROM base""",
+    "F3/F4/F5/F18 repair battery: code-prefix strip, char substitution, "
+    "title-case-except, url encoding, duplicate-filename uniquify",
+)
+def f_repair_battery(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .functions import cleaning, urls
+
+    (part,) = _t(spark, sf_dir, "part")
+    base = part.select(
+        "p_partkey",
+        "p_name",
+        F.concat(
+            (F.col("p_partkey") % 9999).cast("string"), F.lit("/3 : "), F.col("p_name")
+        ).alias("coded"),
+        F.concat(F.col("p_name"), F.lit("® – x")).alias("weird"),
+        F.concat(F.col("p_name"), F.lit(" and nos")).alias("titled"),
+        (F.count(F.lit(1)).over(Window.partitionBy("p_name")) > 1).alias("is_dup"),
+        F.md5(F.concat(F.col("p_name"), F.col("p_partkey").cast("string"))).alias("m"),
+    )
+    return base.select(
+        "p_partkey",
+        cleaning.strip_code_prefix("coded").alias("decoded"),
+        cleaning.substitute_chars("weird").alias("ascii_clean"),
+        cleaning.title_case_except("titled").alias("title_cased"),
+        cleaning.url_encode_spaces("p_name").alias("encoded_name"),
+        urls.uniquify_filename("p_name", "m", F.col("is_dup")).alias("uniquified"),
+    )
+
+
+@register(
+    "f17_name_parse",
+    """WITH named AS (
+         SELECT c_custkey,
+                CASE c_custkey % 4
+                  WHEN 0 THEN 'Dr. Ada B Lovelace'
+                  WHEN 1 THEN 'Grace Hopper'
+                  WHEN 2 THEN 'Ms. Alan Turing'
+                  ELSE 'Katherine G Johnson' END AS display_name
+         FROM customer),
+       toks AS (
+         SELECT c_custkey, display_name,
+                string_split(display_name, ' ') AS t,
+                list_contains(['Dr.','Mr.','Mrs.','Ms.','Prof.'],
+                              string_split(display_name, ' ')[1]) AS has_title
+         FROM named),
+       rest AS (
+         SELECT c_custkey, display_name, has_title,
+                CASE WHEN has_title THEN t[2:] ELSE t END AS r,
+                CASE WHEN has_title THEN t[1] END AS title
+         FROM toks)
+       SELECT c_custkey, display_name, title,
+              r[1] AS first_name,
+              CASE WHEN len(r) >= 3 THEN r[2] END AS middle_name,
+              CASE WHEN len(r) >= 2 THEN r[-1] END AS last_name
+       FROM rest""",
+    "F17 personnel name parsing with honorific strip (src/s3_ccdi_to_cds.py:878-934)",
+)
+def f17_name_parse(spark, sf_dir):
+    from .functions.cleaning import parse_person_name
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    named = customer.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 4 == 0, "Dr. Ada B Lovelace")
+        .when(F.col("c_custkey") % 4 == 1, "Grace Hopper")
+        .when(F.col("c_custkey") % 4 == 2, "Ms. Alan Turing")
+        .otherwise("Katherine G Johnson")
+        .alias("display_name"),
+    )
+    return named.withColumn("p", parse_person_name("display_name")).select(
+        "c_custkey",
+        "display_name",
+        F.col("p.title").alias("title"),
+        F.col("p.first_name").alias("first_name"),
+        F.col("p.middle_name").alias("middle_name"),
+        F.col("p.last_name").alias("last_name"),
+    )
