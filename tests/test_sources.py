@@ -102,3 +102,121 @@ def test_create_linkage_deterministic(spark):
     assert linked.filter(F.col("parent_id").isNull()).count() == 0
     again = create_linkage(child, parent, "parent_id")
     assert sorted(map(tuple, linked.collect())) == sorted(map(tuple, again.collect()))
+
+
+# ---------------------------------------------------------------------------
+# S13 REST utilities (childhoodcancerdatainitiative_prefect_pipeline_spark/sources/rest.py)
+# ---------------------------------------------------------------------------
+
+
+def test_with_retries_succeeds_after_failures():
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.rest import (
+        with_retries,
+    )
+
+    calls = {"n": 0}
+    slept = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("transient")
+        return "ok"
+
+    assert (
+        with_retries(flaky, backoff=(0.01, 0.02, 0.03), sleep=slept.append) == "ok"
+    )
+    assert calls["n"] == 3
+    assert slept == [0.01, 0.02]
+
+
+def test_with_retries_exhausts_and_raises():
+    import pytest
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.rest import (
+        with_retries,
+    )
+
+    def always_fail():
+        raise ConnectionError("down")
+
+    with pytest.raises(ConnectionError):
+        with_retries(always_fail, backoff=(0.0, 0.0), sleep=lambda _: None)
+
+
+def test_fetch_entities_builds_dataframe(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.rest import (
+        fetch_entities,
+    )
+
+    fake = {"https://x/1": {"id": 1, "name": "a"}, "https://x/2": {"id": 2}}
+    df = fetch_entities(
+        spark, list(fake), fetch=lambda u: fake[u], backoff=(0.0,)
+    )
+    rows = {r["url"]: r["response_json"] for r in df.collect()}
+    assert '"id": 1' in rows["https://x/1"]
+    assert df.columns == ["url", "response_json"]
+
+
+def test_submit_partitioned_chunks(spark):
+    import json
+    import tempfile
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.rest import (
+        submit_partitioned,
+    )
+
+    df = spark.range(7).selectExpr("id", "CAST(id AS STRING) AS v").coalesce(1)
+    # executors can't append to driver memory — collect chunk sizes via a file
+    with tempfile.NamedTemporaryFile(mode="r", suffix=".jsonl") as f:
+        path = f.name
+
+        def send(chunk):
+            with open(path, "a") as out:
+                out.write(json.dumps(len(chunk)) + "\n")
+
+        submit_partitioned(df, send, chunk_size=3, backoff=(0.0,))
+        sizes = [json.loads(line) for line in open(path)]
+    assert sorted(sizes) == [1, 3, 3]
+
+
+# ---------------------------------------------------------------------------
+# Driver-side report rendering (report.py): A12 / F19 / W4
+# ---------------------------------------------------------------------------
+
+
+def test_humanize_bytes():
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.report import (
+        humanize_bytes,
+    )
+
+    assert humanize_bytes(512) == "512 B"
+    assert humanize_bytes(1536) == "1.5 KB"
+    assert humanize_bytes(3 * 1024**4) == "3.0 TB"
+
+
+def test_to_markdown_summary(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.report import (
+        to_markdown_summary,
+    )
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "n"])
+    md = to_markdown_summary(df.orderBy("k"))
+    lines = md.splitlines()
+    assert lines[0] == "| k | n |"
+    assert "| a | 1 |" in lines
+
+
+def test_transpose_small(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.report import (
+        transpose_small,
+    )
+
+    df = spark.createDataFrame(
+        [("SUBJECT_ID", "string", "yes"), ("SEX", "enum", "no")],
+        ["VARNAME", "TYPE", "REQUIRED"],
+    )
+    t = transpose_small(df, header_col="VARNAME")
+    rows = {r["property"]: (r["SUBJECT_ID"], r["SEX"]) for r in t.collect()}
+    assert rows["TYPE"] == ("string", "enum")
+    assert rows["REQUIRED"] == ("yes", "no")
