@@ -2161,3 +2161,107 @@ def f17_name_parse(spark, sf_dir):
         F.col("p.middle_name").alias("middle_name"),
         F.col("p.last_name").alias("last_name"),
     )
+
+
+@register(
+    "rules_validate_graph",
+    """WITH uk AS (
+         SELECT p_name, COUNT(*) AS c FROM part
+         WHERE p_name IS NOT NULL GROUP BY p_name HAVING COUNT(*) > 1)
+       SELECT 'part_node' AS node, 'p_name' AS property, 'unique_key' AS rule,
+              'ERROR' AS severity, p_name AS row_ref, CAST(c AS VARCHAR) AS value
+       FROM uk
+       UNION ALL
+       SELECT 'lineitem_node', 'parent_link', 'dangling_link', 'ERROR',
+              CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR),
+              'MISSING-' || CAST(l_orderkey AS VARCHAR)
+       FROM lineitem WHERE l_orderkey % 50 = 0
+       UNION ALL
+       SELECT 'part_node', 'key_id', 'key_charset', 'ERROR',
+              CAST(p_partkey AS VARCHAR), 'bad key!' || CAST(p_partkey AS VARCHAR)
+       FROM part WHERE p_partkey % 61 = 0
+       UNION ALL
+       SELECT 'part_node', 'acl', 'acl_format', 'ERROR',
+              CAST(p_partkey AS VARCHAR), acl
+       FROM (
+         SELECT p_partkey,
+                CASE WHEN p_partkey % 91 = 0 THEN '[bad'
+                     WHEN p_partkey % 2 = 0 THEN '[''*'']'
+                     ELSE '[''phs000123.c1'']' END AS acl,
+                CASE WHEN p_partkey % 2 = 0 THEN 'Open'
+                     ELSE 'Controlled' END AS fa
+         FROM part)
+       WHERE CASE WHEN fa = 'Open' THEN acl <> '[''*'']'
+                  ELSE NOT (regexp_matches(acl, '^\\[''[A-Za-z0-9_.-]+''\\]$')
+                            AND acl <> '[''*'']') END""",
+    "§2.11 graph-shaped rule families: unique-key, multiplicity-aware "
+    "dangling links, key-charset (F9), acl format (F10)",
+)
+def rules_validate_graph(spark, sf_dir):
+    from .functions import checks
+    from .plans.rules import NodeSchema, PropertyRule, validate_cross_links, validate_unique_keys
+
+    part, lineitem, orders = _t(spark, sf_dir, "part", "lineitem", "orders")
+
+    uk = validate_unique_keys(
+        part, NodeSchema(node="part_node", rules=[], key_props=["p_name"])
+    )
+
+    child = lineitem.select(
+        F.concat_ws(
+            "-", F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("row_key"),
+        F.when(
+            F.col("l_orderkey") % 50 == 0,
+            F.concat_ws(
+                ";", F.col("l_orderkey").cast("string"),
+                F.concat(F.lit("MISSING-"), F.col("l_orderkey").cast("string")),
+            ),
+        )
+        .otherwise(F.col("l_orderkey").cast("string"))
+        .alias("parent_link"),
+    )
+    links = validate_cross_links(
+        child, "lineitem_node", "parent_link", orders, "o_orderkey",
+        key_col="row_key", multi_valued=True,
+    )
+
+    keyed = part.select(
+        F.col("p_partkey").cast("string").alias("row_ref"),
+        F.when(
+            F.col("p_partkey") % 61 == 0,
+            F.concat(F.lit("bad key!"), F.col("p_partkey").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("ok_"), F.col("p_partkey").cast("string")))
+        .alias("key_id"),
+    )
+    charset = keyed.filter(~checks.is_valid_key_id("key_id")).select(
+        F.lit("part_node").alias("node"),
+        F.lit("key_id").alias("property"),
+        F.lit("key_charset").alias("rule"),
+        F.lit("ERROR").alias("severity"),
+        "row_ref",
+        F.col("key_id").alias("value"),
+    )
+
+    acled = part.select(
+        F.col("p_partkey").cast("string").alias("row_ref"),
+        F.when(F.col("p_partkey") % 91 == 0, "[bad")
+        .when(F.col("p_partkey") % 2 == 0, "['*']")
+        .otherwise("['phs000123.c1']")
+        .alias("acl"),
+        F.when(F.col("p_partkey") % 2 == 0, "Open")
+        .otherwise("Controlled")
+        .alias("file_access"),
+    )
+    acl_bad = acled.filter(~checks.is_valid_acl("acl", "file_access")).select(
+        F.lit("part_node").alias("node"),
+        F.lit("acl").alias("property"),
+        F.lit("acl_format").alias("rule"),
+        F.lit("ERROR").alias("severity"),
+        "row_ref",
+        F.col("acl").alias("value"),
+    )
+
+    return uk.unionByName(links).unionByName(charset).unionByName(acl_bad)

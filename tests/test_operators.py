@@ -368,3 +368,50 @@ def test_uuid5_expr_null_passthrough(spark):
 
     df = spark.createDataFrame([(None,)], "name: string")
     assert df.select(uuid5_expr("name").alias("u")).collect()[0]["u"] is None
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.catalog import (
+        load_testdata,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.skew import (
+        salted_join,
+        top_skewed_keys,
+    )
+
+    cat = load_testdata(
+        spark, sf_dir, tables=("lineitem", "supplier"), register_views=False
+    )
+    lineitem = cat["lineitem"].select("l_suppkey", "l_orderkey", "l_quantity")
+    supplier = cat["supplier"].selectExpr("s_suppkey AS l_suppkey", "s_name")
+
+    plain = lineitem.join(supplier, "l_suppkey", "inner")
+    salted = salted_join(lineitem, supplier, ["l_suppkey"], n_salts=4)
+
+    assert salted.columns == plain.columns
+    assert salted.count() == plain.count()
+    key = [F.col(c).cast("string") for c in plain.columns]
+    assert (
+        plain.select(F.concat_ws("|", *key).alias("k"))
+        .exceptAll(salted.select(F.concat_ws("|", *key).alias("k")))
+        .count()
+        == 0
+    )
+
+    hot = top_skewed_keys(lineitem, ["l_suppkey"], min_share=0.0, max_keys=5)
+    assert hot.count() == 5
+    assert set(hot.columns) == {"l_suppkey", "n_rows", "share"}
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    probe = spark.createDataFrame([(1, "a"), (2, "b"), (99, "z")], ["k", "v"])
+    build = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])
+    out = salted_join(probe, build, ["k"], n_salts=3, how="left")
+    rows = {r["k"]: r["w"] for r in out.collect()}
+    assert rows == {1: "x", 2: "y", 99: None}
