@@ -2265,3 +2265,123 @@ def rules_validate_graph(spark, sf_dir):
     )
 
     return uk.unionByName(links).unionByName(charset).unionByName(acl_bad)
+
+
+# ---------------------------------------------------------------------------
+# Curation lifecycle (SURVEY §3.1): repair → derive → index → validate
+# as ONE composed plan (plans/curation.py)
+# ---------------------------------------------------------------------------
+
+
+_CURATION_FILE_NODE_SQL = """
+  SELECT 'f' || CAST(p_partkey AS VARCHAR) AS file_id,
+         CASE WHEN p_partkey % 37 = 0 THEN ' ' ELSE '' END ||
+           replace(p_name, ' ', '_') ||
+           CASE p_partkey % 4 WHEN 0 THEN '.bam' WHEN 1 THEN '.vcf.gz'
+                WHEN 2 THEN '.fastq.gz' ELSE '.txt' END AS file_name,
+         CASE WHEN p_partkey % 113 = 0 THEN 0 ELSE p_size END AS file_size,
+         CASE WHEN p_partkey % 101 = 0 THEN 'zz' || md5(p_name || CAST(p_partkey AS VARCHAR))
+              WHEN p_partkey % 103 = 0 THEN 'NA'
+              WHEN p_partkey % 97 = 0 THEN upper(md5(p_name || CAST(p_partkey AS VARCHAR)))
+              ELSE md5(p_name || CAST(p_partkey AS VARCHAR)) END AS md5sum,
+         's3://bucket/data/' ||
+           CASE WHEN p_partkey % 127 = 0 THEN 'other_' ELSE '' END ||
+           replace(p_name, ' ', '_') ||
+           CASE p_partkey % 4 WHEN 0 THEN '.bam' WHEN 1 THEN '.vcf.gz'
+                WHEN 2 THEN '.fastq.gz' ELSE '.txt' END AS file_url,
+         CASE WHEN p_partkey % 2 = 0 THEN 'Open' ELSE 'Controlled' END AS file_access,
+         CASE WHEN p_partkey % 2 = 0 THEN '[''*'']' ELSE '[''phs000123.c1'']' END AS acl,
+         CASE WHEN p_partkey % 2 = 0 THEN 's' || CAST(p_partkey AS VARCHAR)
+              ELSE 'NA' END AS sample_link,
+         CASE WHEN p_partkey % 8 IN (1, 3) THEN 'p' || CAST(p_partkey AS VARCHAR)
+              ELSE 'NA' END AS participant_link,
+         p_partkey
+  FROM part
+"""
+
+
+def _curation_file_node(spark, sf_dir):
+    (part,) = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ext = F.element_at(
+        F.array(F.lit(".bam"), F.lit(".vcf.gz"), F.lit(".fastq.gz"), F.lit(".txt")),
+        (k % 4 + 1).cast("int"),
+    )
+    clean_name = F.concat(F.regexp_replace("p_name", " ", "_"), ext)
+    good_md5 = F.md5(F.concat(F.col("p_name"), k.cast("string")))
+    return part.select(
+        F.concat(F.lit("f"), k.cast("string")).alias("file_id"),
+        F.concat(
+            F.when(k % 37 == 0, F.lit(" ")).otherwise(F.lit("")), clean_name
+        ).alias("file_name"),
+        F.when(k % 113 == 0, F.lit(0)).otherwise(F.col("p_size")).alias("file_size"),
+        F.when(k % 101 == 0, F.concat(F.lit("zz"), good_md5))
+        .when(k % 103 == 0, F.lit("NA"))
+        .when(k % 97 == 0, F.upper(good_md5))
+        .otherwise(good_md5)
+        .alias("md5sum"),
+        F.concat(
+            F.lit("s3://bucket/data/"),
+            F.when(k % 127 == 0, F.lit("other_")).otherwise(F.lit("")),
+            clean_name,
+        ).alias("file_url"),
+        F.when(k % 2 == 0, "Open").otherwise("Controlled").alias("file_access"),
+        F.when(k % 2 == 0, "['*']").otherwise("['phs000123.c1']").alias("acl"),
+        F.when(k % 2 == 0, F.concat(F.lit("s"), k.cast("string")))
+        .otherwise(F.lit("NA"))
+        .alias("sample_link"),
+        F.when((k % 8).isin(1, 3), F.concat(F.lit("p"), k.cast("string")))
+        .otherwise(F.lit("NA"))
+        .alias("participant_link"),
+        k.alias("p_partkey"),
+    )
+
+
+@register(
+    "curation_pipeline",
+    f"""WITH f AS ({_CURATION_FILE_NODE_SQL})
+       SELECT file_id,
+              trim(file_name) AS file_name,
+              CASE p_partkey % 4 WHEN 0 THEN 'bam' WHEN 1 THEN 'vcf'
+                   WHEN 2 THEN 'fastq' ELSE 'txt' END AS file_type,
+              file_size,
+              CASE WHEN md5sum = 'NA' THEN NULL ELSE lower(md5sum) END AS md5sum,
+              file_url, file_access, acl,
+              CASE WHEN sample_link <> 'NA' THEN 'Sample'
+                   WHEN participant_link <> 'NA' THEN 'Participant'
+                   ELSE 'Study' END AS file_mapping_level
+       FROM f""",
+    "§3.1 runner as one composed plan: CatchERR repair + F12/F20 derive "
+    "+ DCF index projection (file_type re-derived independently in the oracle)",
+)
+def curation_pipeline(spark, sf_dir):
+    from .plans.curation import curate_file_node
+
+    return curate_file_node(_curation_file_node(spark, sf_dir).drop("p_partkey"))
+
+
+@register(
+    "curation_violations",
+    f"""WITH f AS ({_CURATION_FILE_NODE_SQL}),
+       idx AS (
+         SELECT file_id,
+                trim(file_name) AS file_name,
+                CASE WHEN md5sum = 'NA' THEN NULL ELSE lower(md5sum) END AS md5sum,
+                file_size, file_url
+         FROM f)
+       SELECT 'file' AS node, 'md5_format' AS rule, 'ERROR' AS severity,
+              file_id AS row_ref
+       FROM idx WHERE md5sum IS NOT NULL AND NOT regexp_matches(md5sum, '^[a-f0-9]{{32}}$')
+       UNION ALL
+       SELECT 'file', 'zero_size', 'ERROR', file_id FROM idx WHERE file_size <= 0
+       UNION ALL
+       SELECT 'file', 'url_basename_mismatch', 'ERROR', file_id
+       FROM idx WHERE regexp_extract(file_url, '([^/]*)$', 1) <> file_name""",
+    "§2.11 file-metadata rule family over the curated index",
+)
+def curation_violations(spark, sf_dir):
+    from .plans.curation import curate_file_node, index_violations
+
+    return index_violations(
+        curate_file_node(_curation_file_node(spark, sf_dir).drop("p_partkey"))
+    )

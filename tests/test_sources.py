@@ -220,3 +220,138 @@ def test_transpose_small(spark):
     rows = {r["property"]: (r["SUBJECT_ID"], r["SEX"]) for r in t.collect()}
     assert rows["TYPE"] == ("string", "enum")
     assert rows["REQUIRED"] == ("yes", "no")
+
+
+# ---------------------------------------------------------------------------
+# S7/S8/S9 kernels with an injected in-memory S3 client
+# ---------------------------------------------------------------------------
+
+
+def _make_fake_client_factory(objects):
+    """Build a picklable client factory: everything is defined inside
+    the closure so cloudpickle ships it by value to executors."""
+
+    def factory():
+        class Body:
+            def __init__(self, data):
+                self._data = data
+                self._pos = 0
+
+            def read(self, n):
+                out = self._data[self._pos : self._pos + n]
+                self._pos += n
+                return out
+
+        class Client:
+            def head_object(self, Bucket, Key):
+                data = objects.get((Bucket, Key))
+                if data is None:
+                    raise KeyError(Key)
+                return {"ContentLength": len(data)}
+
+            def get_object(self, Bucket, Key, Range):
+                s, e = (int(x) for x in Range.replace("bytes=", "").split("-"))
+                return {"Body": Body(objects[(Bucket, Key)][s : e + 1])}
+
+        return Client()
+
+    return factory
+
+
+_FAKE_OBJECTS = {
+    ("bkt", "data/a.bam"): b"hello world",
+    ("bkt", "data/b.txt"): b"x" * 100,
+}
+
+
+def test_probe_objects_with_fake_client(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.s3 import (
+        probe_objects,
+    )
+
+    urls = spark.createDataFrame(
+        [("s3://bkt/data/a.bam",), ("s3://bkt/data/missing.txt",)], ["file_url"]
+    )
+    got = {
+        r["file_url"]: (r["object_exists"], r["object_size"])
+        for r in probe_objects(
+            urls, client_factory=_make_fake_client_factory(_FAKE_OBJECTS)
+        ).collect()
+    }
+    assert got["s3://bkt/data/a.bam"] == (True, 11)
+    assert got["s3://bkt/data/missing.txt"] == (False, None)
+
+
+def test_streaming_md5_chunked_matches_hashlib(spark):
+    import hashlib
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.s3 import (
+        streaming_md5,
+    )
+
+    urls = spark.createDataFrame(
+        [("s3://bkt/data/a.bam",), ("s3://bkt/data/b.txt",)], ["file_url"]
+    )
+    # 7-byte chunks force multiple ranged GETs per object
+    got = {
+        r["file_url"]: r["md5sum"]
+        for r in streaming_md5(
+            urls,
+            client_factory=_make_fake_client_factory(_FAKE_OBJECTS),
+            chunk_bytes=7,
+        ).collect()
+    }
+    assert got["s3://bkt/data/a.bam"] == hashlib.md5(b"hello world").hexdigest()
+    assert got["s3://bkt/data/b.txt"] == hashlib.md5(b"x" * 100).hexdigest()
+
+
+def test_plan_moves_multipart_threshold(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.s3 import (
+        plan_moves,
+    )
+
+    manifest = spark.createDataFrame(
+        [
+            ("s3://src/a/x.bam", 6 * 1024**3),
+            ("s3://src/b/y.txt", 10),
+        ],
+        ["file_url", "file_size"],
+    )
+    rows = {r["src_url"]: r for r in plan_moves(manifest).collect()}
+    assert rows["s3://src/a/x.bam"]["dest_url"] == "s3://dest-bucket/a/x.bam"
+    assert rows["s3://src/a/x.bam"]["needs_multipart"] is True
+    assert rows["s3://src/b/y.txt"]["needs_multipart"] is False
+
+
+def test_write_node_tsvs_and_json(spark, tmp_path):
+    import glob
+    import json
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.files import (
+        write_json_records,
+        write_node_tsvs,
+    )
+
+    nodes = {
+        "sample": spark.createDataFrame([("s1", "t")], ["sample_id", "kind"]),
+        "participant": spark.createDataFrame([("p1",)], ["participant_id"]),
+    }
+    out = str(tmp_path / "tsvs")
+    write_node_tsvs(nodes, out, study_id="phs1")
+    files = sorted(glob.glob(f"{out}/**/*.csv", recursive=True)) + sorted(
+        glob.glob(f"{out}/**/part-*", recursive=True)
+    )
+    assert files, "no TSV part files written"
+    sample_file = next(f for f in files if "sample" in f)
+    header = open(sample_file).readline().strip().split("\t")
+    assert header == ["sample_id", "kind"]
+
+    jpath = str(tmp_path / "recs")
+    write_json_records(nodes["sample"], jpath)
+    lines = [
+        json.loads(line)
+        for f in glob.glob(f"{jpath}/part-*")
+        for line in open(f)
+        if line.strip()
+    ]
+    assert lines == [{"sample_id": "s1", "kind": "t"}]
