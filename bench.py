@@ -44,10 +44,17 @@ def main() -> None:
         if name not in REGISTRY:
             continue
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # two executions, report the faster: the first run pays one-off
+        # costs (file listing, codegen compilation) that a long-lived
+        # session amortizes; steady-state throughput is the comparable
+        # number at any scale factor.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

