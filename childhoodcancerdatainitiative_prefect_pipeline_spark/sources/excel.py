@@ -38,10 +38,27 @@ def _require_openpyxl():
         return openpyxl
     except ImportError as e:  # pragma: no cover - env-dependent
         raise ImportError(
-            "Excel I/O requires openpyxl, which is not installed in this "
-            "environment. Convert workbooks to per-node TSV/parquet and use "
-            "sources.files instead."
+            "template-overlay writes require openpyxl (styles). For plain "
+            "workbooks the stdlib sources.xlsx_lite adapter is used "
+            "automatically."
         ) from e
+
+
+def _iter_sheets(path: str):
+    """Yield (sheet_name, row_iter) using openpyxl when present, else
+    the stdlib xlsx_lite reader — same semantics either way."""
+    try:
+        import openpyxl
+    except ImportError:
+        from . import xlsx_lite
+
+        for name, rows in xlsx_lite.read_xlsx(path).items():
+            yield name, iter(rows)
+        return
+    wb = openpyxl.load_workbook(path, read_only=True, data_only=True)
+    for ws in wb.worksheets:
+        yield ws.title, ws.iter_rows(values_only=True)
+    wb.close()
 
 
 def workbook_to_tables(
@@ -50,13 +67,10 @@ def workbook_to_tables(
     sheets_to_avoid: tuple[str, ...] = SHEETS_TO_AVOID,
 ) -> dict[str, DataFrame]:
     """S1 — read every node sheet into a string-typed DataFrame."""
-    openpyxl = _require_openpyxl()
-    wb = openpyxl.load_workbook(path, read_only=True, data_only=True)
     out: dict[str, DataFrame] = {}
-    for ws in wb.worksheets:
-        if ws.title in sheets_to_avoid:
+    for title, rows in _iter_sheets(path):
+        if title in sheets_to_avoid:
             continue
-        rows = ws.iter_rows(values_only=True)
         try:
             header = [str(h) if h is not None else "" for h in next(rows)]
         except StopIteration:
@@ -70,11 +84,27 @@ def workbook_to_tables(
                 for v in r
             ]
             if any(v is not None for v in vals):
-                data.append(tuple(vals[: len(header)]))
+                padded = list(vals[: len(header)])
+                padded += [None] * (len(header) - len(padded))
+                data.append(tuple(padded))
         schema = StructType([StructField(h, StringType(), True) for h in header])
-        out[ws.title] = spark.createDataFrame(data, schema)
-    wb.close()
+        out[title] = spark.createDataFrame(data, schema)
     return out
+
+
+def write_workbook(tables: dict[str, DataFrame], out_path: str) -> None:
+    """S2 (plain variant) — write node tables as a fresh workbook via
+    the stdlib adapter; no template/styles, works without openpyxl."""
+    from . import xlsx_lite
+
+    sheets: dict[str, list[list]] = {}
+    for name, df in tables.items():
+        pdf = df.toPandas()
+        rows: list[list] = [list(pdf.columns)]
+        for _, row in pdf.iterrows():
+            rows.append([None if v is None else v for v in row.tolist()])
+        sheets[name] = rows
+    xlsx_lite.write_xlsx(out_path, sheets)
 
 
 def tables_to_workbook(

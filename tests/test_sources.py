@@ -41,7 +41,9 @@ def test_listing_to_inventory_skips_folders(spark):
     assert inv["b.vcf.gz"]["ext"] == "gz"
 
 
-def test_excel_requires_openpyxl(spark):
+def test_template_overlay_requires_openpyxl(spark):
+    """Reads and plain writes work via the stdlib adapter; only the
+    style-preserving template overlay still needs openpyxl."""
     import pytest
 
     from childhoodcancerdatainitiative_prefect_pipeline_spark.sources import excel
@@ -52,7 +54,7 @@ def test_excel_requires_openpyxl(spark):
         pytest.skip("openpyxl present; gate not exercised")
     except ImportError:
         with pytest.raises(ImportError, match="openpyxl"):
-            excel.workbook_to_tables(spark, "/nonexistent.xlsx")
+            excel.tables_to_workbook({}, "/nonexistent.xlsx", "/out.xlsx")
 
 
 def test_exampler_deterministic_and_valid(spark):
@@ -355,3 +357,74 @@ def test_write_node_tsvs_and_json(spark, tmp_path):
         if line.strip()
     ]
     assert lines == [{"sample_id": "s1", "kind": "t"}]
+
+
+# ---------------------------------------------------------------------------
+# S1/S2 Excel edge with the stdlib xlsx adapter (no openpyxl needed)
+# ---------------------------------------------------------------------------
+
+
+def test_xlsx_lite_roundtrip_raw():
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.xlsx_lite import (
+        read_xlsx,
+        write_xlsx,
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "wb.xlsx")
+        write_xlsx(
+            p,
+            {
+                "sample": [
+                    ["sample_id", "age", "note"],
+                    ["s1", 42, "a;b <&> 'quoted'"],
+                    ["s2", None, "plain"],
+                ],
+                "README and INSTRUCTIONS": [["v1.7.2"]],
+            },
+        )
+        back = read_xlsx(p)
+    assert list(back) == ["sample", "README and INSTRUCTIONS"]
+    assert back["sample"][0] == ["sample_id", "age", "note"]
+    assert back["sample"][1] == ["s1", "42", "a;b <&> 'quoted'"]
+    assert back["sample"][2] == ["s2", None, "plain"]
+
+
+def test_workbook_to_tables_via_stdlib_adapter(spark, tmp_path):
+    """S1 semantics end to end: NA bank applied, instruction sheets
+    skipped, empty rows dropped, everything string-typed."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.excel import (
+        workbook_to_tables,
+        write_workbook,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.xlsx_lite import (
+        write_xlsx,
+    )
+
+    p = str(tmp_path / "manifest.xlsx")
+    write_xlsx(
+        p,
+        {
+            "participant": [
+                ["participant_id", "sex", "race"],
+                ["p1", "Female", "NA"],
+                [None, None, None],
+                ["p2", "n/a", "Asian"],
+            ],
+            "Dictionary": [["Node", "Property"]],
+        },
+    )
+    tables = workbook_to_tables(spark, p)
+    assert list(tables) == ["participant"]
+    rows = {r["participant_id"]: r for r in tables["participant"].collect()}
+    assert set(rows) == {"p1", "p2"}
+    assert rows["p1"]["race"] is None  # 'NA' nulled by the bank
+    assert rows["p2"]["sex"] is None  # 'n/a' nulled
+    assert dict(tables["participant"].dtypes)["sex"] == "string"
+
+    # S2 plain write → S1 read roundtrip through Spark frames
+    out = str(tmp_path / "out.xlsx")
+    write_workbook(tables, out)
+    back = workbook_to_tables(spark, out)
+    assert back["participant"].count() == 2
