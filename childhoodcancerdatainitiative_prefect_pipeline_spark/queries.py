@@ -2385,3 +2385,62 @@ def curation_violations(spark, sf_dir):
     return index_violations(
         curate_file_node(_curation_file_node(spark, sf_dir).drop("p_partkey"))
     )
+
+
+@register(
+    "mci_transform",
+    """WITH latest AS (
+         SELECT user_id, event_type AS last_status,
+                ROUND(value, 3) AS age_at_last,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events),
+       survival AS (SELECT user_id, last_status, age_at_last FROM latest WHERE rn = 1),
+       joined AS (
+         SELECT c.c_custkey AS participant_id, c.c_mktsegment, s.last_status,
+                s.age_at_last
+         FROM customer c JOIN survival s ON s.user_id = c.c_custkey)
+       SELECT participant_id,
+              last_status AS vital_status,
+              age_at_last AS age_at_last_known_status,
+              CASE c_mktsegment
+                WHEN 'BUILDING' THEN '9380/3' WHEN 'AUTOMOBILE' THEN '9401/3'
+                WHEN 'MACHINERY' THEN '9440/3' ELSE 'Not Reported'
+              END AS icdo_morphology
+       FROM joined
+       WHERE last_status IN ('click', 'purchase', 'view')""",
+    "§3.3 MCI→GDC transform: W-d latest-status window → participant join "
+    "→ assay filter → ICD-O lookup (workflows/mci_gdc_transform.py:31-60,387-455)",
+)
+def mci_transform(spark, sf_dir):
+    from pyspark.sql import Window
+
+    events, customer = _t(spark, sf_dir, "events", "customer")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    survival = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_status"),
+            F.round("value", 3).alias("age_at_last"),
+        )
+    )
+    joined = customer.join(
+        survival, customer["c_custkey"] == survival["user_id"], "inner"
+    )
+    icdo = (
+        F.when(F.col("c_mktsegment") == "BUILDING", "9380/3")
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", "9401/3")
+        .when(F.col("c_mktsegment") == "MACHINERY", "9440/3")
+        .otherwise("Not Reported")
+    )
+    return (
+        joined.filter(F.col("last_status").isin("click", "purchase", "view"))
+        .select(
+            F.col("c_custkey").alias("participant_id"),
+            F.col("last_status").alias("vital_status"),
+            F.col("age_at_last").alias("age_at_last_known_status"),
+            icdo.alias("icdo_morphology"),
+        )
+    )

@@ -428,3 +428,85 @@ def test_workbook_to_tables_via_stdlib_adapter(spark, tmp_path):
     write_workbook(tables, out)
     back = workbook_to_tables(spark, out)
     assert back["participant"].count() == 2
+
+
+def test_manifest_pipeline_end_to_end(spark, tmp_path):
+    """§3.1 runner, whole loop: xlsx manifest in → repair+derive+index
+    → violations report → per-node TSVs + workbook out → read back."""
+    import glob
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.plans.curation import (
+        curate_file_node,
+        index_violations,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.report import (
+        to_markdown_summary,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.excel import (
+        workbook_to_tables,
+        write_workbook,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.files import (
+        write_node_tsvs,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.xlsx_lite import (
+        write_xlsx,
+    )
+
+    manifest_path = str(tmp_path / "manifest.xlsx")
+    good_md5 = "d41d8cd98f00b204e9800998ecf8427e"
+    write_xlsx(
+        manifest_path,
+        {
+            "sequencing_file": [
+                [
+                    "file_id", "file_name", "file_size", "md5sum", "file_url",
+                    "file_access", "acl", "sample_link", "participant_link",
+                ],
+                # clean row
+                ["f1", "a.bam", 100, good_md5, "s3://b/x/a.bam", "Open",
+                 "['*']", "s1", "NA"],
+                # dirty: uppercase md5 (repairable), zero size (violation)
+                ["f2", "b.vcf.gz", 0, good_md5.upper(), "s3://b/x/b.vcf.gz",
+                 "Controlled", "['phs1.c1']", "NA", "p1"],
+                # dirty: NA md5, url basename mismatch
+                ["f3", "c.txt", 5, "NA", "s3://b/x/other.txt", "Open",
+                 "['*']", "NA", "NA"],
+            ],
+            "README and INSTRUCTIONS": [["v1.7.2"]],
+        },
+    )
+
+    tables = workbook_to_tables(spark, manifest_path)
+    assert list(tables) == ["sequencing_file"]
+
+    index = curate_file_node(tables["sequencing_file"])
+    rows = {r["file_id"]: r for r in index.collect()}
+    assert rows["f2"]["md5sum"] == good_md5          # lowercased
+    assert rows["f3"]["md5sum"] is None              # NA-banked
+    assert rows["f1"]["file_type"] == "bam"
+    assert rows["f2"]["file_type"] == "vcf"
+    assert rows["f1"]["file_mapping_level"] == "Sample"
+    assert rows["f2"]["file_mapping_level"] == "Participant"
+    assert rows["f3"]["file_mapping_level"] == "Study"
+
+    violations = index_violations(index)
+    got = {(r["rule"], r["row_ref"]) for r in violations.collect()}
+    assert ("zero_size", "f2") in got
+    assert ("url_basename_mismatch", "f3") in got
+    assert not any(ref == "f1" for _, ref in got)
+
+    report_md = to_markdown_summary(
+        violations.groupBy("rule").count().orderBy("rule")
+    )
+    assert "zero_size" in report_md
+
+    out_dir = str(tmp_path / "tsvs")
+    write_node_tsvs({"sequencing_file": index}, out_dir, study_id="phs1")
+    parts = glob.glob(f"{out_dir}/phs1-sequencing_file/*", recursive=True)
+    assert parts, "no TSV output"
+
+    wb_out = str(tmp_path / "curated.xlsx")
+    write_workbook({"sequencing_file": index}, wb_out)
+    back = workbook_to_tables(spark, wb_out)
+    assert back["sequencing_file"].count() == 3
