@@ -27,6 +27,10 @@ BENCH_QUERIES = (
     "a9_dedup_keep_last",
     "w1_eav_pivot",
     "events_daily_rollup",
+    # LLM-data ops (BASELINE north star)
+    "dedup_ngram_jaccard",
+    "text_quality",
+    "sim_cosine_topk",
 )
 
 

