@@ -510,3 +510,43 @@ def test_manifest_pipeline_end_to_end(spark, tmp_path):
     write_workbook({"sequencing_file": index}, wb_out)
     back = workbook_to_tables(spark, wb_out)
     assert back["sequencing_file"].count() == 3
+
+
+def test_graph_dump_intake(spark):
+    """S11 — openCypher DUMP statements → node/edge tables with
+    label/type filters and dangling-edge pruning."""
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.graph_dump import (
+        dump_to_tables,
+    )
+
+    dump = [
+        "CREATE INDEX ON :__mg_vertex__(__mg_id__);",
+        'CREATE (:__mg_vertex__:`sample` {__mg_id__: 1, `sample_id`: "s1", `n`: 3});',
+        'CREATE (:__mg_vertex__:`sample` {__mg_id__: 2, `sample_id`: "s2"});',
+        'CREATE (:__mg_vertex__:`participant` {__mg_id__: 3, `participant_id`: "p1"});',
+        'CREATE (:__mg_vertex__:`study` {__mg_id__: 4, `phs`: "phs1"});',
+        "MATCH (u:__mg_vertex__), (v:__mg_vertex__) WHERE u.__mg_id__ = 1 AND "
+        "v.__mg_id__ = 3 CREATE (u)-[:`of_participant`]->(v);",
+        "MATCH (u:__mg_vertex__), (v:__mg_vertex__) WHERE u.__mg_id__ = 3 AND "
+        "v.__mg_id__ = 4 CREATE (u)-[:`of_study`]->(v);",
+        "DROP INDEX ON :__mg_vertex__(__mg_id__);",
+    ]
+
+    nodes, edges = dump_to_tables(spark, dump)
+    assert nodes.count() == 4
+    assert edges.count() == 2
+    s1 = nodes.filter(F.col("node_id") == 1).collect()[0]
+    assert s1["labels"] == "sample"
+    assert '"sample_id": "s1"' in s1["props_json"]
+    assert '"n": 3' in s1["props_json"]
+
+    # filtered intake: keep only sample/participant nodes — the
+    # of_study edge dangles and must be pruned
+    nodes_f, edges_f = dump_to_tables(
+        spark, dump, node_labels=("sample", "participant")
+    )
+    assert nodes_f.count() == 3
+    rels = [r["rel_type"] for r in edges_f.collect()]
+    assert rels == ["of_participant"]
