@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Scale probe: replicate sf0.1 tables ~10x (key-shifted) and re-time
+the headline queries.  Evidence that the plans scale linearly rather
+than blowing up on data volume; results recorded in SCALE.md.
+
+Writes only inside the repo (.scratch/, gitignored).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from childhoodcancerdatainitiative_prefect_pipeline_spark.queries import REGISTRY
+from childhoodcancerdatainitiative_prefect_pipeline_spark.session import build_session
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1")
+FACTOR = int(os.environ.get("SCALE_FACTOR", "10"))
+
+#: key columns shifted per replica so uniqueness/link semantics survive
+KEY_SHIFTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "nation": [],
+    "region": [],
+}
+#: columns that reference another table's shifted key
+FK_SHIFTS = {
+    "lineitem": {"l_partkey": "part", "l_suppkey": "supplier"},
+    "orders": {},
+}
+SHIFT_BASE = {
+    "lineitem": 10_000_000, "orders": 10_000_000, "customer": 1_000_000,
+    "events": 10_000_000, "documents": 1_000_000, "embeddings": 1_000_000,
+    "part": 1_000_000, "supplier": 100_000,
+}
+
+
+def replicate(spark, name: str):
+    df = spark.read.parquet(f"{SRC}/{name}.parquet")
+    keys = KEY_SHIFTS.get(name, [])
+    if not keys:
+        df.write.mode("overwrite").parquet(f"{DEST}/{name}.parquet")
+        return df.count()
+    base = SHIFT_BASE[name]
+    parts = []
+    for i in range(FACTOR):
+        rep = df
+        for k in keys:
+            rep = rep.withColumn(k, (F.col(k) + F.lit(i * base)).cast("long"))
+        for fk, ref in FK_SHIFTS.get(name, {}).items():
+            rep = rep.withColumn(
+                fk, (F.col(fk) + F.lit(i * SHIFT_BASE[ref])).cast("long")
+            )
+        parts.append(rep)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{DEST}/{name}.parquet")
+    return out.count()
+
+
+def main():
+    spark = build_session(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(DEST, exist_ok=True)
+    counts = {}
+    for name in KEY_SHIFTS:
+        counts[name] = replicate(spark, name)
+    print(json.dumps({"replicated_rows": counts}), file=sys.stderr)
+
+    queries = (
+        "q1_pricing_summary", "q3_revenue_by_order", "q5_region_revenue",
+        "catalog_stats", "j3_multi_path_flatten", "a9_dedup_keep_last",
+        "w1_eav_pivot", "events_daily_rollup", "dedup_ngram_jaccard",
+        "text_quality", "sim_cosine_topk",
+    )
+    timings = {}
+    for name in queries:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, DEST).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    print(json.dumps({"metric": "scale_probe", "factor": FACTOR,
+                      "queries": timings,
+                      "total": round(sum(timings.values()), 3)}))
+    spark.stop()
+    if os.environ.get("KEEP_SCRATCH") != "1":
+        shutil.rmtree(os.path.dirname(DEST), ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
