@@ -125,3 +125,38 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_no"),
     )
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Image resize via ``mapInPandas`` — media table in, media table out.
+
+    The output keeps MEDIA_SCHEMA (payload replaced by the resized
+    bytes, ``n_bytes`` updated, mime stamped) so resize stages chain
+    with decode/extract stages freely.  Stub kernel: payload tagged
+    deterministically; a real kernel swaps in PIL here and nothing
+    else changes.
+    """
+    tag = f"resized-{width}x{height}-".encode()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if DECODERS_AVAILABLE:  # pragma: no cover - no codecs here
+                raise NotImplementedError("wire PIL Image.resize here")
+            resized = pdf["payload"].map(
+                lambda b: tag + (b or b"")[: 16]
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "mime": "image/x-resized",
+                    "payload": resized,
+                    "n_bytes": resized.map(len).astype("int64"),
+                }
+            )
+
+    return media.filter(F.col("modality") == "image").mapInPandas(
+        kernel, schema=MEDIA_SCHEMA
+    )

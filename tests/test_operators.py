@@ -469,3 +469,27 @@ def test_running_user_totals_stateful(spark, tmp_path, sf_dir):
     for uid, (n, s) in expected.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - s) < 1e-6
+
+
+def test_multimodal_resize_chains_with_extract(spark):
+    """resize → extract chain: both mapInPandas stages share the media
+    schema, so they compose as one pipeline."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        synthesize_media,
+    )
+
+    base = spark.range(6).withColumnRenamed("id", "media_id")
+    media = synthesize_media(base, "media_id", modality="image")
+    resized = resize_images(media, 64, 64)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert len(rows) == 6
+    assert all(r["mime"] == "image/x-resized" for r in rows.values())
+    assert all(bytes(r["payload"]).startswith(b"resized-64x64-") for r in rows.values())
+    assert all(r["n_bytes"] == len(bytes(r["payload"])) for r in rows.values())
+
+    feats = extract_features(resized)
+    got = {r["media_id"]: r["feature_value"] for r in feats.collect()}
+    assert len(got) == 6
+    assert all(v.startswith("len=") for v in got.values())
