@@ -142,16 +142,22 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def exact_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
 ) -> DataFrame:
     """Exact duplicate groups by content hash.
 
-    Hash-groupBy on ``xxhash64(text)`` (cheaper to shuffle than the
-    text itself at corpus scale); emits (content key, representative
-    = min id, n_dups).
+    Hash-groupBy on a content key (cheaper to shuffle than the text
+    itself at corpus scale); emits (content key, representative =
+    min id, n_dups).  Default key is ``xxhash64`` (fastest); pass
+    ``hash_fn=lambda c: F.md5(F.encode(c, 'UTF-8'))`` for a key other
+    engines can reproduce (the oracle-checked query does).
     """
+    hash_fn = hash_fn or F.xxhash64
     return (
-        df.select(F.xxhash64(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        df.select(hash_fn(F.col(text_col)).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("representative"),

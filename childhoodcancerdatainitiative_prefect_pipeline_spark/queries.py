@@ -1070,14 +1070,20 @@ def dedup_exact_prefix(spark, sf_dir):
 
 @register(
     "dedup_exact_groups",
-    None,  # xxhash64 content keys are Spark-specific → rows-only check
-    "exact duplicate groups by 64-bit content hash (scale path)",
+    """SELECT md5(text) AS content_hash,
+              MIN(doc_id) AS representative,
+              COUNT(*) AS n_dups
+       FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1""",
+    "exact duplicate groups by content hash (md5 key here for oracle "
+    "parity; xxhash64 is the library default at scale)",
 )
 def dedup_exact_groups(spark, sf_dir):
     from .operators.dedup import exact_duplicates
 
     (documents,) = _t(spark, sf_dir, "documents")
-    return exact_duplicates(documents)
+    return exact_duplicates(
+        documents, hash_fn=lambda c: F.md5(F.encode(c, "UTF-8"))
+    )
 
 
 @register(
@@ -2458,3 +2464,34 @@ def mci_transform(spark, sf_dir):
             icdo.alias("icdo_morphology"),
         )
     )
+
+
+@register(
+    "text_fingerprint_md5",
+    r"""WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '') AS toks
+         FROM documents),
+       s AS (
+         SELECT doc_id,
+                CASE WHEN len(toks) >= 5
+                     THEN list_distinct(list_transform(range(1, len(toks) - 3),
+                          i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
+                     ELSE [array_to_string(toks, ' ')] END AS sh
+         FROM t)
+       SELECT doc_id,
+              list_min(list_transform(sh, x -> md5(x))) AS fingerprint
+       FROM s""",
+    "document fingerprint with an engine-portable md5-min key "
+    "(xxhash64 variant `text_fingerprint` is the scale path)",
+)
+def text_fingerprint_md5(spark, sf_dir):
+    from .operators.dedup import with_shingles
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    staged = with_shingles(documents, "text", "__sh__", 5)
+    fp = F.array_min(
+        F.transform(F.col("__sh__"), lambda s: F.md5(F.encode(s, "UTF-8")))
+    )
+    return staged.select("doc_id", fp.alias("fingerprint"))
