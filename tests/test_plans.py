@@ -122,3 +122,31 @@ def test_no_python_udfs_in_oracle_checked_plans(spark, sf_dir):
         if "EvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"python in hot path: {offenders}"
+
+
+def test_validate_is_single_pass(spark):
+    """The expression-rank rule engine must scan the node table ONCE —
+    one array-of-violations projection + explode, not a union that
+    rescans per rule (15.9s -> 5.3s on a 50-prop schema)."""
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.plans.rules import (
+        NodeSchema,
+        PropertyRule,
+        validate,
+    )
+
+    rules = [
+        PropertyRule(f"p{i}", type="enum", enum_terms=("A", "B"), required=True)
+        for i in range(20)
+    ]
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("row_ref"),
+        *[F.lit("A").alias(f"p{i}") for i in range(20)],
+    )
+    v = validate(df, NodeSchema(node="n", rules=rules, key_props=["row_ref"]))
+    plan = _plan(v)
+    assert "Union" not in plan
+    # formatted explain prints each node in the tree AND the detail
+    # section — "Generate (" matches only the tree entry
+    assert plan.count("Generate (") == 1  # one explode
