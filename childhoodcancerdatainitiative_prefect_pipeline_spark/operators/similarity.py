@@ -173,3 +173,93 @@ def ivf_top_k(
         .filter(F.col("__rn__") <= k)
         .drop("__rn__")
     )
+
+
+def blocked_cosine_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_blocks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_scale: int = 6,
+) -> DataFrame:
+    """Exact all-pairs cosine at scale: block-partitioned GEMM.
+
+    The JVM pair join (``dedup_embedding_cosine``) evaluates one
+    interpreted fold per candidate pair — the right recall oracle, but
+    per-pair cost is microseconds and the pair count is n².  This
+    formulation hash-assigns each vector to one of ``n_blocks``
+    blocks, replicates every row to the block-PAIRS it participates in
+    (upper triangle, so each row travels ~n_blocks times), and
+    computes each block-pair's full similarity matrix as ONE numpy
+    ``A @ B.T`` inside an Arrow-batched ``applyInPandas`` — per-pair
+    cost drops to a vectorized FMA.  Work distributes over
+    n_blocks·(n_blocks+1)/2 independent tasks, so wall-clock scales
+    out with the cluster instead of with n².
+
+    Same O(n²·d) flops as the oracle — this is the *exact* tier.  For
+    approximate near-dup at corpus scale use the LSH/IVF blockers
+    (minhash/simhash/``ivf_top_k``), which prune candidates instead of
+    accelerating them.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    tagged = corpus.select(
+        F.col(id_col).cast("long").alias("vid"),
+        as_double_array(vec_col).alias("v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    # replicate each row to every block pair (lo, hi) it belongs to
+    other = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("obk")
+    replicated = tagged.select("vid", "v", "blk", other).select(
+        "vid",
+        "v",
+        "blk",
+        F.least("blk", "obk").alias("lo"),
+        F.greatest("blk", "obk").alias("hi"),
+    )
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+
+    def gemm(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        lo, hi = key
+        mat = np.stack(pdf["v"].to_numpy())
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        ids = pdf["vid"].to_numpy()
+        if lo == hi:
+            sims = unit @ unit.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            id_a, id_b, s = ids[ia], ids[ib], sims[ia, ib]
+        else:
+            a_mask = (pdf["blk"] == lo).to_numpy()
+            ua, ub = unit[a_mask], unit[~a_mask]
+            ids_a, ids_b = ids[a_mask], ids[~a_mask]
+            sims = ua @ ub.T
+            ia, ib = np.nonzero(np.ones_like(sims, dtype=bool))
+            id_a, id_b, s = ids_a[ia], ids_b[ib], sims[ia, ib]
+        s = np.round(s, score_scale)
+        keep = s >= threshold
+        id_a, id_b, s = id_a[keep], id_b[keep], s[keep]
+        swap = id_a > id_b
+        id_a[swap], id_b[swap] = id_b[swap], id_a[swap].copy()
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine_sim": s})
+
+    # each row lands in pair (i, j) exactly once: obk==j produces
+    # (min(i,j), max(i,j)) and obk==i the diagonal (i, i) — no dedup
+    # pass needed, the groupBy is the only shuffle
+    return replicated.groupBy("lo", "hi").applyInPandas(gemm, out_schema)

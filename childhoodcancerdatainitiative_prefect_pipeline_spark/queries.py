@@ -2063,7 +2063,12 @@ def dedup_embedding_cosine(spark, sf_dir):
     e = embeddings.select(
         "vec_id", as_double_array("embedding").alias("v")
     ).withColumn("nrm", l2_norm(F.col("v")))
-    a = e.select(
+    # the nested-loop pair join parallelizes over STREAM-side
+    # partitions; an embedding table small enough to arrive as one
+    # parquet file would otherwise run the whole O(n^2) scan on one
+    # core (36 s -> 1.5 s at sf0.1)
+    n_slices = spark.sparkContext.defaultParallelism * 2
+    a = e.repartition(n_slices).select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
     b = e.select(
@@ -2078,6 +2083,21 @@ def dedup_embedding_cosine(spark, sf_dir):
         .filter(F.col("cosine_sim") >= 0.45)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+@register(
+    "dedup_embedding_cosine_blocked",
+    None,  # Arrow-batched numpy GEMM → rows-only; equality with the
+    # oracle-checked exact query is pinned by
+    # tests/test_operators.py::test_blocked_gemm_matches_exact_pairs
+    "exact all-pairs cosine via block-partitioned numpy GEMM "
+    "(applyInPandas) — the exact-tier scale path",
+)
+def dedup_embedding_cosine_blocked(spark, sf_dir):
+    from .operators.similarity import blocked_cosine_pairs
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return blocked_cosine_pairs(embeddings, 0.45, n_blocks=16)
 
 
 @register(

@@ -121,6 +121,30 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert 7 in approx
 
 
+def test_blocked_gemm_matches_exact_pairs(spark, sf_dir):
+    """The GEMM scale path must reproduce the JVM recall oracle: same
+    pair set, same scores (to rounding), across several block counts
+    including blocks larger than the corpus."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.queries import REGISTRY
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.similarity import (
+        blocked_cosine_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in REGISTRY["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+    }
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for n_blocks in (1, 4, 16):
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in blocked_cosine_pairs(emb, 0.45, n_blocks=n_blocks).collect()
+        }
+        assert set(got) == set(exact), f"pair set differs at n_blocks={n_blocks}"
+        for k in exact:
+            assert abs(got[k] - exact[k]) < 1e-5, (k, n_blocks)
+
+
 # ---------------------------------------------------------------------------
 # deterministic UUIDv5 (F15)
 # ---------------------------------------------------------------------------

@@ -550,3 +550,63 @@ def test_graph_dump_intake(spark):
     assert nodes_f.count() == 3
     rels = [r["rel_type"] for r in edges_f.collect()]
     assert rels == ["of_participant"]
+
+
+def test_streaming_inventory_status(spark, tmp_path):
+    """The incremental reconcile (SCALE.md): inventory deltas arrive as
+    a file stream, each checked against the static manifest via a
+    stream-static left join; results match the batch reconcile on the
+    statuses a delta can decide."""
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.s3 import (
+        reconcile_with_inventory,
+        streaming_inventory_status,
+    )
+
+    manifest = spark.createDataFrame(
+        [
+            ("s3://b/a.bam", "100"),
+            ("s3://b/b.bam", "200"),
+            ("s3://b/never_uploaded.bam", "300"),
+        ],
+        ["file_url", "file_size"],
+    )
+    inventory = spark.createDataFrame(
+        [("a.bam", 100), ("b.bam", 999), ("extra.bam", 5)],
+        ["file_path", "file_size"],
+    )
+
+    def statuses(df):
+        return {
+            r["file_path"]: r["status"]
+            for r in df.select("file_path", "status").collect()
+        }
+
+    expected = statuses(
+        reconcile_with_inventory(manifest, inventory).filter(
+            F.col("status") != "missing_in_bucket"
+        )
+    )
+    assert expected == {
+        "a.bam": "ok",
+        "b.bam": "size_mismatch",
+        "extra.bam": "missing_in_manifest",
+    }
+
+    src = str(tmp_path / "inv_stream")
+    inventory.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(inventory.schema).parquet(src)
+    q = (
+        streaming_inventory_status(stream, manifest)
+        .writeStream.format("memory")
+        .queryName("inv_status_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = statuses(spark.sql("SELECT * FROM inv_status_test"))
+    finally:
+        q.stop()
+    assert got == expected
