@@ -684,7 +684,7 @@ def q6_forecast(spark, sf_dir):
 
 @register(
     "events_daily_rollup",
-    """SELECT date_trunc('day', ts) AS day, event_type,
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
               COUNT(*) AS n_events,
               COUNT(DISTINCT user_id) AS n_users,
               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
@@ -695,7 +695,7 @@ def events_daily_rollup(spark, sf_dir):
     (events,) = _t(spark, sf_dir, "events")
     return (
         events.groupBy(
-            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+            F.to_date(F.col("ts")).alias("day"), F.col("event_type")
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),

@@ -1,0 +1,103 @@
+"""Driver simulation — run the `__spark_entry__` contract the way the
+round driver does and compare every query against its DuckDB oracle.
+
+Usage: python scripts/verify_driver.py [sf_dir]   (default sf0.01)
+Exit 0 = all green; prints one line per query.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from collections import Counter
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from childhoodcancerdatainitiative_prefect_pipeline_spark.session import (  # noqa: E402
+    build_session,
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return f"{v:.6g}"
+    return str(v)
+
+
+def row_multiset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_session()
+
+    n = entrymod.entry(spark).count()
+    print(f"entry: {n} rows")
+    assert n > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in queries.items():
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: spark raised {type(ex).__name__}: {ex}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only, {len(srows)} rows "
+                  f"({time.time() - t0:.1f}s)")
+            continue
+        try:
+            ores = con.execute(oracles[name])
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+        except Exception as ex:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: oracle raised {type(ex).__name__}: {ex}")
+            continue
+        if sorted(scols) != sorted(ocols):
+            failed.append(name)
+            print(f"FAIL {name}: cols {sorted(scols)} != {sorted(ocols)}")
+            continue
+        sm, om = row_multiset(srows, scols), row_multiset(orows, ocols)
+        if sm != om:
+            failed.append(name)
+            diff = list((sm - om).items())[:3] + list((om - sm).items())[:3]
+            print(f"FAIL {name}: {len(srows)} vs {len(orows)} rows; "
+                  f"sample diff {diff}")
+            continue
+        print(f"ok   {name}: {len(srows)} rows match ({time.time() - t0:.1f}s)")
+
+    print(f"\n{len(queries) - len(failed)}/{len(queries)} green")
+    if failed:
+        print("FAILED:", failed)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -610,3 +610,87 @@ def test_streaming_inventory_status(spark, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_schema_registry_end_to_end(spark):
+    """S12: version listing/resolution/gate + MDF parse compiling
+    straight into the rule engine."""
+    import pytest
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.plans.rules import (
+        validate,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.schema_registry import (
+        fetch_schema,
+        resolve_version,
+        version_gate,
+    )
+
+    tags = [{"name": "v1.7.2"}, {"name": "v1.9.1"}, {"name": "v1.10.0"},
+            {"name": "not-a-version"}]
+    model = """
+Handle: CCDI
+Version: v1.10.0
+Nodes:
+  sample:
+    Props:
+      - sample_id
+      - anatomic_site
+      - participant_age_at_collection
+      - id
+Relationships:
+  of_sample:
+    Mul: many_to_one
+    Ends:
+      - Src: sample
+        Dst: participant
+"""
+    props = """
+PropDefinitions:
+  sample_id:
+    Type: string
+    Key: true
+    Req: true
+  anatomic_site:
+    Type:
+      value_type: list
+      item_type:
+        - Lung
+        - Kidney
+    Req: true
+  participant_age_at_collection:
+    Type: integer
+"""
+
+    def fetch_asset(tag, name):
+        assert tag == "v1.10.0"
+        return model if name == "model" else props
+
+    # semver ordering: 1.10 > 1.9; junk tags ignored
+    tag, schemas, edges = fetch_schema("latest", lambda: tags, fetch_asset)
+    assert tag == "v1.10.0"
+    assert resolve_version("1.9.1", [t["name"] for t in tags]) == "v1.9.1"
+    with pytest.raises(ValueError, match="not in registry"):
+        resolve_version("v9.9.9", [t["name"] for t in tags])
+    with pytest.raises(ValueError, match="liftover"):
+        version_gate("v1.9.1", "1.10.0")
+    version_gate("1.10.0", "v1.10.0")  # v-prefix insensitive
+
+    assert edges[0].src == "sample" and edges[0].dst == "participant"
+    s = schemas["sample"]
+    assert s.key_props == ["sample_id"]
+    assert [r.prop for r in s.rules] == [
+        "sample_id", "anatomic_site", "participant_age_at_collection",
+    ]  # surrogate 'id' dropped
+    assert s.rule("anatomic_site").type == "array[enum]"
+    assert s.rule("anatomic_site").enum_terms == ("Lung", "Kidney")
+
+    # the parsed schema drives the rule engine directly
+    df = spark.createDataFrame(
+        [("s1", "Lung;Kidney", "12"), (None, "Mars", "x")],
+        ["sample_id", "anatomic_site", "participant_age_at_collection"],
+    )
+    v = {(r["rule"], r["property"]) for r in validate(df, s).collect()}
+    assert ("required", "sample_id") in v
+    assert ("enum", "anatomic_site") in v
+    assert ("not_integer", "participant_age_at_collection") in v
