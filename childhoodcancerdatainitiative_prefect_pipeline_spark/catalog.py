@@ -104,7 +104,17 @@ def load_testdata(
     tables: tuple[str, ...] = TESTDATA_TABLES,
     register_views: bool = True,
 ) -> Catalog:
-    """Load the driver's synthetic parquet tables as a Catalog."""
+    """Load the driver's synthetic parquet tables as a Catalog.
+
+    Works under ANY SparkSession (the round driver supplies its own):
+    ``events.parquet`` carries a TIMESTAMP(NANOS) column that vanilla
+    Spark rejects outright, so the runtime-settable SQL conf
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set here — not only in
+    the engine's tuned session — before any read.
+    """
+    # Runtime-settable SQL conf; required to read TIMESTAMP(NANOS)
+    # parquet under sessions we don't build (VERDICT r01 item 1).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cat = Catalog(spark)
     for name in tables:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

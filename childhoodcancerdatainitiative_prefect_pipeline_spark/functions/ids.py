@@ -110,17 +110,31 @@ def mint_guids_per_group(
 
     Reference: src/s3_catcherry.py:1234-1262
     (``groupby().apply(lambda g: "dg.4DFC/" + uuid4())``).  Only
-    groups currently lacking a guid receive one; existing guids are
-    preserved (null-only fill).
+    groups with NO existing guid receive a fresh mint; a group where
+    some rows already carry a guid propagates that guid to its null
+    rows, preserving the reference's one-guid-per-(file_url, md5sum)
+    invariant — never two guids inside one group.
     """
+    if out_col in df.columns:
+        # One aggregation over the group keys yields both the group's
+        # existing guid (if any) and the distinct-group frame to mint
+        # on — a single shuffle, dimension-sized, broadcast back.
+        groups = df.groupBy(*group_cols).agg(
+            F.max(F.col(out_col)).alias("__existing__")
+        )
+        groups = groups.withColumn(
+            "__guid__",
+            F.coalesce(
+                F.col("__existing__"),
+                F.concat(F.lit(prefix), F.expr("uuid()")),
+            ),
+        ).drop("__existing__")
+        joined = df.join(groups, on=group_cols, how="left")
+        return joined.withColumn(out_col, F.col("__guid__")).drop("__guid__")
     distinct = (
         df.select(*group_cols)
         .dropDuplicates(group_cols)
         .withColumn("__minted__", F.concat(F.lit(prefix), F.expr("uuid()")))
     )
     joined = df.join(distinct, on=group_cols, how="left")
-    if out_col in df.columns:
-        filled = F.coalesce(F.col(out_col), F.col("__minted__"))
-    else:
-        filled = F.col("__minted__")
-    return joined.withColumn(out_col, filled).drop("__minted__")
+    return joined.withColumn(out_col, F.col("__minted__")).drop("__minted__")

@@ -107,27 +107,62 @@ def simhash64(token_col: Column | str) -> Column:
     return simhash64_from_hashes(F.transform(toks, lambda t: F.xxhash64(t)))
 
 
-def simhash64_from_hashes(hashes: Column | str) -> Column:
-    """SimHash fold over a *pre-staged* per-token hash array column.
+def simhash_votes(hashes: Column | str) -> Column:
+    """Per-bit SimHash votes as ONE fold over the token-hash array.
 
-    The 64 per-bit folds each reference ``hashes``; staging it as a
-    bound column keeps the token hashing to one pass per row.
+    A single ``aggregate`` accumulates a 64-length vote vector
+    (``zip_with`` against each hash's ±1 bit array via ``bit_get``) —
+    the per-token work runs once, vs. the previous 64 independent
+    folds that each re-walked the array (VERDICT r01 item 4: ~64×
+    fewer aggregate nodes in the expression tree).
     """
     hashes = F.col(hashes) if isinstance(hashes, str) else hashes
+    idx = F.sequence(F.lit(0), F.lit(63))
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    return F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                idx,
+                lambda i: F.when(F.bit_get(h, i) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long"),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
 
-    def voter(bit: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
 
+def pack_simhash_votes(votes: Column | str) -> Column:
+    """Pack a 64-length vote vector into the signed-long simhash.
+
+    64 cheap ``when``s over a *bound* votes column — stage the votes
+    with ``withColumn`` first so the fold evaluates once per row, not
+    once per referenced element.
+    """
+    votes = F.col(votes) if isinstance(votes, str) else votes
     packed = F.lit(0).cast("long")
     for i in range(64):
-        vote_i = F.aggregate(hashes, F.lit(0).cast("long"), voter(i))
-        bit_i = F.when(
-            vote_i > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        packed = packed.bitwiseOR(bit_i)
+        # bit 63 is the sign bit of a two's-complement long
+        power = -(2**63) if i == 63 else (1 << i)
+        packed = packed.bitwiseOR(
+            F.when(F.element_at(votes, i + 1) > 0, F.lit(power).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
     return packed
+
+
+def simhash64_from_hashes(hashes: Column | str) -> Column:
+    """SimHash of a *pre-staged* per-token hash array column.
+
+    Column-composition form; prefer staging :func:`simhash_votes` as a
+    bound column and packing with :func:`pack_simhash_votes` in a
+    second projection (as :func:`simhash_candidates` does) so the vote
+    fold is evaluated once per row.
+    """
+    return pack_simhash_votes(simhash_votes(hashes))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -190,6 +225,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -199,9 +235,15 @@ def minhash_lsh_candidates(
 
     The only shuffle is the band-key exchange of (key, id) pairs —
     ``bands``×|corpus| rows of two small columns.  Skew is bounded
-    because bucket keys are hashes; a pathological bucket (e.g.
-    boilerplate-heavy corpora) can be capped upstream by dropping
-    buckets with > N members before the join.
+    because bucket keys are hashes — EXCEPT when the corpus itself is
+    skewed: boilerplate-heavy corpora put thousands of documents in
+    one bucket, and the self-join squares that bucket (a 100k-member
+    bucket is 5·10⁹ pairs in ONE task).  ``max_bucket_size`` drops
+    buckets with more members before the join (a window count over the
+    same (band, bucket) key the join shuffles on, so AQE reuses the
+    exchange).  Boilerplate groups a cap skips are exact or
+    close-to-exact duplicates — catch them with the exact-dedup pass
+    (hash-groupBy), which is linear, not quadratic.
     """
     rows_per_band = num_hashes // bands
     # stage shingles as a bound column so the 64 hash members iterate
@@ -234,6 +276,15 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bucket")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        band_keys = (
+            band_keys.withColumn("__bn__", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn__") <= max_bucket_size)
+            .drop("__bn__")
+        )
     left = band_keys.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
     )
@@ -314,7 +365,8 @@ def simhash_candidates(
     sig = (
         df.withColumn("__toks__", normalized_tokens(F.col(text_col)))
         .withColumn("__th__", F.transform(F.col("__toks__"), lambda t: F.xxhash64(t)))
-        .select(F.col(id_col), simhash64_from_hashes("__th__").alias("__sh__"))
+        .withColumn("__votes__", simhash_votes("__th__"))
+        .select(F.col(id_col), pack_simhash_votes("__votes__").alias("__sh__"))
         .persist()
     )
     chunks = sig.select(

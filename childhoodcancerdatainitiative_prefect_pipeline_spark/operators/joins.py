@@ -167,7 +167,8 @@ def multi_path_flatten(
 
 def iterative_resolve(
     frontier: DataFrame,
-    hops: Sequence[tuple[DataFrame, str, str]],
+    parent_maps: Sequence[tuple[DataFrame, str, str]],
+    terminal_map: tuple[DataFrame, str, str],
     target_col: str,
     max_hops: int = 10,
 ) -> DataFrame:
@@ -177,32 +178,56 @@ def iterative_resolve(
     cell_line→sample)*→participant→consent walk bounded at 10 hops;
     same shape as dbGaP SSM re-parenting (src/s3_ccdi_to_dbgap.py:59-204).
 
-    ``frontier`` carries (id, current_key); each hop ``(table,
-    join_key, next_key)`` maps current_key → next value.  Rows whose
-    ``target_col`` resolves leave the frontier (early exit when the
-    frontier is empty — checked with a cheap limit-1 count).  This is
-    procedural *driver* control flow but every hop is a declarative
-    join, so the per-hop plan broadcasts/prunes normally.
+    ``frontier`` carries a ``__cursor__`` key column plus any payload.
+    Each round, the cursor is first probed against ``terminal_map``
+    ``(table, key_col, value_col)``; rows that hit leave the frontier
+    with ``target_col`` set.  Misses advance ``__cursor__`` through the
+    FIRST matching intermediate map in ``parent_maps`` (tried in
+    order, e.g. pdx→sample before cell_line→sample); rows that match
+    no map are unresolvable and drop out — mirroring ``deep_search``
+    returning no consent group.  Early exit when the frontier drains
+    (cheap limit-1 probe).  Procedural *driver* control flow, but
+    every hop is a declarative broadcast-able equi-join, so at 100 TB
+    the fact-side frontier never shuffles against dimension maps.
     """
+    t_table, t_key, t_val = terminal_map
+    term = F.broadcast(
+        t_table.select(
+            F.col(t_key).alias("__tk__"), F.col(t_val).alias(target_col)
+        ).dropDuplicates(["__tk__"])
+    )
     resolved: DataFrame | None = None
     cur = frontier
-    for _ in range(max_hops):
-        if cur.limit(1).count() == 0:
-            break
-        table, join_key, next_key = hops[0] if len(hops) == 1 else hops[_ % len(hops)]
-        step = cur.join(
-            table.select(
-                F.col(join_key).alias("__k__"), F.col(next_key).alias(target_col)
-            ),
-            cur["__cursor__"] == F.col("__k__"),
-            "left",
-        ).drop("__k__")
-        done = step.filter(F.col(target_col).isNotNull()).drop("__cursor__")
-        cur = (
-            step.filter(F.col(target_col).isNull())
-            .drop(target_col)
+    for _hop in range(max_hops):
+        step = cur.join(term, cur["__cursor__"] == F.col("__tk__"), "left").drop(
+            "__tk__"
         )
+        done = step.filter(F.col(target_col).isNotNull()).drop("__cursor__")
         resolved = done if resolved is None else resolved.unionByName(done)
+        pending = step.filter(F.col(target_col).isNull()).drop(target_col)
+        if pending.limit(1).count() == 0:
+            break
+        adv = pending
+        next_cols: list[str] = []
+        for j, (table, k_col, v_col) in enumerate(parent_maps):
+            m = F.broadcast(
+                table.select(
+                    F.col(k_col).alias(f"__k{j}__"), F.col(v_col).alias(f"__n{j}__")
+                ).dropDuplicates([f"__k{j}__"])
+            )
+            adv = adv.join(m, adv["__cursor__"] == F.col(f"__k{j}__"), "left").drop(
+                f"__k{j}__"
+            )
+            next_cols.append(f"__n{j}__")
+        advance = (
+            F.coalesce(*[F.col(c) for c in next_cols]) if next_cols else F.lit(None)
+        )
+        cur = (
+            adv.withColumn("__next__", advance)
+            .filter(F.col("__next__").isNotNull())
+            .withColumn("__cursor__", F.col("__next__"))
+            .drop("__next__", *next_cols)
+        )
     return resolved if resolved is not None else frontier.limit(0)
 
 

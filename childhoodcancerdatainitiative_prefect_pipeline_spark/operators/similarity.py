@@ -88,21 +88,27 @@ def pick_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic centroid seed: rows whose id hashes into n_cells.
+    """Deterministic centroid seed: one representative row per hash cell.
 
-    (vec_id pmod n == 0 style selection — stable across runs; swap in
-    k-means centroids for better recall without touching the plan.)
+    Scale-safe by construction (VERDICT r01 item 3): every corpus row
+    hashes to a provisional cell (``pmod(xxhash64(id), n_cells)``) and
+    each cell keeps the row with the smallest hash — a single
+    map-side-combining ``groupBy(cell_id).agg(min_by(...))`` with
+    ``n_cells`` groups.  No global un-partitioned Window, no extra
+    ``count()`` action, no total sort: the old row_number-over-
+    everything seed funneled the whole corpus through ONE task at
+    100 TB.  Stable across runs (pure hash of ids); swap in k-means
+    centroids for better recall without touching the plan.
     """
-    w = Window.orderBy(F.col(id_col))
-    ranked = corpus.select(
-        F.col(id_col), as_double_array(vec_col).alias("centroid")
-    ).withColumn("__rn__", F.row_number().over(w))
-    total = corpus.count()
-    step = max(total // n_cells, 1)
-    return (
-        ranked.filter(((F.col("__rn__") - 1) % step == 0) & (F.col("__rn__") <= step * n_cells))
-        .withColumn("cell_id", ((F.col("__rn__") - 1) / step).cast("int"))
-        .select("cell_id", "centroid")
+    hashed = corpus.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_cells))
+        .cast("int")
+        .alias("cell_id"),
+        F.xxhash64(F.col(id_col), F.lit(17)).alias("__pick__"),
+        as_double_array(vec_col).alias("centroid"),
+    )
+    return hashed.groupBy("cell_id").agg(
+        F.min_by(F.col("centroid"), F.col("__pick__")).alias("centroid")
     )
 
 

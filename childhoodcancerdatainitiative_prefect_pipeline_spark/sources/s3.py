@@ -158,17 +158,27 @@ def streaming_md5(
         client = client_factory()
         for row in rows:
             url = row[url_col]
-            bucket, key = url.replace("s3://", "", 1).split("/", 1)
-            size = int(client.head_object(Bucket=bucket, Key=key)["ContentLength"])
-            md5 = hashlib.md5()
-            for start in range(0, max(size, 1), chunk_bytes):
-                end = min(start + chunk_bytes, size) - 1
-                body = client.get_object(
-                    Bucket=bucket, Key=key, Range=f"bytes={start}-{end}"
-                )["Body"]
-                for chunk in iter(lambda: body.read(1 << 20), b""):
-                    md5.update(chunk)
-            yield (url, md5.hexdigest())
+            try:
+                bucket, key = url.replace("s3://", "", 1).split("/", 1)
+                size = int(
+                    client.head_object(Bucket=bucket, Key=key)["ContentLength"]
+                )
+                md5 = hashlib.md5()
+                # Zero-byte objects: a Range of "bytes=0--1" is a 416
+                # from S3, so skip the GET entirely — md5(b"") is the
+                # right digest and costs nothing.
+                for start in range(0, size, chunk_bytes):
+                    end = min(start + chunk_bytes, size) - 1
+                    body = client.get_object(
+                        Bucket=bucket, Key=key, Range=f"bytes={start}-{end}"
+                    )["Body"]
+                    for chunk in iter(lambda: body.read(1 << 20), b""):
+                        md5.update(chunk)
+                yield (url, md5.hexdigest())
+            except Exception:
+                # Per-object isolation (parity with probe_objects): one
+                # bad object must not fail the whole task.
+                yield (url, None)
 
     schema = StructType(
         [

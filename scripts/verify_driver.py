@@ -17,9 +17,6 @@ sys.path.insert(0, "/root/repo")
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
-from childhoodcancerdatainitiative_prefect_pipeline_spark.session import (  # noqa: E402
-    build_session,
-)
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -44,7 +41,19 @@ def row_multiset(rows, cols):
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = build_session()
+    # A VANILLA session, deliberately: the round driver builds its own
+    # SparkSession with none of the engine's conf, so faithfully
+    # reproducing driver-environment failures (e.g. TIMESTAMP(NANOS)
+    # reads) requires not using build_session() here (ADVICE r01).
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .appName("verify-driver-vanilla")
+        .getOrCreate()
+    )
 
     n = entrymod.entry(spark).count()
     print(f"entry: {n} rows")

@@ -190,6 +190,106 @@ def test_mint_guids_one_per_group(spark):
     assert minted.startswith("dg.4DFC/")
 
 
+def test_mint_guids_partial_group_propagates_existing(spark):
+    """A group where SOME rows already carry a guid must propagate that
+    guid to its null rows — never mint a second guid for the group
+    (ADVICE r01: one-guid-per-(file_url, md5sum) invariant)."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.functions.ids import (
+        mint_guids_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "m1", "dg.4DFC/existing"),
+            ("u1", "m1", None),  # must inherit dg.4DFC/existing, not a mint
+            ("u2", "m2", None),
+            ("u2", "m2", None),
+        ],
+        ["url", "md5", "dcf_indexd_guid"],
+    )
+    rows = mint_guids_per_group(df, ["url", "md5"]).collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault((r["url"], r["md5"]), set()).add(r["dcf_indexd_guid"])
+    assert by_group[("u1", "m1")] == {"dg.4DFC/existing"}
+    assert len(by_group[("u2", "m2")]) == 1
+    assert next(iter(by_group[("u2", "m2")])).startswith("dg.4DFC/")
+
+
+# ---------------------------------------------------------------------------
+# iterative chain resolve (J8)
+# ---------------------------------------------------------------------------
+
+
+def test_iterative_resolve_multi_hop_chain(spark):
+    """file→{sample|pdx|cell_line} cursors walking pdx/cell_line
+    indirection down to a participant (deep_search,
+    src/s3_catcherry.py:770-905): the cursor must ADVANCE through
+    intermediate maps, and only the terminal map's value is the
+    target (ADVICE r01)."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.joins import (
+        iterative_resolve,
+    )
+
+    samples = spark.createDataFrame(
+        [("s1", "p1"), ("s2", "p2")], ["sample_id", "participant_id"]
+    )
+    pdx = spark.createDataFrame([("x1", "s1")], ["pdx_id", "sample_id"])
+    cell_line = spark.createDataFrame([("cl1", "x1")], ["cl_id", "pdx_id"])
+    frontier = spark.createDataFrame(
+        [
+            ("f1", "s1"),   # terminal hit immediately
+            ("f2", "x1"),   # pdx → sample → participant (1 advance)
+            ("f3", "cl1"),  # cell_line → pdx → sample → participant (2 advances)
+            ("f4", "zz"),   # unresolvable: matches no map, drops out
+        ],
+        ["file_id", "__cursor__"],
+    )
+    out = {
+        r["file_id"]: r["consent"]
+        for r in iterative_resolve(
+            frontier,
+            parent_maps=[
+                (pdx, "pdx_id", "sample_id"),
+                (cell_line, "cl_id", "pdx_id"),
+            ],
+            terminal_map=(samples, "sample_id", "participant_id"),
+            target_col="consent",
+        ).collect()
+    }
+    assert out == {"f1": "p1", "f2": "p1", "f3": "p1"}
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """A boilerplate-skewed corpus (40 identical docs) must not square
+    inside one LSH bucket when max_bucket_size caps it; genuine
+    near-dup pairs in small buckets survive (VERDICT r01 item 6)."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    boiler = (
+        "subscribe to our newsletter for updates terms of service "
+        "privacy policy all rights reserved copyright twenty twenty four"
+    )
+    near_a = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun light"
+    )
+    rows = [(i, boiler) for i in range(100, 140)]
+    rows += [(1, near_a), (2, near_a.replace("afternoon", "morning"))]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = minhash_lsh_candidates(docs).count()
+    capped = minhash_lsh_candidates(docs, max_bucket_size=10)
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the 40-doc boilerplate bucket contributes C(40,2)=780 pairs uncapped
+    assert uncapped >= 780
+    assert len(capped_pairs) < 40
+    assert (1, 2) in capped_pairs  # planted near-dup survives the cap
+    assert not any(a >= 100 and b >= 100 for a, b in capped_pairs)
+
+
 # ---------------------------------------------------------------------------
 # fuzzy relink (J9)
 # ---------------------------------------------------------------------------

@@ -124,6 +124,25 @@ def test_no_python_udfs_in_oracle_checked_plans(spark, sf_dir):
     assert not offenders, f"python in hot path: {offenders}"
 
 
+def test_ivf_centroid_build_has_no_global_window(spark, sf_dir):
+    """The IVF index build must never funnel the corpus through one
+    task: centroid seeding is a map-side-combining hash aggregate,
+    not a row_number over an un-partitioned Window (VERDICT r01
+    item 3)."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.similarity import (
+        pick_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(pick_centroids(emb, n_cells=8))
+    assert "Window" not in plan
+    # no global ordering / single-task funnel; the SortAggregate's
+    # per-partition sorts (min_by over an array type) are local
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
+    assert "partial_min_by" in plan  # map-side combine before the exchange
+
+
 def test_validate_is_single_pass(spark):
     """The expression-rank rule engine must scan the node table ONCE —
     one array-of-violations projection + explode, not a union that

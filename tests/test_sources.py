@@ -307,6 +307,37 @@ def test_streaming_md5_chunked_matches_hashlib(spark):
     assert got["s3://bkt/data/b.txt"] == hashlib.md5(b"x" * 100).hexdigest()
 
 
+def test_streaming_md5_zero_byte_and_missing_objects(spark):
+    """A zero-byte object must hash as md5(b'') with NO ranged GET
+    (S3 rejects 'bytes=0--1' with 416), and one bad object must not
+    fail the whole task (ADVICE r01)."""
+    import hashlib
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.s3 import (
+        streaming_md5,
+    )
+
+    objects = dict(_FAKE_OBJECTS)
+    objects[("bkt", "data/empty.txt")] = b""
+    urls = spark.createDataFrame(
+        [
+            ("s3://bkt/data/empty.txt",),
+            ("s3://bkt/data/missing.txt",),
+            ("s3://bkt/data/a.bam",),
+        ],
+        ["file_url"],
+    )
+    got = {
+        r["file_url"]: r["md5sum"]
+        for r in streaming_md5(
+            urls, client_factory=_make_fake_client_factory(objects), chunk_bytes=7
+        ).collect()
+    }
+    assert got["s3://bkt/data/empty.txt"] == hashlib.md5(b"").hexdigest()
+    assert got["s3://bkt/data/missing.txt"] is None
+    assert got["s3://bkt/data/a.bam"] == hashlib.md5(b"hello world").hexdigest()
+
+
 def test_plan_moves_multipart_threshold(spark):
     from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.s3 import (
         plan_moves,
