@@ -1,0 +1,354 @@
+"""CCDI → CDS flattening: the reference's hardest relational workload.
+
+Reference: src/s3_ccdi_to_cds.py:299-729 — every file row is walked
+back to a terminal {participant|study} level through a catalog of 14
+NAMED join chains (file→sample→pdx→sample→participant, …), the
+results are unioned, and per-column join conflicts resolve
+parent-wins — EXCEPT ``anatomic_site``, which reverses priority
+(sample's value beats the diagnosis-level value) on the five
+``participant_sample_*`` paths only (src/s3_ccdi_to_cds.py:563-681).
+The reference's own correctness invariant is file-count preservation:
+distinct (md5sum, file_name, file_url) in == out
+(src/s3_ccdi_to_cds.py:1030-1049).
+
+Spark-first design
+------------------
+
+Each hop is one equi-join whose parent side is a *node* table
+(dimension-sized in a manifest; the file union is the fact side and
+is only ever the probe side), so every hop broadcasts under AQE and
+the fact table never shuffles.  The pandas original's
+``join_node`` + ``join_file_node_cleaner`` pair (left-join, drop
+null ``file_url``) is equivalent to an inner join — encoded as such.
+Conflict resolution is a single projection of ``coalesce`` pairs per
+hop, not 130 lines of ``combine_first``.
+
+The path catalog is DATA (:data:`CDS_PATHS`), interpreted twice:
+
+- :func:`flatten_paths` renders it as DataFrame transforms;
+- :func:`render_cds_oracle_sql` renders the SAME catalog as one ANSI
+  SQL query, so the DuckDB oracle is derived from one source of
+  truth and cannot drift from the Spark plan.
+
+Scale note: 14 paths re-scan the file union; at 100 TB persist the
+file union (or let the parquet scan prune: each path pushes an
+``IsNotNull`` filter on its entry link column, so disjoint link
+populations read disjoint row groups when the table is written
+sorted/partitioned by link type).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: conflict columns whose priority flips (child wins) at the terminal
+#: participant hop of the ``participant_sample_*`` paths.
+REVERSE_COLS: tuple[str, ...] = ("anatomic_site",)
+
+
+@dataclass(frozen=True)
+class CdsPath:
+    """One named file→…→{participant|study} join chain.
+
+    ``chain`` lists (node_name, join_key) hops applied in order; the
+    file frame enters at the bottom and each hop joins the named node
+    table as the new parent.  ``reverse_site`` marks the five
+    ``participant_sample_*`` paths whose terminal hop flips
+    ``anatomic_site`` priority (src/s3_ccdi_to_cds.py:563-681).
+    """
+
+    name: str
+    chain: tuple[tuple[str, str], ...]
+    reverse_site: bool = False
+
+
+#: The reference's 14-path catalog (src/s3_ccdi_to_cds.py:695-718,
+#: `all_paths`), in the reference's union order.
+CDS_PATHS: tuple[CdsPath, ...] = (
+    CdsPath("participant_file", (("participant_level", "participant_id"),)),
+    CdsPath(
+        "participant_cell_line_file",
+        (("cell_line", "cell_line_id"), ("participant_level", "participant_id")),
+    ),
+    CdsPath(
+        "participant_cell_line_sample_file",
+        (
+            ("sample", "sample_id"),
+            ("cell_line", "cell_line_id"),
+            ("participant_level", "participant_id"),
+        ),
+    ),
+    CdsPath(
+        "participant_sample_file",
+        (("sample", "sample_id"), ("participant_level", "participant_id")),
+        reverse_site=True,
+    ),
+    CdsPath(
+        "participant_sample_pdx_file",
+        (
+            ("pdx", "pdx_id"),
+            ("sample", "sample_id"),
+            ("participant_level", "participant_id"),
+        ),
+        reverse_site=True,
+    ),
+    CdsPath(
+        "participant_sample_cell_line_file",
+        (
+            ("cell_line", "cell_line_id"),
+            ("sample", "sample_id"),
+            ("participant_level", "participant_id"),
+        ),
+        reverse_site=True,
+    ),
+    CdsPath(
+        "participant_sample_pdx_sample_file",
+        (
+            ("sample", "sample_id"),
+            ("pdx", "pdx_id"),
+            ("sample", "sample_id"),
+            ("participant_level", "participant_id"),
+        ),
+        reverse_site=True,
+    ),
+    CdsPath(
+        "participant_sample_cell_line_sample_file",
+        (
+            ("sample", "sample_id"),
+            ("cell_line", "cell_line_id"),
+            ("sample", "sample_id"),
+            ("participant_level", "participant_id"),
+        ),
+        reverse_site=True,
+    ),
+    CdsPath("study_file", (("study_level", "study_id"),)),
+    CdsPath(
+        "study_pdx_file", (("pdx", "pdx_id"), ("study_level", "study_id"))
+    ),
+    CdsPath(
+        "study_cell_line_file",
+        (("cell_line", "cell_line_id"), ("study_level", "study_id")),
+    ),
+    CdsPath(
+        "study_pdx_sample_file",
+        (
+            ("sample", "sample_id"),
+            ("pdx", "pdx_id"),
+            ("study_level", "study_id"),
+        ),
+    ),
+    CdsPath(
+        "study_cell_line_sample_file",
+        (
+            ("sample", "sample_id"),
+            ("cell_line", "cell_line_id"),
+            ("study_level", "study_id"),
+        ),
+    ),
+    CdsPath(
+        "study_sample_pdx_sample_file",
+        (
+            ("sample", "sample_id"),
+            ("pdx", "pdx_id"),
+            ("sample", "sample_id"),
+            ("study_level", "study_id"),
+        ),
+    ),
+)
+
+
+def join_hop(
+    parent: DataFrame,
+    cur: DataFrame,
+    key: str,
+    reverse_cols: tuple[str, ...] = (),
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """One chain hop: parent ⨝ cur on ``key``, conflicts parent-wins.
+
+    Mirrors ``join_node`` + ``join_file_node_cleaner``
+    (src/s3_ccdi_to_cds.py:268-296): the pandas left-join whose
+    null-``file_url`` rows are dropped afterwards is an inner join.
+    Shared columns collapse to ``coalesce(parent, child)`` (reversed
+    for ``reverse_cols`` — the ``anatomic_site`` exception).
+    """
+    shared = [c for c in parent.columns if c in cur.columns and c != key]
+    renamed = cur
+    for c in shared:
+        renamed = renamed.withColumnRenamed(c, f"{c}__child")
+    p = F.broadcast(parent) if broadcast_parent else parent
+    joined = p.join(renamed, on=key, how="inner")
+    resolved = []
+    for c in joined.columns:
+        if c.endswith("__child"):
+            continue
+        if c in shared:
+            a, b = (f"{c}__child", c) if c in reverse_cols else (c, f"{c}__child")
+            resolved.append(F.coalesce(F.col(a), F.col(b)).alias(c))
+        else:
+            resolved.append(F.col(c))
+    return joined.select(*resolved)
+
+
+def build_levels(
+    study: DataFrame,
+    study_admin: DataFrame,
+    study_personnel: DataFrame,
+    participant: DataFrame,
+    diagnosis: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """The two terminal frames (src/s3_ccdi_to_cds.py:176-219).
+
+    study_level = study ⟕ study_admin ⟕ study_personnel (study_id);
+    participant_level = study_level ⟕ participant (study_id)
+                                     ⟕ diagnosis (participant_id).
+    """
+    study_level = study.join(F.broadcast(study_admin), "study_id", "left").join(
+        F.broadcast(study_personnel), "study_id", "left"
+    )
+    participant_level = study_level.join(
+        F.broadcast(participant), "study_id", "left"
+    ).join(F.broadcast(diagnosis), "participant_id", "left")
+    return study_level, participant_level
+
+
+def flatten_paths(
+    file_df: DataFrame,
+    nodes: dict[str, DataFrame],
+    paths: tuple[CdsPath, ...] = CDS_PATHS,
+) -> DataFrame:
+    """Union of all path walks (pre-projection).
+
+    ``nodes`` must contain ``sample``, ``pdx``, ``cell_line``,
+    ``study_level``, ``participant_level``.
+    """
+    outs: list[DataFrame] = []
+    for path in paths:
+        cur = file_df
+        for i, (node, key) in enumerate(path.chain):
+            terminal = i == len(path.chain) - 1
+            rev = REVERSE_COLS if (path.reverse_site and terminal) else ()
+            cur = join_hop(nodes[node], cur, key, reverse_cols=rev)
+        outs.append(cur)
+    result = outs[0]
+    for other in outs[1:]:
+        result = result.unionByName(other, allowMissingColumns=True)
+    return result
+
+
+def cds_metadata(
+    file_df: DataFrame,
+    nodes: dict[str, DataFrame],
+    final_cols: list[str],
+    required_cols: list[str],
+    paths: tuple[CdsPath, ...] = CDS_PATHS,
+) -> DataFrame:
+    """The full CDS Metadata frame.
+
+    Post-union shaping mirrors src/s3_ccdi_to_cds.py:729-1035:
+    keep PI personnel rows, project the template columns, null
+    ``anatomic_site`` when ``sample_id`` is null (the reference's
+    "minor fix"), fill required props with "Not Applicable", dedup.
+    """
+    flat = flatten_paths(file_df, nodes, paths)
+    flat = flat.filter(F.col("personnel_type") == "PI")
+    proj = flat.select(
+        *[
+            F.col(c) if c in flat.columns else F.lit(None).cast("string").alias(c)
+            for c in final_cols
+        ]
+    )
+    proj = proj.withColumn(
+        "anatomic_site",
+        F.when(F.col("sample_id").isNull(), F.lit(None)).otherwise(
+            F.col("anatomic_site")
+        ),
+    )
+    for c in required_cols:
+        proj = proj.withColumn(c, F.coalesce(F.col(c), F.lit("Not Applicable")))
+    return proj.dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# Oracle renderer — the SAME catalog as one SQL string
+# ---------------------------------------------------------------------------
+
+
+def _sql_path(
+    path: CdsPath,
+    node_cols: dict[str, list[str]],
+    file_cols: list[str],
+    file_rel: str = "file_node",
+) -> tuple[str, list[str]]:
+    cur_sql = f"SELECT * FROM {file_rel}"
+    cur_cols = list(file_cols)
+    for i, (node, key) in enumerate(path.chain):
+        terminal = i == len(path.chain) - 1
+        pcols = node_cols[node]
+        shared = [c for c in pcols if c in cur_cols and c != key]
+        sel = [f"p.{key} AS {key}"]
+        for c in pcols:
+            if c == key:
+                continue
+            if c in shared:
+                if path.reverse_site and terminal and c in REVERSE_COLS:
+                    sel.append(f"COALESCE(ch.{c}, p.{c}) AS {c}")
+                else:
+                    sel.append(f"COALESCE(p.{c}, ch.{c}) AS {c}")
+            else:
+                sel.append(f"p.{c} AS {c}")
+        for c in cur_cols:
+            if c != key and c not in shared:
+                sel.append(f"ch.{c} AS {c}")
+        cur_sql = (
+            f"SELECT {', '.join(sel)} FROM {node} p "
+            f"JOIN ({cur_sql}) ch ON p.{key} = ch.{key}"
+        )
+        cur_cols = (
+            [key]
+            + [c for c in pcols if c != key]
+            + [c for c in cur_cols if c != key and c not in shared]
+        )
+    return cur_sql, cur_cols
+
+
+def render_cds_oracle_sql(
+    node_ctes: str,
+    node_cols: dict[str, list[str]],
+    file_cols: list[str],
+    final_cols: list[str],
+    required_cols: list[str],
+    paths: tuple[CdsPath, ...] = CDS_PATHS,
+) -> str:
+    """Render the whole flattening as one DuckDB query.
+
+    ``node_ctes`` supplies the WITH-clause body defining relations
+    ``file_node``, ``sample``, ``pdx``, ``cell_line``,
+    ``study_level``, ``participant_level`` over the driver tables.
+    """
+    arms = []
+    for path in paths:
+        sql, cols = _sql_path(path, node_cols, file_cols)
+        sel = [
+            (c if c in cols else f"CAST(NULL AS VARCHAR) AS {c}")
+            for c in final_cols + ["personnel_type"]
+        ]
+        arms.append(f"SELECT {', '.join(sel)} FROM ({sql})")
+    union = "\nUNION ALL\n".join(arms)
+    outer = []
+    for c in final_cols:
+        expr = c
+        if c == "anatomic_site":
+            expr = f"CASE WHEN sample_id IS NULL THEN NULL ELSE {c} END"
+        if c in required_cols:
+            expr = f"COALESCE({expr}, 'Not Applicable')"
+        outer.append(f"{expr} AS {c}" if expr != c else c)
+    return (
+        f"WITH {node_ctes}\n"
+        f"SELECT DISTINCT {', '.join(outer)}\n"
+        f"FROM ({union})\n"
+        f"WHERE personnel_type = 'PI'"
+    )

@@ -2515,3 +2515,831 @@ def text_fingerprint_md5(spark, sf_dir):
         F.transform(F.col("__sh__"), lambda s: F.md5(F.encode(s, "UTF-8")))
     )
     return staged.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Composed CDS flattening (J3 at full reference fidelity):
+# the 14-path catalog + parent-wins/anatomic_site-reversed conflict
+# table from src/s3_ccdi_to_cds.py:299-729,563-681 over a synthetic
+# CCDI graph derived from the star schema.  The graph plants every
+# link topology the path catalog can traverse: direct samples,
+# pdx/cell_line indirection (one and two sample hops), files linking
+# at sample/pdx/cell_line/participant/study level.
+# ---------------------------------------------------------------------------
+
+_CDS_NODE_COLS: dict[str, list[str]] = {
+    "sample": [
+        "sample_id", "participant_id", "pdx_id", "cell_line_id",
+        "study_id", "anatomic_site",
+    ],
+    "pdx": ["pdx_id", "sample_id", "study_id", "passage_number"],
+    "cell_line": [
+        "cell_line_id", "sample_id", "participant_id", "study_id",
+        "cell_line_source",
+    ],
+    "study_level": [
+        "study_id", "study_title", "study_status", "personnel_type",
+        "personnel_name",
+    ],
+    "participant_level": [
+        "study_id", "study_title", "study_status", "personnel_type",
+        "personnel_name", "participant_id", "sex_at_birth", "anatomic_site",
+    ],
+}
+
+_CDS_FILE_COLS: list[str] = [
+    "file_name", "file_url", "md5sum", "file_size", "file_type",
+    "sample_id", "pdx_id", "cell_line_id", "participant_id", "study_id",
+]
+
+_CDS_FINAL_COLS: list[str] = [
+    "study_id", "study_title", "study_status", "personnel_name",
+    "participant_id", "sex_at_birth", "sample_id", "anatomic_site",
+    "file_name", "file_type", "file_size", "md5sum", "file_url",
+]
+
+#: the CDS template's required props → "Not Applicable" fill
+#: (src/s3_ccdi_to_cds.py:1020-1028)
+_CDS_REQUIRED_COLS: list[str] = ["participant_id", "sex_at_birth", "anatomic_site"]
+
+_CDS_NODE_CTES = """cust_study AS (
+  SELECT c_custkey AS cust, r_name AS st
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey),
+ob AS (
+  SELECT o_orderkey AS k, cust, st
+  FROM orders JOIN cust_study ON o_custkey = cust),
+sample AS (
+  SELECT 'S' || CAST(k AS VARCHAR) AS sample_id,
+         'P' || CAST(cust AS VARCHAR) AS participant_id,
+         CAST(NULL AS VARCHAR) AS pdx_id,
+         CAST(NULL AS VARCHAR) AS cell_line_id,
+         CAST(NULL AS VARCHAR) AS study_id,
+         'site-' || CAST(k % 4 AS VARCHAR) AS anatomic_site
+  FROM ob WHERE k % 5 <> 0
+  UNION ALL
+  SELECT 'S' || CAST(k AS VARCHAR), NULL, 'X' || CAST(k AS VARCHAR), NULL,
+         NULL, 'site-' || CAST(k % 4 AS VARCHAR)
+  FROM ob WHERE k % 10 = 0
+  UNION ALL
+  SELECT 'S' || CAST(k AS VARCHAR), NULL, NULL, 'C' || CAST(k AS VARCHAR),
+         NULL, 'site-' || CAST(k % 4 AS VARCHAR)
+  FROM ob WHERE k % 10 = 5
+  UNION ALL
+  SELECT 'SB' || CAST(k AS VARCHAR),
+         CASE WHEN k % 40 <> 20 THEN 'P' || CAST(cust AS VARCHAR) END,
+         NULL, NULL,
+         CASE WHEN k % 40 = 20 THEN st END,
+         'bsite-' || CAST(k % 8 AS VARCHAR)
+  FROM ob WHERE k % 40 IN (0, 5, 20, 25)),
+pdx AS (
+  SELECT 'X' || CAST(k AS VARCHAR) AS pdx_id,
+         CASE WHEN k % 20 = 0 THEN 'SB' || CAST(k AS VARCHAR) END AS sample_id,
+         CASE WHEN k % 20 = 10 THEN st END AS study_id,
+         'psg-' || CAST(k % 7 AS VARCHAR) AS passage_number
+  FROM ob WHERE k % 10 = 0),
+cell_line AS (
+  SELECT 'C' || CAST(k AS VARCHAR) AS cell_line_id,
+         CASE WHEN k % 20 = 5 THEN 'SB' || CAST(k AS VARCHAR) END AS sample_id,
+         CASE WHEN k % 40 = 15 THEN 'P' || CAST(cust AS VARCHAR) END AS participant_id,
+         CASE WHEN k % 40 = 35 THEN st END AS study_id,
+         'src-' || CAST(k % 3 AS VARCHAR) AS cell_line_source
+  FROM ob WHERE k % 10 = 5),
+participant AS (
+  SELECT 'P' || CAST(cust AS VARCHAR) AS participant_id, st AS study_id,
+         CASE WHEN cust % 2 = 0 THEN 'Female' ELSE 'Male' END AS sex_at_birth
+  FROM cust_study),
+diagnosis AS (
+  SELECT 'P' || CAST(cust AS VARCHAR) AS participant_id,
+         'dx-' || CAST(cust % 5 AS VARCHAR) AS anatomic_site
+  FROM cust_study WHERE cust % 3 = 0),
+study_level AS (
+  SELECT s.study_id, s.study_title, a.study_status,
+         p.personnel_type, p.personnel_name
+  FROM (SELECT r_name AS study_id, 'Study ' || r_name AS study_title
+        FROM region) s
+  LEFT JOIN (SELECT r_name AS study_id,
+                    CASE WHEN r_regionkey % 2 = 0 THEN 'Active'
+                         ELSE 'Closed' END AS study_status
+             FROM region) a ON s.study_id = a.study_id
+  LEFT JOIN (SELECT r_name AS study_id, 'PI' AS personnel_type,
+                    'pi-' || r_name AS personnel_name FROM region
+             UNION ALL
+             SELECT r_name, 'Co-PI', 'copi-' || r_name FROM region) p
+         ON s.study_id = p.study_id),
+participant_level AS (
+  SELECT sl.study_id, sl.study_title, sl.study_status, sl.personnel_type,
+         sl.personnel_name, pt.participant_id, pt.sex_at_birth,
+         d.anatomic_site
+  FROM study_level sl
+  LEFT JOIN participant pt ON sl.study_id = pt.study_id
+  LEFT JOIN diagnosis d ON pt.participant_id = d.participant_id),
+file_node AS (
+  SELECT 'f_' || CAST(k AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)
+           || '.bam' AS file_name,
+         's3://cds/' || CAST(k AS VARCHAR) || '/f_' || CAST(k AS VARCHAR)
+           || '_' || CAST(l_linenumber AS VARCHAR) || '.bam' AS file_url,
+         md5(CAST(k AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS md5sum,
+         (k % 1000) * 100 + l_linenumber AS file_size,
+         'bam' AS file_type,
+         CASE WHEN l_linenumber <= 4 OR (l_linenumber = 6 AND k % 5 <> 0)
+                OR (l_linenumber = 6 AND k % 40 = 20)
+              THEN 'S' || CAST(k AS VARCHAR) END AS sample_id,
+         CASE WHEN l_linenumber = 6 AND k % 10 = 0 AND k % 40 <> 20
+              THEN 'X' || CAST(k AS VARCHAR) END AS pdx_id,
+         CASE WHEN l_linenumber = 6 AND k % 10 = 5
+              THEN 'C' || CAST(k AS VARCHAR) END AS cell_line_id,
+         CASE WHEN l_linenumber = 7
+              THEN 'P' || CAST(cust AS VARCHAR) END AS participant_id,
+         CASE WHEN l_linenumber = 5 THEN st END AS study_id
+  FROM lineitem JOIN ob ON l_orderkey = k)"""
+
+
+def _cds_graph(spark, sf_dir) -> dict[str, DataFrame]:
+    """Spark twin of :data:`_CDS_NODE_CTES` — same graph, same values."""
+    orders, customer, nation, region, lineitem = _t(
+        spark, sf_dir, "orders", "customer", "nation", "region", "lineitem"
+    )
+    cust_study = (
+        customer.join(
+            F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select(F.col("c_custkey").alias("cust"), F.col("r_name").alias("st"))
+    )
+    ob = orders.join(
+        F.broadcast(cust_study), orders["o_custkey"] == cust_study["cust"]
+    ).select(F.col("o_orderkey").alias("k"), "cust", "st")
+
+    k = F.col("k")
+    s_id = F.concat(F.lit("S"), k.cast("string"))
+    sb_id = F.concat(F.lit("SB"), k.cast("string"))
+    p_id = F.concat(F.lit("P"), F.col("cust").cast("string"))
+    x_id = F.concat(F.lit("X"), k.cast("string"))
+    c_id = F.concat(F.lit("C"), k.cast("string"))
+    site = F.concat(F.lit("site-"), (k % 4).cast("string"))
+    bsite = F.concat(F.lit("bsite-"), (k % 8).cast("string"))
+    null_s = F.lit(None).cast("string")
+
+    sample = (
+        ob.filter(k % 5 != 0)
+        .select(
+            s_id.alias("sample_id"), p_id.alias("participant_id"),
+            null_s.alias("pdx_id"), null_s.alias("cell_line_id"),
+            null_s.alias("study_id"), site.alias("anatomic_site"),
+        )
+        .unionByName(
+            ob.filter(k % 10 == 0).select(
+                s_id.alias("sample_id"), null_s.alias("participant_id"),
+                x_id.alias("pdx_id"), null_s.alias("cell_line_id"),
+                null_s.alias("study_id"), site.alias("anatomic_site"),
+            )
+        )
+        .unionByName(
+            ob.filter(k % 10 == 5).select(
+                s_id.alias("sample_id"), null_s.alias("participant_id"),
+                null_s.alias("pdx_id"), c_id.alias("cell_line_id"),
+                null_s.alias("study_id"), site.alias("anatomic_site"),
+            )
+        )
+        .unionByName(
+            ob.filter((k % 40).isin(0, 5, 20, 25)).select(
+                sb_id.alias("sample_id"),
+                F.when(k % 40 != 20, p_id).alias("participant_id"),
+                null_s.alias("pdx_id"), null_s.alias("cell_line_id"),
+                F.when(k % 40 == 20, F.col("st")).alias("study_id"),
+                bsite.alias("anatomic_site"),
+            )
+        )
+    )
+    pdx = ob.filter(k % 10 == 0).select(
+        x_id.alias("pdx_id"),
+        F.when(k % 20 == 0, sb_id).alias("sample_id"),
+        F.when(k % 20 == 10, F.col("st")).alias("study_id"),
+        F.concat(F.lit("psg-"), (k % 7).cast("string")).alias("passage_number"),
+    )
+    cell_line = ob.filter(k % 10 == 5).select(
+        c_id.alias("cell_line_id"),
+        F.when(k % 20 == 5, sb_id).alias("sample_id"),
+        F.when(k % 40 == 15, p_id).alias("participant_id"),
+        F.when(k % 40 == 35, F.col("st")).alias("study_id"),
+        F.concat(F.lit("src-"), (k % 3).cast("string")).alias("cell_line_source"),
+    )
+    participant = cust_study.select(
+        F.concat(F.lit("P"), F.col("cust").cast("string")).alias("participant_id"),
+        F.col("st").alias("study_id"),
+        F.when(F.col("cust") % 2 == 0, "Female")
+        .otherwise("Male")
+        .alias("sex_at_birth"),
+    )
+    diagnosis = cust_study.filter(F.col("cust") % 3 == 0).select(
+        F.concat(F.lit("P"), F.col("cust").cast("string")).alias("participant_id"),
+        F.concat(F.lit("dx-"), (F.col("cust") % 5).cast("string")).alias(
+            "anatomic_site"
+        ),
+    )
+    study = region.select(
+        F.col("r_name").alias("study_id"),
+        F.concat(F.lit("Study "), F.col("r_name")).alias("study_title"),
+    )
+    study_admin = region.select(
+        F.col("r_name").alias("study_id"),
+        F.when(F.col("r_regionkey") % 2 == 0, "Active")
+        .otherwise("Closed")
+        .alias("study_status"),
+    )
+    study_personnel = region.select(
+        F.col("r_name").alias("study_id"),
+        F.lit("PI").alias("personnel_type"),
+        F.concat(F.lit("pi-"), F.col("r_name")).alias("personnel_name"),
+    ).unionByName(
+        region.select(
+            F.col("r_name").alias("study_id"),
+            F.lit("Co-PI").alias("personnel_type"),
+            F.concat(F.lit("copi-"), F.col("r_name")).alias("personnel_name"),
+        )
+    )
+    j = F.col("j")
+    fname = F.concat(
+        F.lit("f_"), k.cast("string"), F.lit("_"), j.cast("string"), F.lit(".bam")
+    )
+    file_node = (
+        lineitem.select(
+            F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("j")
+        )
+        .join(ob, on="k")
+        .select(
+            fname.alias("file_name"),
+            F.concat(
+                F.lit("s3://cds/"), k.cast("string"), F.lit("/"), fname
+            ).alias("file_url"),
+            F.md5(
+                F.encode(
+                    F.concat(k.cast("string"), F.lit("-"), j.cast("string")),
+                    "UTF-8",
+                )
+            ).alias("md5sum"),
+            ((k % 1000) * 100 + j).cast("long").alias("file_size"),
+            F.lit("bam").alias("file_type"),
+            # j==6 pdx links are only planted where the catalog can
+            # route them (pdx→SB→participant or pdx→study); a pdx
+            # whose base sample is study-linked (k%40==20) has no
+            # file→pdx→sample→study path in the reference catalog,
+            # so those files link their sample instead (→ path 14).
+            F.when(
+                (j <= 4)
+                | ((j == 6) & (k % 5 != 0))
+                | ((j == 6) & (k % 40 == 20)),
+                s_id,
+            ).alias("sample_id"),
+            F.when((j == 6) & (k % 10 == 0) & (k % 40 != 20), x_id).alias(
+                "pdx_id"
+            ),
+            F.when((j == 6) & (k % 10 == 5), c_id).alias("cell_line_id"),
+            F.when(j == 7, p_id).alias("participant_id"),
+            F.when(j == 5, F.col("st")).alias("study_id"),
+        )
+    )
+    return {
+        "sample": sample,
+        "pdx": pdx,
+        "cell_line": cell_line,
+        "participant": participant,
+        "diagnosis": diagnosis,
+        "study": study,
+        "study_admin": study_admin,
+        "study_personnel": study_personnel,
+        "file": file_node,
+    }
+
+
+def _cds_oracle() -> str:
+    from .plans.cds import render_cds_oracle_sql
+
+    return render_cds_oracle_sql(
+        _CDS_NODE_CTES,
+        _CDS_NODE_COLS,
+        _CDS_FILE_COLS,
+        _CDS_FINAL_COLS,
+        _CDS_REQUIRED_COLS,
+    )
+
+
+@register(
+    "cds_flatten",
+    _cds_oracle(),
+    "J3 composed: the reference's 14-path CDS flattening with the real "
+    "parent-wins/anatomic_site-reversed conflict table "
+    "(src/s3_ccdi_to_cds.py:299-729,563-681); oracle SQL is generated "
+    "from the same path catalog",
+)
+def cds_flatten(spark, sf_dir):
+    from .plans.cds import build_levels, cds_metadata
+
+    g = _cds_graph(spark, sf_dir)
+    study_level, participant_level = build_levels(
+        g["study"], g["study_admin"], g["study_personnel"],
+        g["participant"], g["diagnosis"],
+    )
+    nodes = {
+        "sample": g["sample"],
+        "pdx": g["pdx"],
+        "cell_line": g["cell_line"],
+        "study_level": study_level,
+        "participant_level": participant_level,
+    }
+    return cds_metadata(
+        g["file"], nodes, _CDS_FINAL_COLS, _CDS_REQUIRED_COLS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed CCDI→SRA submission (src/s3_ccdi_to_sra.py:1338-1585):
+# trim/dedup → F6 enum battery + F14 pad → filetype filter →
+# verification → A10 guard → W3-unpivot previous + U2 keep-last →
+# F18 filename uniquify → W2 spread.  plans/sra.py is the engine;
+# the oracle mirrors it stage for stage.
+# ---------------------------------------------------------------------------
+
+_SRA_ATTR_COLS: list[str] = [
+    "library_strategy", "library_source", "library_selection",
+    "library_layout", "platform", "instrument_model",
+    "design_description", "phs_accession", "study_name",
+]
+
+_SRA_ATTR_SQL = """'S' || CAST(k AS VARCHAR) AS sample_ID,
+         'L' || CAST(k AS VARCHAR) || '_1' AS library_ID,
+         'T ' || CAST(k AS VARCHAR) AS title,
+         CASE k % 3 WHEN 0 THEN 'WGS' WHEN 1 THEN 'WXS'
+              ELSE 'RNA-Seq' END AS library_strategy,
+         CASE k % 2 WHEN 0 THEN 'GENOMIC'
+              ELSE 'TRANSCRIPTOMIC' END AS library_source,
+         CASE k % 3 WHEN 0 THEN 'RANDOM' WHEN 1 THEN 'Hybrid Selection'
+              ELSE 'PCR' END AS library_selection,
+         'paired' AS library_layout,
+         CASE k % 4 WHEN 0 THEN 'ILLUMINA' WHEN 1 THEN 'ION_TORRENT'
+              WHEN 2 THEN 'PACBIO_SMRT'
+              ELSE 'OXFORD_NANOPORE' END AS platform,
+         'model-' || CAST(k % 5 AS VARCHAR) AS instrument_model,
+         rpad('dd ' || CAST(k AS VARCHAR), 250, ' ') || '.' AS design_description,
+         'phs000123' AS phs_accession,
+         'Study CCDI Synthetic' AS study_name"""
+
+_SRA_ORACLE = f"""WITH seq0 AS (
+  SELECT DISTINCT l_orderkey AS k, l_linenumber AS j FROM lineitem),
+raw AS (
+  SELECT 'S' || CAST(k AS VARCHAR) AS sample_ID,
+         CASE WHEN k % 50 = 0 AND j % 2 = 1
+              THEN 'SHARED_' || CAST(k % 7 AS VARCHAR)
+              ELSE 'L' || CAST(k AS VARCHAR) || '_'
+                   || CAST(j % 2 AS VARCHAR) END AS library_ID,
+         CASE WHEN k % 33 = 0 THEN NULL
+              ELSE 'T ' || CAST(k AS VARCHAR) END AS title,
+         CASE k % 3 WHEN 0 THEN 'WGS' WHEN 1 THEN 'WXS'
+              ELSE 'RNA-Seq' END AS library_strategy,
+         CASE k % 2 WHEN 0 THEN 'GENOMIC'
+              ELSE 'TRANSCRIPTOMIC' END AS library_source,
+         CASE k % 3 WHEN 0 THEN 'Random' WHEN 1 THEN 'Hybrid Selection'
+              ELSE 'PCR' END AS sel_raw,
+         CASE j % 2 WHEN 1 THEN 'Paired end'
+              ELSE 'Single end' END AS layout_raw,
+         CASE k % 4 WHEN 0 THEN 'Illumina NovaSeq 6000'
+              WHEN 1 THEN 'Ion Torrent S5' WHEN 2 THEN 'PacBio Sequel II'
+              ELSE 'Oxford Nanopore PromethION' END AS platform_raw,
+         'model-' || CAST(k % 5 AS VARCHAR) AS instrument_model,
+         'dd ' || CAST(k AS VARCHAR) AS dd_raw,
+         CASE WHEN j = 3 THEN 'txt' WHEN j % 2 = 0 THEN 'bam'
+              ELSE 'fastq' END AS filetype,
+         CASE WHEN k % 25 = 0 AND j = 1 THEN 'common.fastq'
+              ELSE 'sq_' || CAST(k AS VARCHAR) || '_' || CAST(j AS VARCHAR)
+                   || '.' || CASE WHEN j = 3 THEN 'txt'
+                                  WHEN j % 2 = 0 THEN 'bam'
+                                  ELSE 'fastq' END END AS filename,
+         md5(CAST(k AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS MD5_checksum,
+         'phs000123' AS phs_accession,
+         'Study CCDI Synthetic' AS study_name
+  FROM seq0),
+normalized AS (
+  SELECT sample_ID, library_ID, title, library_strategy, library_source,
+         CASE sel_raw WHEN 'Random' THEN 'RANDOM'
+              ELSE sel_raw END AS library_selection,
+         CASE layout_raw WHEN 'Paired end' THEN 'paired'
+              WHEN 'Single end' THEN 'single'
+              ELSE layout_raw END AS library_layout,
+         CASE WHEN platform_raw LIKE 'Illumina%' THEN 'ILLUMINA'
+              WHEN platform_raw LIKE 'Ion%' THEN 'ION_TORRENT'
+              WHEN platform_raw LIKE 'PacBio%' THEN 'PACBIO_SMRT'
+              WHEN platform_raw LIKE 'Oxford%' THEN 'OXFORD_NANOPORE'
+              ELSE 'OTHER' END AS platform,
+         instrument_model,
+         rpad(COALESCE(dd_raw, ''), 250, ' ') || '.' AS design_description,
+         phs_accession, study_name, filetype, filename, MD5_checksum
+  FROM raw
+  WHERE filetype IN ('bam', 'fastq', 'cram')
+    AND sample_ID IS NOT NULL AND library_ID IS NOT NULL
+    AND title IS NOT NULL),
+guarded AS (
+  SELECT * FROM normalized WHERE library_ID NOT IN (
+    SELECT library_ID FROM normalized
+    GROUP BY library_ID HAVING COUNT(DISTINCT sample_ID) > 1)),
+prevk AS (
+  SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_orderkey % 10 = 3),
+prev_long AS (
+  SELECT {_SRA_ATTR_SQL},
+         'fastq' AS filetype,
+         'sq_' || CAST(k AS VARCHAR) || '_1.fastq' AS filename,
+         md5('old:' || CAST(k AS VARCHAR)) AS MD5_checksum
+  FROM prevk
+  UNION ALL
+  SELECT {_SRA_ATTR_SQL},
+         'bam', 'prev_' || CAST(k AS VARCHAR) || '.bam',
+         md5('prev:' || CAST(k AS VARCHAR))
+  FROM prevk),
+unioned AS (
+  SELECT sample_ID, library_ID, title, library_strategy, library_source,
+         library_selection, library_layout, platform, instrument_model,
+         design_description, phs_accession, study_name,
+         filetype, filename, MD5_checksum, 1 AS pri
+  FROM guarded
+  UNION ALL
+  SELECT sample_ID, library_ID, title, library_strategy, library_source,
+         library_selection, library_layout, platform, instrument_model,
+         design_description, phs_accession, study_name,
+         filetype, filename, MD5_checksum, 0
+  FROM prev_long),
+kept AS (
+  SELECT sample_ID, library_ID, title, library_strategy, library_source,
+         library_selection, library_layout, platform, instrument_model,
+         design_description, phs_accession, study_name,
+         filetype, filename, MD5_checksum
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY library_ID, filename
+          ORDER BY pri DESC, MD5_checksum) AS rn
+        FROM unioned)
+  WHERE rn = 1),
+renamed AS (
+  SELECT sample_ID, library_ID, title, library_strategy, library_source,
+         library_selection, library_layout, platform, instrument_model,
+         design_description, phs_accession, study_name, filetype,
+         CASE WHEN COUNT(*) OVER (PARTITION BY filename) > 1
+              THEN substr(MD5_checksum, 29, 4) || '_' || filename
+              ELSE filename END AS filename,
+         MD5_checksum
+  FROM kept),
+slotted AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY library_ID ORDER BY filename) AS slot
+  FROM renamed)
+SELECT library_ID,
+       MAX(sample_ID) AS sample_ID, MAX(title) AS title,
+       MAX(library_strategy) AS library_strategy,
+       MAX(library_source) AS library_source,
+       MAX(library_selection) AS library_selection,
+       MAX(library_layout) AS library_layout,
+       MAX(platform) AS platform,
+       MAX(instrument_model) AS instrument_model,
+       MAX(design_description) AS design_description,
+       MAX(phs_accession) AS phs_accession,
+       MAX(study_name) AS study_name,
+       MAX(CASE WHEN slot = 1 THEN filetype END) AS "filetype.1",
+       MAX(CASE WHEN slot = 1 THEN filename END) AS "filename.1",
+       MAX(CASE WHEN slot = 1 THEN MD5_checksum END) AS "MD5_checksum.1",
+       MAX(CASE WHEN slot = 2 THEN filetype END) AS "filetype.2",
+       MAX(CASE WHEN slot = 2 THEN filename END) AS "filename.2",
+       MAX(CASE WHEN slot = 2 THEN MD5_checksum END) AS "MD5_checksum.2",
+       MAX(CASE WHEN slot = 3 THEN filetype END) AS "filetype.3",
+       MAX(CASE WHEN slot = 3 THEN filename END) AS "filename.3",
+       MAX(CASE WHEN slot = 3 THEN MD5_checksum END) AS "MD5_checksum.3",
+       MAX(CASE WHEN slot = 4 THEN filetype END) AS "filetype.4",
+       MAX(CASE WHEN slot = 4 THEN filename END) AS "filename.4",
+       MAX(CASE WHEN slot = 4 THEN MD5_checksum END) AS "MD5_checksum.4"
+FROM slotted GROUP BY library_ID"""
+
+
+def _sra_seq_node(spark, sf_dir) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    seq0 = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("j")
+    ).distinct()
+    k, j = F.col("k"), F.col("j")
+    ks, js = k.cast("string"), j.cast("string")
+    filetype = (
+        F.when(j == 3, "txt").when(j % 2 == 0, "bam").otherwise("fastq")
+    )
+    return seq0.select(
+        F.concat(F.lit("S"), ks).alias("sample_ID"),
+        F.when(
+            (k % 50 == 0) & (j % 2 == 1),
+            F.concat(F.lit("SHARED_"), (k % 7).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("L"), ks, F.lit("_"), (j % 2).cast("string"))
+        )
+        .alias("library_ID"),
+        F.when(k % 33 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("T "), ks))
+        .alias("title"),
+        F.when(k % 3 == 0, "WGS")
+        .when(k % 3 == 1, "WXS")
+        .otherwise("RNA-Seq")
+        .alias("library_strategy"),
+        F.when(k % 2 == 0, "GENOMIC")
+        .otherwise("TRANSCRIPTOMIC")
+        .alias("library_source"),
+        F.when(k % 3 == 0, "Random")
+        .when(k % 3 == 1, "Hybrid Selection")
+        .otherwise("PCR")
+        .alias("sel_raw"),
+        F.when(j % 2 == 1, "Paired end").otherwise("Single end").alias("layout_raw"),
+        F.when(k % 4 == 0, "Illumina NovaSeq 6000")
+        .when(k % 4 == 1, "Ion Torrent S5")
+        .when(k % 4 == 2, "PacBio Sequel II")
+        .otherwise("Oxford Nanopore PromethION")
+        .alias("platform_raw"),
+        F.concat(F.lit("model-"), (k % 5).cast("string")).alias("instrument_model"),
+        F.concat(F.lit("dd "), ks).alias("dd_raw"),
+        filetype.alias("filetype"),
+        F.when((k % 25 == 0) & (j == 1), F.lit("common.fastq"))
+        .otherwise(
+            F.concat(F.lit("sq_"), ks, F.lit("_"), js, F.lit("."), filetype)
+        )
+        .alias("filename"),
+        F.md5(F.encode(F.concat(ks, F.lit(":"), js), "UTF-8")).alias(
+            "MD5_checksum"
+        ),
+        F.lit("phs000123").alias("phs_accession"),
+        F.lit("Study CCDI Synthetic").alias("study_name"),
+    )
+
+
+def _sra_prev_wide(spark, sf_dir) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    prevk = (
+        lineitem.select(F.col("l_orderkey").alias("k"))
+        .filter(F.col("k") % 10 == 3)
+        .distinct()
+    )
+    k = F.col("k")
+    ks = k.cast("string")
+    return prevk.select(
+        F.concat(F.lit("S"), ks).alias("sample_ID"),
+        F.concat(F.lit("L"), ks, F.lit("_1")).alias("library_ID"),
+        F.concat(F.lit("T "), ks).alias("title"),
+        F.when(k % 3 == 0, "WGS")
+        .when(k % 3 == 1, "WXS")
+        .otherwise("RNA-Seq")
+        .alias("library_strategy"),
+        F.when(k % 2 == 0, "GENOMIC")
+        .otherwise("TRANSCRIPTOMIC")
+        .alias("library_source"),
+        F.when(k % 3 == 0, "RANDOM")
+        .when(k % 3 == 1, "Hybrid Selection")
+        .otherwise("PCR")
+        .alias("library_selection"),
+        F.lit("paired").alias("library_layout"),
+        F.when(k % 4 == 0, "ILLUMINA")
+        .when(k % 4 == 1, "ION_TORRENT")
+        .when(k % 4 == 2, "PACBIO_SMRT")
+        .otherwise("OXFORD_NANOPORE")
+        .alias("platform"),
+        F.concat(F.lit("model-"), (k % 5).cast("string")).alias("instrument_model"),
+        F.concat(
+            F.rpad(F.concat(F.lit("dd "), ks), 250, " "), F.lit(".")
+        ).alias("design_description"),
+        F.lit("phs000123").alias("phs_accession"),
+        F.lit("Study CCDI Synthetic").alias("study_name"),
+        F.lit("fastq").alias("filetype.1"),
+        F.concat(F.lit("sq_"), ks, F.lit("_1.fastq")).alias("filename.1"),
+        F.md5(F.encode(F.concat(F.lit("old:"), ks), "UTF-8")).alias(
+            "MD5_checksum.1"
+        ),
+        F.lit("bam").alias("filetype.2"),
+        F.concat(F.lit("prev_"), ks, F.lit(".bam")).alias("filename.2"),
+        F.md5(F.encode(F.concat(F.lit("prev:"), ks), "UTF-8")).alias(
+            "MD5_checksum.2"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed CCDI→dbGaP SC/SSM/SA triple (src/s3_ccdi_to_dbgap.py:33-321,
+# 444-497): SSM re-parent through pdx/cell_line indirection (the
+# deep_search shape, via operators.joins.iterative_resolve), SC with
+# F16 sex/consent encodings semi-filtered to subjects-with-samples,
+# SA semi-filtered to mapped samples, then plain-dedup union with a
+# previous submission.  One discriminated frame carries all three
+# files so the oracle hash-checks the whole triple.
+# ---------------------------------------------------------------------------
+
+_DBGAP_ORACLE = f"""WITH {_CDS_NODE_CTES},
+ssm0 AS (
+  SELECT DISTINCT SUBJECT_ID, SAMPLE_ID FROM (
+    SELECT participant_id AS SUBJECT_ID, sample_id AS SAMPLE_ID
+    FROM sample WHERE participant_id IS NOT NULL
+    UNION ALL
+    SELECT sb.participant_id, s.sample_id
+    FROM sample s
+    JOIN pdx x ON s.pdx_id = x.pdx_id
+    JOIN sample sb ON x.sample_id = sb.sample_id
+    WHERE sb.participant_id IS NOT NULL
+    UNION ALL
+    SELECT sb.participant_id, s.sample_id
+    FROM sample s
+    JOIN cell_line c ON s.cell_line_id = c.cell_line_id
+    JOIN sample sb ON c.sample_id = sb.sample_id
+    WHERE sb.participant_id IS NOT NULL)
+  WHERE SUBJECT_ID IS NOT NULL AND SAMPLE_ID IS NOT NULL),
+sc0 AS (
+  SELECT DISTINCT 'P' || CAST(c_custkey AS VARCHAR) AS SUBJECT_ID,
+         CASE c_custkey % 3 WHEN 0 THEN '1' WHEN 1 THEN '2'
+              ELSE '3' END AS CONSENT,
+         CASE WHEN (CASE WHEN c_custkey % 17 = 0 THEN 'Intersex'
+                         WHEN c_custkey % 2 = 0 THEN 'Female'
+                         ELSE 'Male' END) LIKE '%Female%' THEN '2'
+              WHEN (CASE WHEN c_custkey % 17 = 0 THEN 'Intersex'
+                         WHEN c_custkey % 2 = 0 THEN 'Female'
+                         ELSE 'Male' END) LIKE '%Male%' THEN '1'
+              ELSE 'UNK' END AS SEX
+  FROM customer),
+sc AS (
+  SELECT * FROM sc0 WHERE SUBJECT_ID IN (SELECT SUBJECT_ID FROM ssm0)),
+sa0 AS (
+  SELECT DISTINCT sample_id AS SAMPLE_ID,
+         CASE WHEN anatomic_site LIKE 'b%' THEN 'Normal'
+              ELSE 'Tumor' END AS SAMPLE_TUMOR_STATUS
+  FROM sample WHERE sample_id IS NOT NULL),
+sa AS (
+  SELECT * FROM sa0 WHERE SAMPLE_ID IN (SELECT SAMPLE_ID FROM ssm0)),
+prevc AS (
+  SELECT DISTINCT c_custkey AS cust FROM customer WHERE c_custkey % 13 = 0),
+sc_all AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'P' || CAST(cust AS VARCHAR) AS SUBJECT_ID, '9' AS CONSENT,
+           'UNK' AS SEX FROM prevc
+    UNION ALL SELECT * FROM sc)),
+ssm_all AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'P' || CAST(cust AS VARCHAR) AS SUBJECT_ID,
+           'OLD_S' || CAST(cust AS VARCHAR) AS SAMPLE_ID FROM prevc
+    UNION ALL SELECT * FROM ssm0)),
+sa_all AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'OLD_S' || CAST(cust AS VARCHAR) AS SAMPLE_ID,
+           'Tumor' AS SAMPLE_TUMOR_STATUS FROM prevc
+    UNION ALL SELECT * FROM sa))
+SELECT 'SC' AS record_type, SUBJECT_ID, CAST(NULL AS VARCHAR) AS SAMPLE_ID,
+       CONSENT, SEX, CAST(NULL AS VARCHAR) AS SAMPLE_TUMOR_STATUS
+FROM sc_all
+UNION ALL
+SELECT 'SSM', SUBJECT_ID, SAMPLE_ID, NULL, NULL, NULL FROM ssm_all
+UNION ALL
+SELECT 'SA', NULL, SAMPLE_ID, NULL, NULL, SAMPLE_TUMOR_STATUS FROM sa_all"""
+
+
+@register(
+    "ccdi_to_dbgap",
+    _DBGAP_ORACLE,
+    "composed CCDI→dbGaP SC/SSM/SA triple (src/s3_ccdi_to_dbgap.py:33-321): "
+    "SSM pdx/cell_line re-parent via iterative_resolve, F16 encodings, "
+    "semi-filters, previous-submission plain-dedup union",
+)
+def ccdi_to_dbgap(spark, sf_dir):
+    from .operators.joins import iterative_resolve, semi_join
+
+    g = _cds_graph(spark, sf_dir)
+    sample, pdx, cell_line = g["sample"], g["pdx"], g["cell_line"]
+    (customer,) = _t(spark, sf_dir, "customer")
+
+    # --- SSM: direct participant links + pdx/cell_line trace-back ---
+    with_parent = sample.filter(F.col("participant_id").isNotNull())
+    direct = with_parent.select(
+        F.col("participant_id").alias("SUBJECT_ID"),
+        F.col("sample_id").alias("SAMPLE_ID"),
+    )
+    frontier = (
+        sample.filter(F.col("participant_id").isNull())
+        .select(
+            F.col("sample_id").alias("SAMPLE_ID"),
+            F.coalesce(F.col("pdx_id"), F.col("cell_line_id")).alias("__cursor__"),
+        )
+        .filter(F.col("__cursor__").isNotNull())
+    )
+    resolved = iterative_resolve(
+        frontier,
+        parent_maps=[
+            (pdx, "pdx_id", "sample_id"),
+            (cell_line, "cell_line_id", "sample_id"),
+        ],
+        terminal_map=(with_parent, "sample_id", "participant_id"),
+        target_col="SUBJECT_ID",
+    ).select("SUBJECT_ID", "SAMPLE_ID")
+    ssm = (
+        direct.unionByName(resolved)
+        .filter(F.col("SUBJECT_ID").isNotNull() & F.col("SAMPLE_ID").isNotNull())
+        .distinct()
+    )
+
+    # --- SC: F16 encodings, keep only subjects that have samples ---
+    cust = F.col("c_custkey")
+    sex_raw = (
+        F.when(cust % 17 == 0, "Intersex")
+        .when(cust % 2 == 0, "Female")
+        .otherwise("Male")
+    )
+    sc0 = customer.select(
+        F.concat(F.lit("P"), cust.cast("string")).alias("SUBJECT_ID"),
+        F.when(cust % 3 == 0, "1")
+        .when(cust % 3 == 1, "2")
+        .otherwise("3")
+        .alias("CONSENT"),
+        F.when(sex_raw.contains("Female"), "2")
+        .when(sex_raw.contains("Male"), "1")
+        .otherwise("UNK")
+        .alias("SEX"),
+    ).distinct()
+    sc = semi_join(sc0, ssm.select("SUBJECT_ID"), ["SUBJECT_ID"])
+
+    # --- SA: tumor status, keep only mapped samples ---
+    sa0 = (
+        sample.filter(F.col("sample_id").isNotNull())
+        .select(
+            F.col("sample_id").alias("SAMPLE_ID"),
+            F.when(F.col("anatomic_site").startswith("b"), "Normal")
+            .otherwise("Tumor")
+            .alias("SAMPLE_TUMOR_STATUS"),
+        )
+        .distinct()
+    )
+    sa = semi_join(sa0, ssm.select("SAMPLE_ID"), ["SAMPLE_ID"])
+
+    # --- previous submission: plain-dedup concat (no keep-last) ---
+    prevc = customer.filter(cust % 13 == 0).select(
+        cust.alias("cust")
+    ).distinct()
+    pc = F.col("cust").cast("string")
+    prev_sc = prevc.select(
+        F.concat(F.lit("P"), pc).alias("SUBJECT_ID"),
+        F.lit("9").alias("CONSENT"),
+        F.lit("UNK").alias("SEX"),
+    )
+    prev_ssm = prevc.select(
+        F.concat(F.lit("P"), pc).alias("SUBJECT_ID"),
+        F.concat(F.lit("OLD_S"), pc).alias("SAMPLE_ID"),
+    )
+    prev_sa = prevc.select(
+        F.concat(F.lit("OLD_S"), pc).alias("SAMPLE_ID"),
+        F.lit("Tumor").alias("SAMPLE_TUMOR_STATUS"),
+    )
+    sc_all = prev_sc.unionByName(sc).distinct()
+    ssm_all = prev_ssm.unionByName(ssm).distinct()
+    sa_all = prev_sa.unionByName(sa).distinct()
+
+    null_s = F.lit(None).cast("string")
+    return (
+        sc_all.select(
+            F.lit("SC").alias("record_type"),
+            "SUBJECT_ID",
+            null_s.alias("SAMPLE_ID"),
+            "CONSENT",
+            "SEX",
+            null_s.alias("SAMPLE_TUMOR_STATUS"),
+        )
+        .unionByName(
+            ssm_all.select(
+                F.lit("SSM").alias("record_type"),
+                "SUBJECT_ID",
+                "SAMPLE_ID",
+                null_s.alias("CONSENT"),
+                null_s.alias("SEX"),
+                null_s.alias("SAMPLE_TUMOR_STATUS"),
+            )
+        )
+        .unionByName(
+            sa_all.select(
+                F.lit("SA").alias("record_type"),
+                null_s.alias("SUBJECT_ID"),
+                "SAMPLE_ID",
+                null_s.alias("CONSENT"),
+                null_s.alias("SEX"),
+                "SAMPLE_TUMOR_STATUS",
+            )
+        )
+    )
+
+
+@register(
+    "ccdi_to_sra",
+    _SRA_ORACLE,
+    "composed CCDI→SRA submission plan (src/s3_ccdi_to_sra.py:1338-1585): "
+    "dedup → F6/F14 reformat → filetype filter → verification → A10 guard "
+    "→ W3+U2 previous-submission merge → F18 → W2 spread",
+)
+def ccdi_to_sra_query(spark, sf_dir):
+    from .plans.sra import ccdi_to_sra
+
+    return ccdi_to_sra(
+        _sra_seq_node(spark, sf_dir),
+        _sra_prev_wide(spark, sf_dir),
+        attr_cols=_SRA_ATTR_COLS,
+        max_files_per_library=4,
+    )

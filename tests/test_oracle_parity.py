@@ -7,6 +7,7 @@ names, and an order-insensitive value multiset.
 
 from __future__ import annotations
 
+import datetime
 import math
 
 import duckdb
@@ -34,6 +35,14 @@ def _norm_cell(v):
         if math.isnan(v):
             return "NULL"
         return f"{v:.6g}"
+    # pandas turns SQL DATE into midnight datetime64 while Spark's
+    # toPandas keeps datetime.date — the driver compares fetchall
+    # (both sides datetime.date, equal); normalize the pandas
+    # representation the same way so this harness agrees with it
+    if isinstance(v, datetime.datetime) and (
+        v.hour == v.minute == v.second == v.microsecond == 0
+    ):
+        return v.date().isoformat()
     return str(v)
 
 
