@@ -100,11 +100,40 @@ def deterministic_uuid5(
     return df.withColumn(out_col, uuid5_expr(name, seed))
 
 
+def deterministic_guid_expr(name: Column | str, namespace: str = "ccdi-dcf") -> Column:
+    """Deterministic v3-shaped UUID from ``md5(namespace || "::" || name)``.
+
+    The reference mints DCF guids with ``uuid4()`` (src/utils.py:1397-1417),
+    so there is no bit-parity to preserve; this engine substitutes a
+    deterministic mint so re-runs are idempotent and the result is
+    oracle-checkable (DuckDB's ``md5`` is VARCHAR-only, which is why the
+    namespace is folded in textually rather than as RFC-4122 namespace
+    bytes).  Same hex surgery as :func:`uuid5_expr`, version nibble ``3``.
+    """
+    n = F.col(name) if isinstance(name, str) else name
+    x = F.md5(F.encode(F.concat(F.lit(namespace + "::"), n), "UTF-8"))
+    formatted = F.concat_ws(
+        "-",
+        F.substring(x, 1, 8),
+        F.substring(x, 9, 4),
+        F.concat(F.lit("3"), F.substring(x, 14, 3)),
+        F.concat(
+            F.translate(
+                F.substring(x, 17, 1), "0123456789abcdef", "89ab89ab89ab89ab"
+            ),
+            F.substring(x, 18, 3),
+        ),
+        F.substring(x, 21, 12),
+    )
+    return F.when(n.isNotNull(), formatted)
+
+
 def mint_guids_per_group(
     df: DataFrame,
     group_cols: list[str],
     out_col: str = "dcf_indexd_guid",
     prefix: str = "dg.4DFC/",
+    mint: Column | None = None,
 ) -> DataFrame:
     """F15 random — one fresh guid per distinct group, joined back.
 
@@ -114,7 +143,17 @@ def mint_guids_per_group(
     some rows already carry a guid propagates that guid to its null
     rows, preserving the reference's one-guid-per-(file_url, md5sum)
     invariant — never two guids inside one group.
+
+    ``mint`` overrides the fresh-guid expression (evaluated on the
+    distinct-groups frame, so it may reference ``group_cols``); the
+    default is the reference's random ``uuid4``.  Pass
+    :func:`deterministic_guid_expr` over the group key for idempotent,
+    oracle-checkable minting.
     """
+    fresh = (
+        F.concat(F.lit(prefix), F.expr("uuid()")) if mint is None
+        else F.concat(F.lit(prefix), mint)
+    )
     if out_col in df.columns:
         # One aggregation over the group keys yields both the group's
         # existing guid (if any) and the distinct-group frame to mint
@@ -124,17 +163,14 @@ def mint_guids_per_group(
         )
         groups = groups.withColumn(
             "__guid__",
-            F.coalesce(
-                F.col("__existing__"),
-                F.concat(F.lit(prefix), F.expr("uuid()")),
-            ),
+            F.coalesce(F.col("__existing__"), fresh),
         ).drop("__existing__")
         joined = df.join(groups, on=group_cols, how="left")
         return joined.withColumn(out_col, F.col("__guid__")).drop("__guid__")
     distinct = (
         df.select(*group_cols)
         .dropDuplicates(group_cols)
-        .withColumn("__minted__", F.concat(F.lit(prefix), F.expr("uuid()")))
+        .withColumn("__minted__", fresh)
     )
     joined = df.join(distinct, on=group_cols, how="left")
     return joined.withColumn(out_col, F.col("__minted__")).drop("__minted__")

@@ -1,0 +1,75 @@
+"""Composed CCDI → DCF index plan.
+
+Spark re-expression of the reference's ``ccdi_to_dcf_index`` flow
+(src/utils.py:1501-1567) with its per-sheet column extraction
+(src/utils.py:1352-1456):
+
+1. per file-node sheet, keep the 8 indexing columns
+   (acl, authz, dcf_indexd_guid, md5sum, file_url, file_size, node,
+   if_guid_missing);
+2. mint one guid per distinct ``(md5sum, file_url)`` group where the
+   guid is missing (src/utils.py:1395-1417) — the reference uses
+   ``uuid4``; this engine defaults to a deterministic md5-based mint
+   (:func:`..functions.ids.deterministic_guid_expr`) so re-runs are
+   idempotent, with the random mint available via ``deterministic=False``;
+3. union the sheets and drop duplicates (src/utils.py:1544-1551);
+4. stamp ``phs_accession`` and project the index column order
+   ``guid, md5, size, acl, authz, urls, phs_accession``
+   (src/utils.py:1553-1558).
+
+Scale notes: each sheet's mint is one dimension-sized aggregation on
+the group key joined back (no per-row generation, no window); the
+cross-sheet dedup is the single full shuffle, on the already-projected
+7-column frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.ids import deterministic_guid_expr, mint_guids_per_group
+
+#: final index manifest column order (src/utils.py:1557)
+DCF_INDEX_COLS = ["guid", "md5", "size", "acl", "authz", "urls", "phs_accession"]
+
+_SHEET_COLS = ["acl", "authz", "dcf_indexd_guid", "md5sum", "file_url", "file_size"]
+
+
+def extract_dcf_sheet(sheet: DataFrame, deterministic: bool = True) -> DataFrame:
+    """Per-sheet extraction + missing-guid mint (src/utils.py:1352-1456)."""
+    df = sheet.select(*_SHEET_COLS)
+    mint = (
+        deterministic_guid_expr(
+            F.concat_ws("|", F.col("file_url"), F.col("md5sum"))
+        )
+        if deterministic
+        else None
+    )
+    return mint_guids_per_group(
+        df, ["md5sum", "file_url"], out_col="dcf_indexd_guid", mint=mint
+    )
+
+
+def ccdi_to_dcf_index(
+    sheets: list[DataFrame],
+    phs_accession: str,
+    deterministic: bool = True,
+) -> DataFrame:
+    """Union all file-node sheets into the DCF index manifest frame."""
+    parts = [extract_dcf_sheet(s, deterministic=deterministic) for s in sheets]
+    combined = parts[0]
+    for p in parts[1:]:
+        combined = combined.unionByName(p)
+    return (
+        combined.dropDuplicates()
+        .select(
+            F.col("dcf_indexd_guid").alias("guid"),
+            F.col("md5sum").alias("md5"),
+            F.col("file_size").alias("size"),
+            "acl",
+            "authz",
+            F.col("file_url").alias("urls"),
+            F.lit(phs_accession).alias("phs_accession"),
+        )
+    )

@@ -3343,3 +3343,104 @@ def ccdi_to_sra_query(spark, sf_dir):
         attr_cols=_SRA_ATTR_COLS,
         max_files_per_library=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed CCDI→DCF index manifest (src/utils.py:1501-1567): per-sheet
+# column extraction + missing-guid mint per (md5sum, file_url) group,
+# cross-sheet union/dedup, final guid/md5/size/acl/authz/urls/
+# phs_accession projection.  The mint is the engine's deterministic
+# md5-based variant (the reference's uuid4 cannot be oracle-checked),
+# reproduced verbatim in the DuckDB oracle below.
+# ---------------------------------------------------------------------------
+
+_DCF_GUID_SQL = (
+    "substr(h,1,8) || '-' || substr(h,9,4) || '-3' || substr(h,14,3) || '-' || "
+    "translate(substr(h,17,1), '0123456789abcdef', '89ab89ab89ab89ab') || "
+    "substr(h,18,3) || '-' || substr(h,21,12)"
+)
+
+_DCF_ORACLE = f"""WITH f AS (
+  SELECT md5(CAST(l_orderkey AS VARCHAR) || '-'
+             || CAST(l_linenumber AS VARCHAR)) AS md5sum,
+         's3://cds/' || CAST(l_orderkey AS VARCHAR) || '/f_'
+           || CAST(l_orderkey AS VARCHAR) || '_'
+           || CAST(l_linenumber AS VARCHAR) || '.bam' AS file_url,
+         CAST((l_orderkey % 1000) * 100 + l_linenumber AS BIGINT) AS file_size,
+         '["phs' || CAST(l_orderkey % 4 AS VARCHAR) || '"]' AS acl,
+         '["/programs/phs' || CAST(l_orderkey % 4 AS VARCHAR) || '"]' AS authz,
+         CASE WHEN l_orderkey % 3 = 0 AND l_quantity < 25
+              THEN 'dg.4DFC/pre-' || md5(CAST(l_orderkey AS VARCHAR) || '-'
+                                         || CAST(l_linenumber AS VARCHAR))
+         END AS dcf_indexd_guid,
+         l_linenumber AS j
+  FROM lineitem),
+seq AS (SELECT * FROM f WHERE j <= 4),
+cl AS (SELECT * FROM f WHERE j > 4),
+seq_g AS (
+  SELECT md5sum, file_url, max(dcf_indexd_guid) AS ex
+  FROM seq GROUP BY md5sum, file_url),
+seq_m AS (
+  SELECT md5sum, file_url,
+         coalesce(ex, 'dg.4DFC/' || {_DCF_GUID_SQL}) AS guid
+  FROM (SELECT md5sum, file_url, ex,
+               md5('ccdi-dcf::' || file_url || '|' || md5sum) AS h
+        FROM seq_g)),
+cl_g AS (
+  SELECT md5sum, file_url, max(dcf_indexd_guid) AS ex
+  FROM cl GROUP BY md5sum, file_url),
+cl_m AS (
+  SELECT md5sum, file_url,
+         coalesce(ex, 'dg.4DFC/' || {_DCF_GUID_SQL}) AS guid
+  FROM (SELECT md5sum, file_url, ex,
+               md5('ccdi-dcf::' || file_url || '|' || md5sum) AS h
+        FROM cl_g)),
+combined AS (
+  SELECT DISTINCT s.acl, s.authz, m.guid, s.md5sum, s.file_url, s.file_size
+  FROM seq s JOIN seq_m m USING (md5sum, file_url)
+  UNION
+  SELECT DISTINCT c.acl, c.authz, m.guid, c.md5sum, c.file_url, c.file_size
+  FROM cl c JOIN cl_m m USING (md5sum, file_url))
+SELECT guid, md5sum AS md5, file_size AS size, acl, authz,
+       file_url AS urls, 'phs-CDS' AS phs_accession
+FROM combined"""
+
+
+def _dcf_sheets(spark, sf_dir) -> list[DataFrame]:
+    """Two synthetic file-node sheets over lineitem, with partially
+    pre-populated guids (one group can mix guid-carrying and guid-less
+    rows, exercising the propagate-existing invariant)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    k, j, q = F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_quantity")
+    ks, js = k.cast("string"), j.cast("string")
+    fname = F.concat(F.lit("f_"), ks, F.lit("_"), js, F.lit(".bam"))
+    md5sum = F.md5(F.encode(F.concat(ks, F.lit("-"), js), "UTF-8"))
+    phs = (k % 4).cast("string")
+    base = lineitem.select(
+        md5sum.alias("md5sum"),
+        F.concat(F.lit("s3://cds/"), ks, F.lit("/"), fname).alias("file_url"),
+        ((k % 1000) * 100 + j).cast("long").alias("file_size"),
+        F.concat(F.lit('["phs'), phs, F.lit('"]')).alias("acl"),
+        F.concat(F.lit('["/programs/phs'), phs, F.lit('"]')).alias("authz"),
+        F.when(
+            (k % 3 == 0) & (q < 25), F.concat(F.lit("dg.4DFC/pre-"), md5sum)
+        ).alias("dcf_indexd_guid"),
+        j.alias("__j__"),
+    )
+    return [
+        base.filter(F.col("__j__") <= 4).drop("__j__"),
+        base.filter(F.col("__j__") > 4).drop("__j__"),
+    ]
+
+
+@register(
+    "ccdi_to_dcf_index",
+    _DCF_ORACLE,
+    "composed CCDI→DCF index manifest (src/utils.py:1501-1567): per-sheet "
+    "F15 guid mint per (md5sum, file_url) + F10 acl/authz passthrough + "
+    "cross-sheet dedup + index-column projection",
+)
+def ccdi_to_dcf_index_query(spark, sf_dir):
+    from .plans.dcf import ccdi_to_dcf_index
+
+    return ccdi_to_dcf_index(_dcf_sheets(spark, sf_dir), phs_accession="phs-CDS")

@@ -617,3 +617,69 @@ def test_multimodal_resize_chains_with_extract(spark):
     got = {r["media_id"]: r["feature_value"] for r in feats.collect()}
     assert len(got) == 6
     assert all(v.startswith("len=") for v in got.values())
+
+
+def test_deterministic_guid_expr_shape_and_stability(spark):
+    """v3-shaped UUID: version nibble 3, RFC variant, deterministic."""
+    import hashlib
+    import re
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.functions.ids import (
+        deterministic_guid_expr,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("s3://b/f.bam|abc",), (None,)], ["name"])
+    rows = df.select(
+        deterministic_guid_expr(F.col("name")).alias("g")
+    ).collect()
+    got = {r["g"] for r in rows}
+    assert None in got
+    (guid,) = got - {None}
+    assert re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}",
+        guid,
+    )
+    # matches the documented md5 hex surgery exactly
+    h = hashlib.md5(b"ccdi-dcf::s3://b/f.bam|abc").hexdigest()
+    var = "89ab89ab89ab89ab"[int(h[16], 16)]
+    expect = f"{h[:8]}-{h[8:12]}-3{h[13:16]}-{var}{h[17:20]}-{h[20:32]}"
+    assert guid == expect
+
+
+def test_dcf_index_plan(spark):
+    """Composed DCF index: mixed-guid groups propagate, missing groups
+    mint deterministically, cross-sheet dedup, final column order."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.plans.dcf import (
+        DCF_INDEX_COLS,
+        ccdi_to_dcf_index,
+    )
+
+    schema = (
+        "acl string, authz string, dcf_indexd_guid string, "
+        "md5sum string, file_url string, file_size long"
+    )
+    s1 = spark.createDataFrame(
+        [
+            ("['phs1']", "['/p/phs1']", "dg.4DFC/keep", "m1", "u1", 10),
+            ("['phs1']", "['/p/phs1']", None, "m1", "u1", 10),  # inherits
+            ("['phs1']", "['/p/phs1']", None, "m2", "u2", 20),  # minted
+            ("['phs1']", "['/p/phs1']", None, "m2", "u2", 20),  # dup row
+        ],
+        schema,
+    )
+    s2 = spark.createDataFrame(
+        [("['phs2']", "['/p/phs2']", None, "m3", "u3", 30)], schema
+    )
+    out = ccdi_to_dcf_index([s1, s2], phs_accession="phs-T")
+    assert out.columns == DCF_INDEX_COLS
+    rows = {(r["md5"], r["urls"]): r for r in out.collect()}
+    assert len(rows) == 3  # dup row collapsed
+    assert rows[("m1", "u1")]["guid"] == "dg.4DFC/keep"
+    minted = rows[("m2", "u2")]["guid"]
+    assert minted.startswith("dg.4DFC/") and minted != "dg.4DFC/keep"
+    # deterministic: a second run mints the identical guid
+    out2 = ccdi_to_dcf_index([s1, s2], phs_accession="phs-T")
+    rows2 = {(r["md5"], r["urls"]): r for r in out2.collect()}
+    assert rows2[("m2", "u2")]["guid"] == minted
+    assert all(r["phs_accession"] == "phs-T" for r in rows.values())
