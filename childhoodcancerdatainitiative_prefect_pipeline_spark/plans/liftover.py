@@ -149,3 +149,98 @@ def unlifted_value_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def lift_node_generic(
+    sources: dict[str, DataFrame],
+    mapping: list[MappingRow],
+    target_node: str,
+    target_props: list[str],
+    defaults: dict[str, str] | None = None,
+    concat_sep: str = ";",
+) -> DataFrame:
+    """Generic MDF-driven liftover of one target node
+    (src/liftover_generic.py:205-363).
+
+    Beyond :func:`lift_node`: the output carries the FULL lift-to
+    model's prop list for the node (unmapped props null-filled, model
+    order — the reference's ``model_to_df`` template frame), rows
+    that are empty across every target prop are dropped
+    (src/liftover_generic.py:306-308), and per-prop ``default_value``
+    entries from the mapping file fill remaining nulls
+    (src/liftover_generic.py:323-341).
+
+    Deviation kept from :func:`lift_node`: collisions concatenate
+    with ``concat_ws`` (null-skipping), not pandas' NaN-propagating
+    string add; an all-null collision yields null, never ``"nan"``.
+    """
+    base = lift_node(sources, mapping, target_node, concat_sep)
+    null_s = F.lit(None).cast("string")
+    projected = base.select(
+        "type",
+        *[
+            (F.nullif(F.col(p).cast("string"), F.lit("")) if p in base.columns
+             else null_s).alias(p)
+            for p in target_props
+        ],
+    )
+    any_value = None
+    for p in target_props:
+        cond = F.col(p).isNotNull()
+        any_value = cond if any_value is None else (any_value | cond)
+    out = projected.filter(any_value) if any_value is not None else projected
+    if defaults:
+        out = out.fillna({k: v for k, v in defaults.items() if k in target_props})
+    return out
+
+
+#: nodes the reference expects to be singletons after liftover
+#: (src/liftover_generic.py:344-356)
+SINGLETON_NODES = ("study", "program")
+
+
+def liftover_tsv_dir(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    mapping: list[MappingRow],
+    target_schema: dict[str, list[str]],
+    defaults: dict[str, dict[str, str]] | None = None,
+) -> dict[str, int]:
+    """End-to-end TSV-in/TSV-out generic liftover
+    (src/liftover_generic.py:366-457): identify each input TSV's node
+    by its ``type`` column (src/liftover_generic.py:101-127), lift
+    every target node in ``target_schema``, write one TSV per target
+    node, and return per-node row counts (the study/program singleton
+    check reads from this — >1 is the reference's logged error).
+
+    File identification and the final counts are driver-side actions
+    over node-sized frames; the lift itself is pure projection.
+    """
+    import os
+
+    from ..sources.files import read_tsv, write_tsv
+
+    sources: dict[str, DataFrame] = {}
+    for fname in sorted(os.listdir(in_dir)):
+        if not fname.endswith(".tsv"):
+            continue
+        df = read_tsv(spark, os.path.join(in_dir, fname))
+        if "type" not in df.columns:
+            continue
+        first = df.select("type").limit(1).collect()
+        if first:
+            sources[first[0]["type"]] = df.drop("type")
+
+    counts: dict[str, int] = {}
+    targeted = {m.to_node for m in mapping}
+    for node, props in target_schema.items():
+        if node not in targeted:
+            continue
+        lifted = lift_node_generic(
+            sources, mapping, node, props,
+            defaults=(defaults or {}).get(node),
+        )
+        write_tsv(lifted, os.path.join(out_dir, f"{node}.tsv"))
+        counts[node] = lifted.count()
+    return counts

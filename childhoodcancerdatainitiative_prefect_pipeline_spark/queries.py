@@ -3444,3 +3444,199 @@ def ccdi_to_dcf_index_query(spark, sf_dir):
     from .plans.dcf import ccdi_to_dcf_index
 
     return ccdi_to_dcf_index(_dcf_sheets(spark, sf_dir), phs_accession="phs-CDS")
+
+
+# ---------------------------------------------------------------------------
+# COG clinical-rules battery (src/cog_rules_functions.py): the
+# metadata-driven transformer applied over a synthetic COG export
+# derived from customer.  Five rule derivations — liftover+prefix,
+# race/ethnicity cascade, difference, two-input tumor-grade mapping
+# union with required default, diagnosis-basis title/contains/mapping —
+# each compiled to one Column (plans/cog.py), reproduced in SQL below.
+# ---------------------------------------------------------------------------
+
+_COG_ORACLE = """WITH src AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS pid,
+         CASE c_custkey % 5 WHEN 0 THEN 'White'
+                            WHEN 1 THEN 'Black or African American'
+                            WHEN 2 THEN 'Asian'
+                            WHEN 3 THEN 'Unknown'
+                            ELSE 'Not Reported' END AS race,
+         CASE c_custkey % 3 WHEN 0 THEN 'Hispanic or Latino'
+                            WHEN 1 THEN 'Not Hispanic or Latino'
+                            ELSE 'Unknown' END AS eth,
+         CAST(c_custkey % 50 + 10 AS VARCHAR) AS enroll_age,
+         CAST(c_custkey % 50 + 10 + c_custkey % 20 AS VARCHAR) AS event_age,
+         CASE c_custkey % 6 WHEN 0 THEN 'I' WHEN 1 THEN 'II'
+                            WHEN 2 THEN 'III' WHEN 3 THEN 'IV'
+                            WHEN 4 THEN 'Unknown' END AS grade_1,
+         CASE WHEN c_custkey % 7 = 0 THEN 'Grade II' END AS grade_2,
+         CASE c_custkey % 4 WHEN 0 THEN 'needle biopsy'
+                            WHEN 1 THEN 'histology'
+                            WHEN 2 THEN 'imaging'
+                            ELSE 'other' END AS basis
+  FROM customer),
+staged AS (
+  SELECT pid, race, enroll_age, event_age, grade_1, grade_2, basis,
+         CASE WHEN eth IN ('Not Hispanic or Latino', 'Unknown',
+                           'Not Reported') THEN '' ELSE eth END AS b1,
+         CASE grade_1 WHEN 'I' THEN 'G1 Low Grade'
+                      WHEN 'II' THEN 'G2 Intermediate Grade'
+                      WHEN 'III' THEN 'G3 High Grade'
+                      WHEN 'IV' THEN 'G4 Anaplastic'
+                      WHEN 'Unknown' THEN 'Unknown' END AS m1,
+         CASE WHEN grade_2 = 'Grade II'
+              THEN 'G2 Intermediate Grade' END AS m2
+  FROM src),
+staged2 AS (
+  SELECT *, CASE WHEN b1 <> '' AND race IN ('Unknown', 'Not Reported')
+                 THEN '' ELSE race END AS a1
+  FROM staged)
+SELECT 'COG_' || pid AS PARTICIPANT_ID,
+       CASE WHEN a1 = '' AND b1 = '' THEN 'Not Reported'
+            WHEN b1 <> '' AND a1 <> '' THEN a1 || ';' || b1
+            WHEN b1 <> '' THEN b1
+            ELSE a1 END AS RACE_ETHNICITY,
+       CAST(CAST(event_age AS INTEGER) - CAST(enroll_age AS INTEGER)
+            AS VARCHAR) AS AGE_AT_EVENT,
+       coalesce(
+         CASE WHEN m1 IS NULL AND m2 IS NULL THEN NULL
+              WHEN m1 IS NULL THEN m2
+              WHEN m2 IS NULL OR m1 = m2 THEN m1
+              ELSE m1 || ';' || m2 END,
+         'Not Reported') AS TUMOR_GRADE,
+       CASE basis WHEN 'needle biopsy' THEN 'Pathology'
+                  WHEN 'histology' THEN 'Pathology'
+                  WHEN 'imaging' THEN 'Pathology'
+                  ELSE 'Not Reported' END AS DX_BASIS
+FROM staged2"""
+
+
+@register(
+    "cog_transform_battery",
+    _COG_ORACLE,
+    "COG clinical-rules battery (src/cog_rules_functions.py): five "
+    "metadata-driven rule derivations compiled to Columns via plans/cog.py "
+    "— liftover+prefix, race/ethnicity cascade, difference, tumor-grade "
+    "mapping union + required default, diagnosis-basis title/contains map",
+)
+def cog_transform_battery(spark, sf_dir):
+    from .plans.cog import CogRule, cog_transform
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    cust = F.col("c_custkey")
+    src = customer.select(
+        cust.cast("string").alias("pid"),
+        F.when(cust % 5 == 0, "White")
+        .when(cust % 5 == 1, "Black or African American")
+        .when(cust % 5 == 2, "Asian")
+        .when(cust % 5 == 3, "Unknown")
+        .otherwise("Not Reported")
+        .alias("race"),
+        F.when(cust % 3 == 0, "Hispanic or Latino")
+        .when(cust % 3 == 1, "Not Hispanic or Latino")
+        .otherwise("Unknown")
+        .alias("eth"),
+        (cust % 50 + 10).cast("string").alias("enroll_age"),
+        (cust % 50 + 10 + cust % 20).cast("string").alias("event_age"),
+        F.when(cust % 6 == 0, "I")
+        .when(cust % 6 == 1, "II")
+        .when(cust % 6 == 2, "III")
+        .when(cust % 6 == 3, "IV")
+        .when(cust % 6 == 4, "Unknown")
+        .alias("grade_1"),
+        F.when(cust % 7 == 0, "Grade II").alias("grade_2"),
+        F.when(cust % 4 == 0, "needle biopsy")
+        .when(cust % 4 == 1, "histology")
+        .when(cust % 4 == 2, "imaging")
+        .otherwise("other")
+        .alias("basis"),
+    )
+    rules = [
+        CogRule("participant", "PARTICIPANT_ID", "liftover", ["pid"],
+                core=True, modifiers=[("prefix", "COG")]),
+        CogRule("participant", "RACE_ETHNICITY", "race_ethnicity",
+                ["race", "eth"]),
+        CogRule("participant", "AGE_AT_EVENT", "difference",
+                ["enroll_age", "event_age"]),
+        CogRule("participant", "TUMOR_GRADE", "mapping_union",
+                ["grade_1", "grade_2"],
+                mapping={
+                    "I": "G1 Low Grade",
+                    "II": "G2 Intermediate Grade",
+                    "III": "G3 High Grade",
+                    "IV": "G4 Anaplastic",
+                    "Grade I": "G1 Low Grade",
+                    "Grade II": "G2 Intermediate Grade",
+                    "Grade III": "G3 High Grade",
+                    "Grade IV": "G4 Anaplastic",
+                },
+                required_default="Not Reported"),
+        CogRule("participant", "DX_BASIS", "mapping_union", ["basis"],
+                title_case=True,
+                contains_replace=(("iopsy", "Pathology"),),
+                mapping={
+                    "Histology": "Pathology",
+                    "Imaging": "Pathology",
+                    "Other": "Not Reported",
+                    "Tumor Marker": "Molecular",
+                }),
+    ]
+    return cog_transform(src, rules)["participant"]
+
+
+# ---------------------------------------------------------------------------
+# Generic MDF-driven liftover (src/liftover_generic.py:205-363): full
+# lift-to schema projection (unmapped props null), all-null-row drop,
+# per-prop default fill — over a synthetic source node from customer.
+# ---------------------------------------------------------------------------
+
+_LIFT_GENERIC_ORACLE = """WITH src AS (
+  SELECT CASE WHEN c_custkey % 10 <> 7
+              THEN 'P' || CAST(c_custkey AS VARCHAR) END AS sid,
+         CASE WHEN c_custkey % 10 <> 7 AND c_custkey % 4 <> 0
+              THEN 'site-' || CAST(c_custkey % 4 AS VARCHAR) END AS site,
+         CASE WHEN c_custkey % 10 <> 7 AND c_custkey % 5 = 0
+              THEN 'Dead' END AS vital
+  FROM customer)
+SELECT 'sample' AS type,
+       sid AS sample_id,
+       site AS anatomic_site,
+       coalesce(vital, 'Unknown') AS vital_status,
+       'Not Reported' AS tumor_status
+FROM src
+WHERE sid IS NOT NULL OR site IS NOT NULL OR vital IS NOT NULL"""
+
+
+@register(
+    "liftover_generic_node",
+    _LIFT_GENERIC_ORACLE,
+    "generic MDF-driven liftover (src/liftover_generic.py:205-363): "
+    "full target-schema projection + all-null-row drop + default fill",
+)
+def liftover_generic_node(spark, sf_dir):
+    from .plans.liftover import MappingRow, lift_node_generic
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    cust = F.col("c_custkey")
+    live = cust % 10 != 7
+    src = customer.select(
+        F.when(live, F.concat(F.lit("P"), cust.cast("string"))).alias("sid"),
+        F.when(
+            live & (cust % 4 != 0),
+            F.concat(F.lit("site-"), (cust % 4).cast("string")),
+        ).alias("site"),
+        F.when(live & (cust % 5 == 0), "Dead").alias("vital"),
+    )
+    mapping = [
+        MappingRow("subject", "sid", "sample", "sample_id"),
+        MappingRow("subject", "site", "sample", "anatomic_site"),
+        MappingRow("subject", "vital", "sample", "vital_status"),
+    ]
+    return lift_node_generic(
+        {"subject": src},
+        mapping,
+        "sample",
+        ["sample_id", "anatomic_site", "vital_status", "tumor_status"],
+        defaults={"vital_status": "Unknown", "tumor_status": "Not Reported"},
+    )

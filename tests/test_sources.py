@@ -725,3 +725,97 @@ PropDefinitions:
     assert ("required", "sample_id") in v
     assert ("enum", "anatomic_site") in v
     assert ("not_integer", "participant_age_at_collection") in v
+
+
+def test_schema_render_round_trip(spark):
+    """§2.13 render half: Dictionary/TaVS sheets from parsed MDF,
+    reference conventions (Required carries the node name, example
+    values truncate at 4 terms, preferred node order, TaVS blocks
+    sorted + blank-separated, shared props deduped) — and the rendered
+    sheets rebuild the SAME rule metadata and drive rules_validate."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.plans.rules import (
+        validate,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.schema_registry import (
+        parse_mdf,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.schema_render import (
+        DICTIONARY_COLS,
+        TAVS_COLS,
+        render_dictionary,
+        render_tavs,
+        sheets_to_schemas,
+    )
+
+    model = {
+        "Nodes": {
+            # model order: sequencing_file first — preferred order must
+            # still put sample before sequencing_file in the sheet
+            "sequencing_file": {"Props": ["file_type", "library_id"]},
+            "sample": {"Props": ["sample_id", "anatomic_site", "file_type"]},
+        }
+    }
+    props = {
+        "PropDefinitions": {
+            "sample_id": {"Type": "string", "Key": True, "Req": True},
+            "anatomic_site": {
+                "Enum": ["Lung", "Kidney", "Liver", "Bone", "Skin"],
+                "Req": True,
+            },
+            "file_type": {"Enum": ["bam", "cram"], "Strict": False},
+            "library_id": {"Type": "string", "Req": True},
+        }
+    }
+    schemas = parse_mdf(model, props)
+
+    dict_rows = render_dictionary(
+        schemas,
+        descriptions={"sample_id": "sample key"},
+        cde_codes={"anatomic_site": "12345"},
+        cde_versions={"anatomic_site": "2"},
+    )
+    assert all(list(r.keys()) == DICTIONARY_COLS for r in dict_rows)
+    # preferred order: all sample rows precede sequencing_file rows
+    nodes_seq = [r["Node"] for r in dict_rows]
+    assert nodes_seq == ["sample"] * 3 + ["sequencing_file"] * 2
+    by_pp = {(r["Node"], r["Property"]): r for r in dict_rows}
+    site = by_pp[("sample", "anatomic_site")]
+    assert site["Example value"].endswith(";etc (see Terms and Values Sets)")
+    assert site["Example value"].startswith("Lung;Kidney;Liver;Bone")
+    assert site["Required"] == "sample" and site["CDE"] == "12345"
+    assert by_pp[("sample", "sample_id")]["Key"] is True
+    assert by_pp[("sample", "file_type")]["Type"] == "string;enum"
+    assert by_pp[("sequencing_file", "file_type")]["Required"] is None
+
+    tavs_rows = render_tavs(schemas, term_definitions={"Lung": "the lung"})
+    assert all(list(r.keys()) == TAVS_COLS for r in tavs_rows)
+    names = [r["Value Set Name"] for r in tavs_rows]
+    # blocks sorted by prop, one blank separator each, file_type once
+    assert names == ["anatomic_site"] * 5 + [None, "file_type", "file_type", None]
+    assert tavs_rows[0]["Definition"] == "the lung"
+
+    rebuilt = sheets_to_schemas(dict_rows, tavs_rows)
+    for node in schemas:
+        orig, back = schemas[node], rebuilt[node]
+        assert back.key_props == orig.key_props
+        for ro, rb in zip(orig.rules, back.rules):
+            assert (ro.prop, ro.type, ro.required, ro.key) == (
+                rb.prop, rb.type, rb.required, rb.key
+            )
+            assert ro.enum_terms == rb.enum_terms  # full list via TaVS
+            assert ro.free_text == rb.free_text
+
+    # rendered sheets drive the rule engine identically
+    df = spark.createDataFrame(
+        [("s1", "Lung", "bam"), (None, "Mars", "weird")],
+        ["sample_id", "anatomic_site", "file_type"],
+    )
+    v_orig = {
+        (r["rule"], r["property"], r["severity"])
+        for r in validate(df, schemas["sample"]).collect()
+    }
+    v_back = {
+        (r["rule"], r["property"], r["severity"])
+        for r in validate(df, rebuilt["sample"]).collect()
+    }
+    assert v_orig == v_back and ("required", "sample_id", "ERROR") in v_orig
