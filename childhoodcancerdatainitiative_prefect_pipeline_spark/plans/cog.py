@@ -335,3 +335,65 @@ def cog_transform(df: DataFrame, rules: list[CogRule]) -> dict[str, DataFrame]:
             else per_node[node].unionByName(projected, allowMissingColumns=True)
         )
     return per_node
+
+
+def tranche_sparsity_compare(
+    old: DataFrame,
+    new: DataFrame,
+    substudy_col: str,
+    props: list[str],
+    na_bank: tuple[str, ...] = ("", "NA"),
+) -> DataFrame:
+    """COG tranche comparer (workflows/cog_comparer.py:19-98).
+
+    The reference loops props in Python, computing per-prop per-substudy
+    null ratios in each tranche, merging old vs new, classifying the
+    change, and quartile-bucketing both sides.  Here each tranche is
+    unpivoted once (``stack`` — one scan regardless of prop count) into
+    ``(substudy, prop, value)``, NA-bank values nulled, and ONE
+    ``groupBy(substudy, prop)`` computes every sparsity — two shuffles
+    total (one per tranche) instead of 2×len(props) pandas groupbys.
+    Ratios are rounded to 6 places on both engines for hash parity.
+    """
+
+    def sparsity(df: DataFrame, out: str) -> DataFrame:
+        pairs: list = []
+        for p in props:
+            pairs += [F.lit(p), F.col(f"`{p}`")]
+        long = df.select(
+            F.col(substudy_col).alias("MCI_substudy"),
+            F.stack(F.lit(len(props)), *pairs).alias("prop", "__v__"),
+        ).withColumn(
+            "__v__",
+            F.when(F.col("__v__").isin(*na_bank), None).otherwise(F.col("__v__")),
+        )
+        return long.groupBy("prop", "MCI_substudy").agg(
+            F.round(
+                F.avg(F.when(F.col("__v__").isNull(), 1).otherwise(0)), 6
+            ).alias(out)
+        )
+
+    bucket_edges = [(0.25, "0-25%"), (0.5, "25-50%"), (0.75, "50-75%")]
+
+    def bucket(c: Column) -> Column:
+        expr = F.lit("75-100%")
+        for edge, label in reversed(bucket_edges):
+            expr = F.when(c <= edge, label).otherwise(expr)
+        return expr
+
+    joined = sparsity(old, "sparsity_old_tranche").join(
+        sparsity(new, "sparsity_new_tranche"), ["prop", "MCI_substudy"]
+    )
+    o, n = F.col("sparsity_old_tranche"), F.col("sparsity_new_tranche")
+    return joined.select(
+        "prop",
+        "MCI_substudy",
+        "sparsity_old_tranche",
+        "sparsity_new_tranche",
+        F.when(n > o, "increased")
+        .when(n < o, "decreased")
+        .otherwise("same")
+        .alias("sparsity_change"),
+        bucket(o).alias("sparsity_group_old_tranche"),
+        bucket(n).alias("sparsity_group_new_tranche"),
+    )

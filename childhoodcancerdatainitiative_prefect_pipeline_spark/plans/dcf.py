@@ -73,3 +73,62 @@ def ccdi_to_dcf_index(
             F.lit(phs_accession).alias("phs_accession"),
         )
     )
+
+
+def guid_fill_from_index(
+    manifest: DataFrame,
+    index_records: DataFrame,
+    guid_col: str = "dcf_indexd_guid",
+) -> DataFrame:
+    """GUID checker (workflows/guid_checker.py:46-233) as one join plan.
+
+    The reference walks the manifest row-at-a-time, querying the indexd
+    API by ``(md5 hash, size)`` and accepting a record's ``did`` only
+    when one of its urls matches the manifest ``file_url`` on BOTH
+    basename and dirname (guid_checker.py:85-91); rows that already
+    carry a guid are skipped (:60-65).
+
+    Here ``index_records`` is the staged index extract
+    ``(did, hash, size, urls array)`` — at scale an indexd bulk dump
+    rather than per-row API calls.  The url array is exploded once,
+    the manifest joins on ``(md5sum, file_size, basename, dirname)``,
+    and ties resolve to ``max(did)`` for determinism; missing matches
+    fill ``''`` exactly like ``pull_guids`` returning its ``guid = ""``
+    default.  One shuffle join keyed on the md5 — no fan-out (urls per
+    record is a handful), no driver loop, no API round-trips.
+    """
+    base = F.substring_index(F.col("__u__"), "/", -1)
+    dirn = F.regexp_replace(F.col("__u__"), "/[^/]*$", "")
+    exploded = index_records.select(
+        F.col("did"),
+        F.col("hash").alias("__h__"),
+        F.col("size").alias("__s__"),
+        F.explode("urls").alias("__u__"),
+    ).select(
+        "did",
+        "__h__",
+        "__s__",
+        base.alias("__base__"),
+        dirn.alias("__dir__"),
+    )
+    m_base = F.substring_index(F.col("file_url"), "/", -1)
+    m_dir = F.regexp_replace(F.col("file_url"), "/[^/]*$", "")
+    keyed = manifest.withColumn("__mb__", m_base).withColumn("__md__", m_dir)
+    matched = (
+        keyed.join(
+            exploded,
+            (F.col("md5sum") == F.col("__h__"))
+            & (F.col("file_size") == F.col("__s__"))
+            & (F.col("__mb__") == F.col("__base__"))
+            & (F.col("__md__") == F.col("__dir__")),
+            "left",
+        )
+        .groupBy(*manifest.columns)
+        .agg(F.max("did").alias("__did__"))
+    )
+    filled = F.coalesce(
+        F.when(F.trim(F.col(guid_col)) == "", None).otherwise(F.col(guid_col)),
+        F.col("__did__"),
+        F.lit(""),
+    )
+    return matched.withColumn(guid_col, filled).drop("__did__")

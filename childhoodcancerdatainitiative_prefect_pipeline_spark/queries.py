@@ -3640,3 +3640,570 @@ def liftover_generic_node(spark, sf_dir):
         ["sample_id", "anatomic_site", "vital_status", "tumor_status"],
         defaults={"vital_status": "Unknown", "tumor_status": "Not Reported"},
     )
+
+
+# ---------------------------------------------------------------------------
+# Cascade entry removal (workflows/entry_remover.py:142-260): BFS
+# transitive closure of a removal list over the child-link graph —
+# each hop one distributed join, oracle-checked with a recursive CTE.
+# Graph: customer → orders → lineitem with prefixed string ids.
+# ---------------------------------------------------------------------------
+
+_CASCADE_ORACLE = """WITH RECURSIVE
+seeds AS (
+  SELECT 'C' || CAST(c_custkey AS VARCHAR) AS entry_id, 'customer' AS node
+  FROM customer WHERE c_acctbal < 0),
+edges AS (
+  SELECT 'C' || CAST(o_custkey AS VARCHAR) AS parent,
+         'O' || CAST(o_orderkey AS VARCHAR) AS child,
+         'orders' AS node
+  FROM orders
+  UNION ALL
+  SELECT 'O' || CAST(l_orderkey AS VARCHAR) AS parent,
+         'L' || CAST(l_orderkey AS VARCHAR) || '-'
+             || CAST(l_linenumber AS VARCHAR) AS child,
+         'lineitem' AS node
+  FROM lineitem),
+closure AS (
+  SELECT entry_id, node FROM seeds
+  UNION
+  SELECT e.child, e.node FROM edges e JOIN closure c ON e.parent = c.entry_id)
+SELECT entry_id, node FROM closure"""
+
+
+@register(
+    "cascade_remove",
+    _CASCADE_ORACLE,
+    "cascade entry removal (workflows/entry_remover.py:142-260): "
+    "frontier-BFS transitive closure of the removal list over "
+    "child-link edges; recursive-CTE oracle",
+)
+def cascade_remove_query(spark, sf_dir):
+    from .operators.graph import cascade_remove
+
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    ck = F.col("c_custkey").cast("string")
+    ok = F.col("o_orderkey").cast("string")
+    lk = F.col("l_orderkey").cast("string")
+    cust = customer.select(
+        F.concat(F.lit("C"), ck).alias("customer_id"), "c_acctbal"
+    )
+    ords = orders.select(
+        F.concat(F.lit("O"), ok).alias("orders_id"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+            "customer.customer_id"
+        ),
+    )
+    line = lineitem.select(
+        F.concat(
+            F.lit("L"), lk, F.lit("-"), F.col("l_linenumber").cast("string")
+        ).alias("lineitem_id"),
+        F.concat(F.lit("O"), lk).alias("orders.orders_id"),
+    )
+    seeds = cust.filter(F.col("c_acctbal") < 0).select(
+        F.col("customer_id").alias("entry_id")
+    )
+    closure, _kept = cascade_remove(
+        {"customer": cust, "orders": ords, "lineitem": line},
+        seeds,
+        id_cols={
+            "customer": "customer_id",
+            "orders": "orders_id",
+            "lineitem": "lineitem_id",
+        },
+        link_cols={
+            "orders": ["customer.customer_id"],
+            "lineitem": ["orders.orders_id"],
+        },
+    )
+    return closure.select("entry_id", "node")
+
+
+# ---------------------------------------------------------------------------
+# GUID checker (workflows/guid_checker.py:46-233): fill missing
+# dcf_indexd_guid from a staged index extract by (md5, size) +
+# url basename/dirname match; existing guids are kept verbatim.
+# ---------------------------------------------------------------------------
+
+_GUID_FILL_ORACLE = """WITH f AS (
+  SELECT md5(CAST(l_orderkey AS VARCHAR) || '-'
+             || CAST(l_linenumber AS VARCHAR)) AS md5sum,
+         's3://cds/' || CAST(l_orderkey AS VARCHAR) || '/f_'
+           || CAST(l_orderkey AS VARCHAR) || '_'
+           || CAST(l_linenumber AS VARCHAR) || '.bam' AS file_url,
+         'f_' || CAST(l_orderkey AS VARCHAR) || '_'
+           || CAST(l_linenumber AS VARCHAR) || '.bam' AS fname,
+         CAST((l_orderkey % 1000) * 100 + l_linenumber AS BIGINT) AS file_size,
+         CASE WHEN l_orderkey % 3 = 0 AND l_quantity < 25
+              THEN 'dg.4DFC/pre-' || md5(CAST(l_orderkey AS VARCHAR) || '-'
+                                          || CAST(l_linenumber AS VARCHAR))
+         END AS guid0,
+         l_orderkey AS k
+  FROM lineitem),
+idx AS (
+  SELECT 'dg.4DFC/idx-' || md5sum AS did, md5sum AS hash, file_size AS size,
+         CASE WHEN k % 5 = 0
+              THEN ['s3://mirror/' || CAST(k AS VARCHAR) || '/' || fname]
+              ELSE [file_url, 's3://mirror/' || CAST(k AS VARCHAR) || '/' || fname]
+         END AS urls
+  FROM f WHERE k % 2 = 0),
+ex AS (SELECT did, hash, size, unnest(urls) AS u FROM idx),
+m AS (
+  SELECT f.md5sum, f.file_url, f.file_size, f.guid0, max(e.did) AS did
+  FROM f LEFT JOIN ex e
+    ON f.md5sum = e.hash AND f.file_size = e.size
+   AND regexp_extract(e.u, '[^/]*$') = regexp_extract(f.file_url, '[^/]*$')
+   AND regexp_replace(e.u, '/[^/]*$', '') = regexp_replace(f.file_url, '/[^/]*$', '')
+  GROUP BY 1, 2, 3, 4)
+SELECT file_url, md5sum, file_size,
+       coalesce(CASE WHEN trim(guid0) = '' THEN NULL ELSE guid0 END, did, '')
+         AS dcf_indexd_guid
+FROM m"""
+
+
+@register(
+    "guid_fill_reconcile",
+    _GUID_FILL_ORACLE,
+    "GUID checker (workflows/guid_checker.py:46-233): keep existing "
+    "guids, fill the rest from an index extract via (md5, size) + url "
+    "basename/dirname match, '' when unmatched",
+)
+def guid_fill_reconcile(spark, sf_dir):
+    from .plans.dcf import guid_fill_from_index
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    k, j, q = F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_quantity")
+    ks, js = k.cast("string"), j.cast("string")
+    fname = F.concat(F.lit("f_"), ks, F.lit("_"), js, F.lit(".bam"))
+    md5sum = F.md5(F.encode(F.concat(ks, F.lit("-"), js), "UTF-8"))
+    file_url = F.concat(F.lit("s3://cds/"), ks, F.lit("/"), fname)
+    base = lineitem.select(
+        md5sum.alias("md5sum"),
+        file_url.alias("file_url"),
+        fname.alias("fname"),
+        ((k % 1000) * 100 + j).cast("long").alias("file_size"),
+        F.when(
+            (k % 3 == 0) & (q < 25), F.concat(F.lit("dg.4DFC/pre-"), md5sum)
+        ).alias("dcf_indexd_guid"),
+        k.alias("__k__"),
+    )
+    manifest = base.select("md5sum", "file_url", "file_size", "dcf_indexd_guid")
+    mirror = F.concat(
+        F.lit("s3://mirror/"), F.col("__k__").cast("string"), F.lit("/"),
+        F.col("fname"),
+    )
+    index_records = base.filter(F.col("__k__") % 2 == 0).select(
+        F.concat(F.lit("dg.4DFC/idx-"), F.col("md5sum")).alias("did"),
+        F.col("md5sum").alias("hash"),
+        F.col("file_size").alias("size"),
+        F.when(F.col("__k__") % 5 == 0, F.array(mirror))
+        .otherwise(F.array(F.col("file_url"), mirror))
+        .alias("urls"),
+    )
+    out = guid_fill_from_index(manifest, index_records)
+    return out.select("file_url", "md5sum", "file_size", "dcf_indexd_guid")
+
+
+# ---------------------------------------------------------------------------
+# DB stats wide report (workflows/db_stats.py:122-312): independent
+# per-study count pulls stacked long, pivoted wide over a fixed column
+# list, zero-filled, left-joined onto the full study dimension.
+# ---------------------------------------------------------------------------
+
+_DB_STATS_ORACLE = """WITH c AS (
+  SELECT c_nationkey AS study_id, COUNT(*) AS n FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey AS study_id, COUNT(*) AS n FROM supplier GROUP BY 1),
+o AS (
+  SELECT c_nationkey AS study_id, COUNT(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+SELECT n_nationkey AS study_id, n_name AS study_name,
+       coalesce(c.n, 0) AS customer_node_count,
+       coalesce(s.n, 0) AS supplier_node_count,
+       coalesce(o.n, 0) AS study_level_file_count
+FROM nation
+LEFT JOIN c ON c.study_id = n_nationkey
+LEFT JOIN s ON s.study_id = n_nationkey
+LEFT JOIN o ON o.study_id = n_nationkey"""
+
+
+@register(
+    "db_stats_wide",
+    _DB_STATS_ORACLE,
+    "DB stats wide report (workflows/db_stats.py:122-312): stacked "
+    "per-study counts pivoted wide over a fixed column list, "
+    "zero-filled onto the study dimension",
+)
+def db_stats_wide_query(spark, sf_dir):
+    from .plans.db_stats import db_stats_wide
+
+    customer, supplier, orders, nation = _t(
+        spark, sf_dir, "customer", "supplier", "orders", "nation"
+    )
+    cust_n = customer.groupBy(F.col("c_nationkey").alias("study_id")).agg(
+        F.count("*").alias("n")
+    )
+    supp_n = supplier.groupBy(F.col("s_nationkey").alias("study_id")).agg(
+        F.count("*").alias("n")
+    )
+    # orders carries no nation key — route through the (custkey →
+    # nationkey) map, broadcast so the fact side never shuffles
+    ord_n = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("study_id"))
+        .agg(F.count("*").alias("n"))
+    )
+    studies = nation.select(
+        F.col("n_nationkey").alias("study_id"), F.col("n_name").alias("study_name")
+    )
+    return db_stats_wide(
+        studies,
+        {
+            "customer_node_count": cust_n,
+            "supplier_node_count": supp_n,
+            "study_level_file_count": ord_n,
+        },
+        column_order=[
+            "customer_node_count",
+            "supplier_node_count",
+            "study_level_file_count",
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model mapping maker (workflows/model_mapping_maker.py:90-275): two
+# model-version prop inventories → name-equi outer-join skeleton →
+# curated-mapping reconcile (provided wins, net-new appended) →
+# ;-node expansion → DELETION/ADDITION/CHANGED comparison.
+# ---------------------------------------------------------------------------
+
+_MODEL_DIFF_ORACLE = """WITH vf AS (
+  SELECT DISTINCT p_brand AS fn, lower(p_type) AS fp
+  FROM part WHERE p_size <= 30),
+vt AS (
+  SELECT DISTINCT p_brand AS tn,
+         CASE WHEN lower(p_type) LIKE 's%' THEN lower(p_type) || '_v2'
+              ELSE lower(p_type) END AS tp
+  FROM part WHERE p_size >= 15),
+built AS (
+  SELECT vf.fn, vf.fp, vt.tn, vt.tp
+  FROM vf FULL OUTER JOIN vt ON vf.fn = vt.tn AND vf.fp = vt.tp),
+provided AS (
+  SELECT fn, fp, fn AS tn, fp || '_v2' AS tp FROM vf WHERE fp LIKE 's%'
+  UNION ALL
+  SELECT fn, fp, fn || ';archive' AS tn, fp AS tp FROM vf WHERE fp LIKE 'e%'),
+reconciled AS (
+  SELECT * FROM provided
+  UNION ALL
+  SELECT * FROM built b WHERE NOT EXISTS (
+    SELECT 1 FROM provided p WHERE p.fn = b.fn AND p.fp = b.fp)),
+expanded AS (
+  SELECT fn, fp, tn, tp FROM reconciled
+  WHERE tn IS NULL OR tn IN ('NA', 'none', '')
+  UNION ALL
+  SELECT r.fn, r.fp, trim(t.u) AS tn, r.tp
+  FROM reconciled r, UNNEST(string_split(r.tn, ';')) AS t(u)
+  WHERE NOT (r.tn IS NULL OR r.tn IN ('NA', 'none', ''))),
+comparison AS (
+  SELECT DISTINCT
+    CASE WHEN (coalesce(tn, '') = '' OR coalesce(tp, '') = '')
+              AND NOT (coalesce(fn, '') = '' OR coalesce(fp, '') = '')
+         THEN 'DELETION'
+         WHEN (coalesce(fn, '') = '' OR coalesce(fp, '') = '')
+              AND NOT (coalesce(tn, '') = '' OR coalesce(tp, '') = '')
+         THEN 'ADDITION'
+         WHEN coalesce(fn, '') <> coalesce(tn, '')
+              OR coalesce(fp, '') <> coalesce(tp, '')
+         THEN 'CHANGED'
+         ELSE 'SAME' END AS state,
+    coalesce(fn, '') AS lift_from_node,
+    coalesce(fp, '') AS lift_from_property,
+    'v1' AS lift_from_version,
+    coalesce(tn, '') AS lift_to_node,
+    coalesce(tp, '') AS lift_to_property,
+    'v2' AS lift_to_version
+  FROM expanded)
+SELECT * FROM comparison WHERE state <> 'SAME'"""
+
+
+@register(
+    "model_mapping_diff",
+    _MODEL_DIFF_ORACLE,
+    "model mapping maker (workflows/model_mapping_maker.py:90-275): "
+    "outer-join skeleton + curated reconcile + ;-node expansion + "
+    "state-classified comparison",
+)
+def model_mapping_diff_query(spark, sf_dir):
+    from .plans.model_diff import model_mapping_diff
+
+    (part,) = _t(spark, sf_dir, "part")
+    prop = F.lower(F.col("p_type"))
+    vf = (
+        part.filter(F.col("p_size") <= 30)
+        .select(
+            F.col("p_brand").alias("lift_from_node"),
+            prop.alias("lift_from_property"),
+            F.lit("v1").alias("lift_from_version"),
+        )
+        .distinct()
+    )
+    tprop = F.when(prop.like("s%"), F.concat(prop, F.lit("_v2"))).otherwise(prop)
+    vt = (
+        part.filter(F.col("p_size") >= 15)
+        .select(
+            F.col("p_brand").alias("lift_to_node"),
+            tprop.alias("lift_to_property"),
+            F.lit("v2").alias("lift_to_version"),
+        )
+        .distinct()
+    )
+    prov_s = vf.filter(F.col("lift_from_property").like("s%")).select(
+        "lift_from_node",
+        "lift_from_property",
+        "lift_from_version",
+        F.col("lift_from_node").alias("lift_to_node"),
+        F.concat("lift_from_property", F.lit("_v2")).alias("lift_to_property"),
+        F.lit("v2").alias("lift_to_version"),
+    )
+    prov_e = vf.filter(F.col("lift_from_property").like("e%")).select(
+        "lift_from_node",
+        "lift_from_property",
+        "lift_from_version",
+        F.concat("lift_from_node", F.lit(";archive")).alias("lift_to_node"),
+        F.col("lift_from_property").alias("lift_to_property"),
+        F.lit("v2").alias("lift_to_version"),
+    )
+    provided = prov_s.unionByName(prov_e)
+    return model_mapping_diff(vf, vt, provided, "v1", "v2")
+
+
+# ---------------------------------------------------------------------------
+# COG tranche comparer (workflows/cog_comparer.py:19-98): per-prop
+# per-substudy sparsity in two tranches, change classification,
+# quartile bucketing.  One stack-unpivot + groupBy per tranche.
+# ---------------------------------------------------------------------------
+
+_COG_SPARSITY_ORACLE = """WITH src AS (
+  SELECT o_orderpriority AS substudy, o_orderkey AS k,
+         CASE WHEN o_totalprice < 50000 THEN '' ELSE 'x' END AS pr_a,
+         CASE WHEN o_orderstatus = 'F' THEN 'NA' ELSE o_orderstatus END AS pr_b,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE 'v' END AS pr_c
+  FROM orders),
+longf AS (
+  SELECT substudy, k, 'pr_a' AS prop,
+         CASE WHEN pr_a IN ('', 'NA') THEN NULL ELSE pr_a END AS v FROM src
+  UNION ALL
+  SELECT substudy, k, 'pr_b',
+         CASE WHEN pr_b IN ('', 'NA') THEN NULL ELSE pr_b END FROM src
+  UNION ALL
+  SELECT substudy, k, 'pr_c',
+         CASE WHEN pr_c IN ('', 'NA') THEN NULL ELSE pr_c END FROM src),
+old_s AS (
+  SELECT prop, substudy AS MCI_substudy,
+         round(avg(CASE WHEN v IS NULL THEN 1 ELSE 0 END), 6)
+           AS sparsity_old_tranche
+  FROM longf WHERE k % 3 < 2 GROUP BY 1, 2),
+new_s AS (
+  SELECT prop, substudy AS MCI_substudy,
+         round(avg(CASE WHEN v IS NULL THEN 1 ELSE 0 END), 6)
+           AS sparsity_new_tranche
+  FROM longf WHERE k % 3 > 0 GROUP BY 1, 2)
+SELECT o.prop, o.MCI_substudy, sparsity_old_tranche, sparsity_new_tranche,
+       CASE WHEN sparsity_new_tranche > sparsity_old_tranche THEN 'increased'
+            WHEN sparsity_new_tranche < sparsity_old_tranche THEN 'decreased'
+            ELSE 'same' END AS sparsity_change,
+       CASE WHEN sparsity_old_tranche <= 0.25 THEN '0-25%'
+            WHEN sparsity_old_tranche <= 0.5 THEN '25-50%'
+            WHEN sparsity_old_tranche <= 0.75 THEN '50-75%'
+            ELSE '75-100%' END AS sparsity_group_old_tranche,
+       CASE WHEN sparsity_new_tranche <= 0.25 THEN '0-25%'
+            WHEN sparsity_new_tranche <= 0.5 THEN '25-50%'
+            WHEN sparsity_new_tranche <= 0.75 THEN '50-75%'
+            ELSE '75-100%' END AS sparsity_group_new_tranche
+FROM old_s o JOIN new_s n
+  ON o.prop = n.prop AND o.MCI_substudy = n.MCI_substudy"""
+
+
+@register(
+    "cog_tranche_sparsity",
+    _COG_SPARSITY_ORACLE,
+    "COG tranche comparer (workflows/cog_comparer.py:19-98): per-prop "
+    "per-substudy sparsity diff with change classification and "
+    "quartile buckets; single stack-unpivot per tranche",
+)
+def cog_tranche_sparsity(spark, sf_dir):
+    from .plans.cog import tranche_sparsity_compare
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    src = orders.select(
+        F.col("o_orderpriority").alias("substudy"),
+        k.alias("k"),
+        F.when(F.col("o_totalprice") < 50000, "").otherwise("x").alias("pr_a"),
+        F.when(F.col("o_orderstatus") == "F", "NA")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("pr_b"),
+        F.when(k % 7 == 0, None).otherwise("v").alias("pr_c"),
+    )
+    old = src.filter(k % 3 < 2)
+    new = src.filter(k % 3 > 0)
+    return tranche_sparsity_compare(
+        old, new, "substudy", ["pr_a", "pr_b", "pr_c"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON row↔document round-trip (S5 JSON sink + S13 REST entity shape,
+# workflows/gdc_import.py:296-321 convert_tsv_json): rows fold into one
+# JSON document per user (to_json over collect_list), then shred back
+# via from_json + explode.  The oracle is the identity projection —
+# the round-trip must reproduce the source rows exactly.
+# ---------------------------------------------------------------------------
+
+_JSON_SHRED_ORACLE = """SELECT event_id, user_id, event_type FROM events"""
+
+
+@register(
+    "json_roundtrip_shred",
+    _JSON_SHRED_ORACLE,
+    "JSON doc fold + shred round-trip (workflows/gdc_import.py:296-321, "
+    "mci_gdc_transform.py:296-321): to_json(collect_list(struct)) per "
+    "user, from_json + explode back; oracle = identity",
+)
+def json_roundtrip_shred(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    docs = events.groupBy("user_id").agg(
+        F.to_json(
+            F.struct(
+                F.col("user_id"),
+                F.sort_array(
+                    F.collect_list(F.struct("event_id", "event_type"))
+                ).alias("evs"),
+            )
+        ).alias("doc")
+    )
+    schema = (
+        "struct<user_id:bigint,"
+        "evs:array<struct<event_id:bigint,event_type:string>>>"
+    )
+    shredded = (
+        docs.select(F.from_json("doc", schema).alias("d"))
+        .select(F.col("d.user_id").alias("user_id"), F.explode("d.evs").alias("e"))
+        .select("e.event_id", "user_id", "e.event_type")
+    )
+    return shredded
+
+
+# ---------------------------------------------------------------------------
+# Surrogate→business-key translation (src/join_tsv_to_manifest.py:
+# 111-192): DB-export TSVs carry `<parent>.id` surrogate guids; a
+# global (id → key) mapping built from every node translates them to
+# `<parent>.<parent>_id` business keys, surrogates blanked after.
+# ---------------------------------------------------------------------------
+
+_SURROGATE_ORACLE = """WITH mapping AS (
+  SELECT 'guid-' || md5(CAST(c_custkey AS VARCHAR)) AS id,
+         'C' || CAST(c_custkey AS VARCHAR) AS key
+  FROM customer),
+child AS (
+  SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS orders_id,
+         CASE WHEN o_orderkey % 11 <> 0
+              THEN 'guid-' || md5(CAST(o_custkey AS VARCHAR)) END AS cid
+  FROM orders)
+SELECT orders_id,
+       coalesce(m.key, c.cid) AS "customer.customer_id",
+       '' AS "customer.id"
+FROM child c LEFT JOIN mapping m ON c.cid = m.id"""
+
+
+@register(
+    "surrogate_key_translate",
+    _SURROGATE_ORACLE,
+    "surrogate-id → business-key translation "
+    "(src/join_tsv_to_manifest.py:154-181): broadcast (id→key) map "
+    "join per `<parent>.id` column, surrogate blanked after",
+)
+def surrogate_key_translate(spark, sf_dir):
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    mapping = customer.select(
+        F.concat(
+            F.lit("guid-"), F.md5(F.encode(F.col("c_custkey").cast("string"), "UTF-8"))
+        ).alias("__id__"),
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("__key__"),
+    )
+    child = orders.select(
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("orders_id"),
+        F.when(
+            F.col("o_orderkey") % 11 != 0,
+            F.concat(
+                F.lit("guid-"),
+                F.md5(F.encode(F.col("o_custkey").cast("string"), "UTF-8")),
+            ),
+        ).alias("customer.id"),
+    )
+    # the reference keeps unmapped / null surrogates as-is
+    # (join_tsv_to_manifest.py:172-174), then blanks the surrogate col
+    out = child.join(
+        F.broadcast(mapping), F.col("`customer.id`") == F.col("__id__"), "left"
+    )
+    return out.select(
+        "orders_id",
+        F.coalesce(F.col("__key__"), F.col("`customer.id`")).alias(
+            "customer.customer_id"
+        ),
+        F.lit("").alias("customer.id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CPI associated-id crosswalk (workflows/ccdi_cpi_query.py:126-200):
+# for each (participant, domain) fetch the participant's ids in every
+# OTHER domain — a self-join of the crosswalk on the global id.
+# ---------------------------------------------------------------------------
+
+_CPI_ORACLE = """WITH xwalk AS (
+  SELECT c_custkey AS gid,
+         'dom' || CAST(c_nationkey % 3 AS VARCHAR) AS domain,
+         'D' || CAST(c_nationkey % 3 AS VARCHAR) || '-'
+             || CAST(c_custkey AS VARCHAR) AS local_id
+  FROM customer)
+SELECT a.local_id AS participant_id, a.domain,
+       b.domain AS associated_domain, b.local_id AS associated_id
+FROM xwalk a JOIN xwalk b
+  ON a.gid = b.gid AND a.domain <> b.domain"""
+
+
+@register(
+    "cpi_associated_ids",
+    _CPI_ORACLE,
+    "CPI associated-participant-id crosswalk "
+    "(workflows/ccdi_cpi_query.py:126-200): self-join on the global "
+    "id, other-domain ids attached",
+)
+def cpi_associated_ids(spark, sf_dir):
+    (customer,) = _t(spark, sf_dir, "customer")
+    dom = F.concat(F.lit("dom"), (F.col("c_nationkey") % 3).cast("string"))
+    xwalk = customer.select(
+        F.col("c_custkey").alias("gid"),
+        dom.alias("domain"),
+        F.concat(
+            F.lit("D"),
+            (F.col("c_nationkey") % 3).cast("string"),
+            F.lit("-"),
+            F.col("c_custkey").cast("string"),
+        ).alias("local_id"),
+    )
+    a, b = xwalk.alias("a"), xwalk.alias("b")
+    return (
+        a.join(b, (F.col("a.gid") == F.col("b.gid"))
+               & (F.col("a.domain") != F.col("b.domain")))
+        .select(
+            F.col("a.local_id").alias("participant_id"),
+            F.col("a.domain").alias("domain"),
+            F.col("b.domain").alias("associated_domain"),
+            F.col("b.local_id").alias("associated_id"),
+        )
+    )

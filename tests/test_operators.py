@@ -683,3 +683,195 @@ def test_dcf_index_plan(spark):
     rows2 = {(r["md5"], r["urls"]): r for r in out2.collect()}
     assert rows2[("m2", "u2")]["guid"] == minted
     assert all(r["phs_accession"] == "phs-T" for r in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# graph transitive closure (entry_remover cascade)
+# ---------------------------------------------------------------------------
+
+
+def test_transitive_children_multi_hop_and_cycle(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.graph import (
+        transitive_children,
+    )
+
+    # a → b → c → a cycle plus a branch b → d; seed at a
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", "n2"),
+            ("b", "c", "n3"),
+            ("c", "a", "n1"),
+            ("b", "d", "n4"),
+            ("x", "y", "n5"),  # disconnected
+        ],
+        ["parent", "child", "node"],
+    )
+    seeds = spark.createDataFrame([("a", "n1")], ["entry_id", "node"])
+    got = {
+        (r.entry_id, r.node)
+        for r in transitive_children(edges, seeds, max_hops=10).collect()
+    }
+    assert got == {("a", "n1"), ("b", "n2"), ("c", "n3"), ("d", "n4")}
+
+
+def test_cascade_remove_kept_frames(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.graph import (
+        cascade_remove,
+    )
+
+    parents = spark.createDataFrame(
+        [("p1",), ("p2",)], ["participant_id"]
+    )
+    samples = spark.createDataFrame(
+        [("s1", "p1"), ("s2", "p2"), ("s3", None)],
+        ["sample_id", "participant.participant_id"],
+    )
+    files = spark.createDataFrame(
+        [("f1", "s1"), ("f2", "s2")], ["file_id", "sample.sample_id"]
+    )
+    seeds = spark.createDataFrame([("p1",)], ["entry_id"])
+    closure, kept = cascade_remove(
+        {"participant": parents, "sample": samples, "file": files},
+        seeds,
+        id_cols={
+            "participant": "participant_id",
+            "sample": "sample_id",
+            "file": "file_id",
+        },
+        link_cols={
+            "sample": ["participant.participant_id"],
+            "file": ["sample.sample_id"],
+        },
+    )
+    got = {(r.entry_id, r.node) for r in closure.collect()}
+    assert got == {("p1", "participant"), ("s1", "sample"), ("f1", "file")}
+    assert {r.participant_id for r in kept["participant"].collect()} == {"p2"}
+    assert {r.sample_id for r in kept["sample"].collect()} == {"s2", "s3"}
+    assert {r.file_id for r in kept["file"].collect()} == {"f2"}
+
+
+# ---------------------------------------------------------------------------
+# guid fill (guid_checker)
+# ---------------------------------------------------------------------------
+
+
+def test_guid_fill_keep_fill_empty_branches(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.plans.dcf import (
+        guid_fill_from_index,
+    )
+
+    manifest = spark.createDataFrame(
+        [
+            # existing guid → kept even though index disagrees
+            ("h1", "s3://b/d1/a.bam", 10, "dg.4DFC/keep"),
+            # missing guid, index match on md5+size+url → filled
+            ("h2", "s3://b/d2/b.bam", 20, None),
+            # missing guid, index has right md5/size but wrong dirname → ''
+            ("h3", "s3://b/d3/c.bam", 30, ""),
+            # missing guid, no index record at all → ''
+            ("h4", "s3://b/d4/d.bam", 40, None),
+        ],
+        ["md5sum", "file_url", "file_size", "dcf_indexd_guid"],
+    )
+    index = spark.createDataFrame(
+        [
+            ("dg.4DFC/one", "h1", 10, ["s3://b/d1/a.bam"]),
+            ("dg.4DFC/two", "h2", 20, ["s3://other/x.bam", "s3://b/d2/b.bam"]),
+            ("dg.4DFC/three", "h3", 30, ["s3://elsewhere/c.bam"]),
+        ],
+        ["did", "hash", "size", "urls"],
+    )
+    got = {
+        r.md5sum: r.dcf_indexd_guid
+        for r in guid_fill_from_index(manifest, index).collect()
+    }
+    assert got == {
+        "h1": "dg.4DFC/keep",
+        "h2": "dg.4DFC/two",
+        "h3": "",
+        "h4": "",
+    }
+
+
+# ---------------------------------------------------------------------------
+# db stats wide (fixed-column pivot + zero fill)
+# ---------------------------------------------------------------------------
+
+
+def test_db_stats_wide_zero_fill_and_guard(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.plans.db_stats import (
+        db_stats_wide,
+        duplicate_stat_guard,
+        stack_stats,
+    )
+
+    studies = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], ["study_id", "study_name"]
+    )
+    stats = {
+        "a_count": spark.createDataFrame([(1, 5), (2, 7)], ["study_id", "n"]),
+        "b_count": spark.createDataFrame([(1, 2)], ["study_id", "n"]),
+    }
+    wide = db_stats_wide(studies, stats, column_order=["a_count", "b_count"])
+    rows = {r.study_id: (r.a_count, r.b_count) for r in wide.collect()}
+    assert rows == {1: (5, 2), 2: (7, 0), 3: (0, 0)}
+
+    dup_long = stack_stats(stats).unionByName(
+        spark.createDataFrame(
+            [(1, "a_count", 9)], ["study_id", "column_name", "count"]
+        )
+    )
+    guard = duplicate_stat_guard(dup_long).collect()
+    assert [(g.study_id, g.column_name) for g in guard] == [(1, "a_count")]
+
+
+# ---------------------------------------------------------------------------
+# model mapping diff (reconcile precedence + ;-expansion)
+# ---------------------------------------------------------------------------
+
+
+def test_model_mapping_diff_states(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.plans.model_diff import (
+        model_mapping_diff,
+    )
+
+    vf = spark.createDataFrame(
+        [
+            ("sample", "site", "v1"),      # curated rename → CHANGED
+            ("sample", "status", "v1"),    # stable → SAME, dropped
+            ("sample", "old_only", "v1"),  # removed → DELETION
+        ],
+        ["lift_from_node", "lift_from_property", "lift_from_version"],
+    )
+    vt = spark.createDataFrame(
+        [
+            ("sample", "site_v2", "v2"),
+            ("sample", "status", "v2"),
+            ("sample", "brand_new", "v2"),  # ADDITION
+        ],
+        ["lift_to_node", "lift_to_property", "lift_to_version"],
+    )
+    provided = spark.createDataFrame(
+        [("sample", "site", "v1", "sample;archive", "site_v2", "v2")],
+        [
+            "lift_from_node",
+            "lift_from_property",
+            "lift_from_version",
+            "lift_to_node",
+            "lift_to_property",
+            "lift_to_version",
+        ],
+    )
+    out = model_mapping_diff(vf, vt, provided, "v1", "v2")
+    got = {
+        (r.state, r.lift_from_property, r.lift_to_node, r.lift_to_property)
+        for r in out.collect()
+    }
+    assert got == {
+        # curated ;-expansion: one row per target node, both CHANGED
+        ("CHANGED", "site", "sample", "site_v2"),
+        ("CHANGED", "site", "archive", "site_v2"),
+        ("DELETION", "old_only", "", ""),
+        ("ADDITION", "", "sample", "site_v2"),
+        ("ADDITION", "", "sample", "brand_new"),
+    }
