@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -128,3 +128,34 @@ def implode_delimited(
     return df.groupBy(*by).agg(
         F.concat_ws(sep, F.sort_array(F.collect_set(col))).alias(out)
     )
+
+
+def nest_dotted(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Dotted column names → nested struct columns.
+
+    Spark shape of the reference's ``flatten_to_nested``
+    (src/s3_ccdi_to_gdc.py:58-84): columns like ``participant.id``
+    become ``participant: struct<id>``, recursively for deeper paths.
+    Null skipping is delegated to ``to_json`` downstream
+    (``ignoreNullFields`` is on by default, the exact analog of the
+    reference skipping NaN/'' when building each row's dict).
+    Pure projection — no shuffle, codegen-friendly.
+    """
+    cols = cols if cols is not None else df.columns
+
+    def build(prefix: str, names: list[str]) -> list[Column]:
+        groups: dict[str, list[str]] = {}
+        leaves: list[Column] = []
+        for n in names:
+            if "." in n:
+                head, rest = n.split(".", 1)
+                groups.setdefault(head, []).append(rest)
+            else:
+                full = f"{prefix}{n}" if prefix else n
+                leaves.append(F.col(f"`{full}`").alias(n))
+        for head, rests in groups.items():
+            sub = build(f"{prefix}{head}.", rests)
+            leaves.append(F.struct(*sub).alias(head))
+        return leaves
+
+    return df.select(*build("", cols))

@@ -4207,3 +4207,544 @@ def cpi_associated_ids(spark, sf_dir):
             F.col("b.local_id").alias("associated_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DB count diff (workflows/neo4j_db_diff.py:100-104,
+# db_diff_central_worker.py): per-(study, node) counts from two DB
+# instances outer-joined, zero-filled, with a signed count_diff.
+# ---------------------------------------------------------------------------
+
+_DB_DIFF_ORACLE = """WITH db1 AS (
+  SELECT c_nationkey AS study_id, 'customer' AS node, COUNT(*) AS n
+  FROM customer GROUP BY 1
+  UNION ALL
+  SELECT s_nationkey, 'supplier', COUNT(*) FROM supplier GROUP BY 1),
+db2 AS (
+  SELECT c_nationkey AS study_id, 'customer' AS node, COUNT(*) AS n
+  FROM customer WHERE c_custkey % 13 <> 0 GROUP BY 1
+  UNION ALL
+  SELECT s_nationkey, 'part_supp', COUNT(*) FROM supplier GROUP BY 1)
+SELECT coalesce(db1.study_id, db2.study_id) AS study_id,
+       coalesce(db1.node, db2.node) AS node,
+       coalesce(db1.n, 0) AS sandbox_DB_count,
+       coalesce(db2.n, 0) AS dev_DB_count,
+       coalesce(db1.n, 0) - coalesce(db2.n, 0) AS count_diff
+FROM db1 FULL OUTER JOIN db2
+  ON db1.study_id = db2.study_id AND db1.node = db2.node"""
+
+
+@register(
+    "db_count_diff",
+    _DB_DIFF_ORACLE,
+    "DB instance count diff (workflows/neo4j_db_diff.py:100-104): "
+    "outer-join of two per-(study,node) count frames, zero-filled, "
+    "signed count_diff",
+)
+def db_count_diff(spark, sf_dir):
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+
+    def counts(cust_pred):
+        c = (
+            customer.filter(cust_pred)
+            .groupBy(F.col("c_nationkey").alias("study_id"))
+            .agg(F.count("*").alias("n"))
+            .withColumn("node", F.lit("customer"))
+        )
+        return c
+
+    db1 = counts(F.lit(True)).unionByName(
+        supplier.groupBy(F.col("s_nationkey").alias("study_id"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("node", F.lit("supplier"))
+    )
+    db2 = counts(F.col("c_custkey") % 13 != 0).unionByName(
+        supplier.groupBy(F.col("s_nationkey").alias("study_id"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("node", F.lit("part_supp"))
+    )
+    a, b = db1.alias("a"), db2.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.study_id") == F.col("b.study_id"))
+        & (F.col("a.node") == F.col("b.node")),
+        "full_outer",
+    )
+    n1 = F.coalesce(F.col("a.n"), F.lit(0))
+    n2 = F.coalesce(F.col("b.n"), F.lit(0))
+    return joined.select(
+        F.coalesce(F.col("a.study_id"), F.col("b.study_id")).alias("study_id"),
+        F.coalesce(F.col("a.node"), F.col("b.node")).alias("node"),
+        n1.alias("sandbox_DB_count"),
+        n2.alias("dev_DB_count"),
+        (n1 - n2).alias("count_diff"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary top-k (LLM-data op, beyond reference surface):
+# corpus-level token frequency — tokenize every document once,
+# explode, one partial-aggregated count, deterministic top-k.
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = """WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents)
+SELECT token, COUNT(*) AS n
+FROM toks WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 100"""
+
+
+@register(
+    "text_vocab_topk",
+    _VOCAB_ORACLE,
+    "corpus vocabulary top-k (LLM-data op): explode tokens, "
+    "map-side-combined count, total-ordered top 100",
+)
+def text_vocab_topk(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# GDC mapping battery (src/ccdi_gdc_mapping_functions.py:85-420): the
+# full transformer set — race/ethnicity split-filters, sex encode,
+# filename regex parsers (read group, read pair, idat channel),
+# specimen/tumor-descriptor cascades, multi-value dict mappers with
+# unmatched-strip, single dict mappers — compiled to one projection.
+# ---------------------------------------------------------------------------
+
+_GDC_UNMATCHED = (
+    "Other Solid Tumors",
+    "Other CNS",
+    "Other Hematopoietic Neoplasms",
+    "Low-grade Gliomas",
+    "Other Brain Tumors",
+)
+
+_GDC_ORACLE = r"""WITH src AS (
+  SELECT 'P' || CAST(c_custkey AS VARCHAR) AS participant_id,
+         'S' || CAST(c_custkey % 10 AS VARCHAR) AS sample_id,
+         CASE c_custkey % 5
+           WHEN 0 THEN 'White;Hispanic or Latino'
+           WHEN 1 THEN 'Asian'
+           WHEN 2 THEN 'hispanic or latino'
+           WHEN 4 THEN 'Black or African American;Asian' END AS race,
+         CASE c_custkey % 5
+           WHEN 0 THEN 'Male' WHEN 1 THEN 'F'
+           WHEN 2 THEN 'female' WHEN 3 THEN 'other' END AS sex,
+         CASE WHEN c_custkey % 6 = 0
+           THEN 'ARR_' || CAST(c_custkey AS VARCHAR) || '_A_B_'
+                || CASE WHEN c_custkey % 2 = 0 THEN 'Grn' ELSE 'Red' END
+                || '.idat'
+           ELSE 'MCI_P' || CAST(c_custkey AS VARCHAR)
+                || '_S' || CAST(c_custkey % 10 AS VARCHAR)
+                || '_L00' || CAST(c_custkey % 4 AS VARCHAR)
+                || '_R' || CAST(1 + c_custkey % 2 AS VARCHAR)
+                || '_00' || CAST(c_custkey % 3 AS VARCHAR)
+                || '.fastq.gz' END AS file_name,
+         CASE c_custkey % 3
+           WHEN 0 THEN 'Malignant Tumor Tissue'
+           WHEN 1 THEN 'Blood Derived Normal' END AS specimen,
+         CASE c_custkey % 4
+           WHEN 0 THEN 'Localized' WHEN 1 THEN 'Metastatic, NOS'
+           WHEN 2 THEN 'Not Reported' ELSE 'Unknown' END AS tumor_spatial,
+         CASE c_custkey % 6
+           WHEN 0 THEN 'Sarcoma' WHEN 1 THEN 'Leukemia'
+           WHEN 2 THEN 'Other CNS;Sarcoma' WHEN 3 THEN 'Low-grade Gliomas'
+           WHEN 4 THEN 'Sarcoma;Leukemia' END AS diag,
+         CASE WHEN c_custkey % 7 = 0
+           THEN 'site-0;site-' || CAST(c_custkey % 5 AS VARCHAR)
+           ELSE 'site-' || CAST(c_custkey % 5 AS VARCHAR) END AS site,
+         'm' || CAST(c_custkey % 3 AS VARCHAR) AS morph
+  FROM customer),
+mapped AS (
+  SELECT participant_id,
+    CASE WHEN race IS NULL OR trim(race) = '' THEN 'Unknown'
+         ELSE coalesce(
+           list_transform(
+             list_filter(string_split(race, ';'),
+               v -> NOT (contains(lower(v), 'hispanic')
+                         OR contains(lower(v), 'latino'))),
+             v -> trim(lower(v)))[1], 'Unknown') END AS gdc_race,
+    CASE WHEN race IS NULL OR trim(race) = '' THEN 'not reported'
+         ELSE coalesce(
+           list_transform(
+             list_filter(string_split(race, ';'),
+               v -> contains(lower(v), 'hispanic')
+                    OR contains(lower(v), 'latino')),
+             v -> trim(lower(v)))[1], 'not reported') END AS gdc_ethnicity,
+    CASE WHEN sex IS NULL OR trim(sex) = '' THEN 'unknown'
+         WHEN lower(sex) IN ('male', 'm') THEN 'male'
+         WHEN lower(sex) IN ('female', 'f') THEN 'female'
+         ELSE 'unknown' END AS gdc_sex,
+    CASE WHEN regexp_extract(file_name,
+              '^(?:[^_]+_){3}([^_]+(?:_[^_]+)*)_R\d+_\d+', 1) <> ''
+         THEN sample_id || '_rg_'
+              || regexp_extract(file_name,
+                   '^(?:[^_]+_){3}([^_]+(?:_[^_]+)*)_R\d+_\d+', 1)
+    END AS rg_id,
+    nullif(regexp_extract(file_name, '_(R\d)_\d+', 1), '') AS read_pair,
+    CASE lower(regexp_extract(file_name, '_(Grn|Red).idat', 1))
+         WHEN 'grn' THEN 'Green' WHEN 'red' THEN 'Red' END AS channel_color,
+    CASE WHEN specimen IS NULL OR trim(specimen) = '' THEN NULL
+         WHEN contains(lower(specimen), 'tumor') THEN 'Solid Tissue'
+         WHEN contains(lower(specimen), 'normal')
+         THEN 'Peripheral Whole Blood' END AS specimen_type,
+    tumor_spatial, specimen, diag, site, morph
+  FROM src),
+desc_t AS (
+  SELECT *,
+    CASE WHEN contains(lower(tumor_spatial), 'local') THEN 'Primary'
+         WHEN contains(lower(tumor_spatial), 'metastatic') THEN 'Metastatic'
+         WHEN (contains(lower(tumor_spatial), 'not reported')
+               OR contains(lower(tumor_spatial), 'unknown'))
+              AND lower(specimen_type) IN ('solid tissue', 'tumor')
+         THEN 'Primary'
+         WHEN (contains(lower(tumor_spatial), 'not reported')
+               OR contains(lower(tumor_spatial), 'unknown'))
+              AND lower(specimen_type) IN ('peripheral whole blood', 'normal')
+         THEN 'Not Applicable'
+         ELSE 'Not Reported' END AS tumor_descriptor,
+    CASE WHEN diag IS NULL OR trim(diag) = '' THEN NULL ELSE
+      (WITH m AS (SELECT list_sort(list_distinct(list_transform(
+           list_filter(list_transform(string_split(diag, ';'), v -> trim(v)),
+             v -> v NOT IN ('Other Solid Tumors', 'Other CNS',
+                            'Other Hematopoietic Neoplasms',
+                            'Low-grade Gliomas', 'Other Brain Tumors')),
+           v -> CASE WHEN v = 'Sarcoma' THEN 'Sarcomas'
+                     WHEN v = 'Leukemia' THEN 'Leukemias'
+                     ELSE 'Not Mapped' END))) AS l)
+       SELECT CASE WHEN len(l) = 1 THEN l[1]
+                   WHEN len(list_filter(l, v -> v <> 'Not Mapped')) > 0
+                   THEN array_to_string(
+                          list_filter(l, v -> v <> 'Not Mapped'), ';')
+                   ELSE 'Not Mapped' END FROM m) END AS disease_type,
+    CASE WHEN site IS NULL OR trim(site) = '' THEN NULL ELSE
+      (WITH m AS (SELECT list_sort(list_distinct(list_transform(
+           list_transform(string_split(site, ';'), v -> trim(v)),
+           v -> CASE WHEN v = 'site-0' THEN 'Brain'
+                     WHEN v = 'site-1' THEN 'Kidney'
+                     WHEN v = 'site-2' THEN 'Liver'
+                     ELSE 'Not Mapped' END))) AS l)
+       SELECT CASE WHEN len(l) = 1 THEN l[1]
+                   WHEN len(list_filter(l, v -> v <> 'Not Mapped')) > 0
+                   THEN array_to_string(
+                          list_filter(l, v -> v <> 'Not Mapped'), ';')
+                   ELSE 'Not Mapped' END FROM m) END AS primary_site,
+    CASE WHEN morph IS NULL OR trim(morph) = '' THEN NULL
+         WHEN trim(morph) = 'm0' THEN '9500/3'
+         WHEN trim(morph) = 'm1' THEN '9861/3' END AS morphology
+  FROM mapped)
+SELECT participant_id, gdc_race, gdc_ethnicity, gdc_sex, rg_id, read_pair,
+       channel_color, specimen_type, tumor_descriptor, disease_type,
+       primary_site, morphology
+FROM desc_t"""
+
+
+@register(
+    "gdc_mapping_battery",
+    _GDC_ORACLE,
+    "GDC mapping battery (src/ccdi_gdc_mapping_functions.py:85-420): "
+    "race/ethnicity/sex encodes, filename regex parsers, specimen + "
+    "tumor-descriptor cascades, multi- and single-value dict mappers "
+    "— one codegen projection, zero joins/shuffles",
+)
+def gdc_mapping_battery(spark, sf_dir):
+    from .plans import gdc
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    idat = F.concat(
+        F.lit("ARR_"), ks, F.lit("_A_B_"),
+        F.when(k % 2 == 0, "Grn").otherwise("Red"), F.lit(".idat"),
+    )
+    fastq = F.concat(
+        F.lit("MCI_P"), ks,
+        F.lit("_S"), (k % 10).cast("string"),
+        F.lit("_L00"), (k % 4).cast("string"),
+        F.lit("_R"), (1 + k % 2).cast("string"),
+        F.lit("_00"), (k % 3).cast("string"),
+        F.lit(".fastq.gz"),
+    )
+    src = customer.select(
+        F.concat(F.lit("P"), ks).alias("participant_id"),
+        F.concat(F.lit("S"), (k % 10).cast("string")).alias("sample_id"),
+        F.when(k % 5 == 0, "White;Hispanic or Latino")
+        .when(k % 5 == 1, "Asian")
+        .when(k % 5 == 2, "hispanic or latino")
+        .when(k % 5 == 4, "Black or African American;Asian")
+        .alias("race"),
+        F.when(k % 5 == 0, "Male")
+        .when(k % 5 == 1, "F")
+        .when(k % 5 == 2, "female")
+        .when(k % 5 == 3, "other")
+        .alias("sex"),
+        F.when(k % 6 == 0, idat).otherwise(fastq).alias("file_name"),
+        F.when(k % 3 == 0, "Malignant Tumor Tissue")
+        .when(k % 3 == 1, "Blood Derived Normal")
+        .alias("specimen"),
+        F.when(k % 4 == 0, "Localized")
+        .when(k % 4 == 1, "Metastatic, NOS")
+        .when(k % 4 == 2, "Not Reported")
+        .otherwise("Unknown")
+        .alias("tumor_spatial"),
+        F.when(k % 6 == 0, "Sarcoma")
+        .when(k % 6 == 1, "Leukemia")
+        .when(k % 6 == 2, "Other CNS;Sarcoma")
+        .when(k % 6 == 3, "Low-grade Gliomas")
+        .when(k % 6 == 4, "Sarcoma;Leukemia")
+        .alias("diag"),
+        F.when(
+            k % 7 == 0,
+            F.concat(F.lit("site-0;site-"), (k % 5).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("site-"), (k % 5).cast("string")))
+        .alias("site"),
+        F.concat(F.lit("m"), (k % 3).cast("string")).alias("morph"),
+    )
+    spec = gdc.specimen_col(F.col("specimen"))
+    return src.select(
+        "participant_id",
+        gdc.race_col(F.col("race")).alias("gdc_race"),
+        gdc.ethnicity_col(F.col("race")).alias("gdc_ethnicity"),
+        gdc.sex_col(F.col("sex")).alias("gdc_sex"),
+        gdc.wxs_rg_id_col(F.col("sample_id"), F.col("file_name")).alias("rg_id"),
+        gdc.read_pair_col(F.col("file_name")).alias("read_pair"),
+        gdc.channel_color_col(F.col("file_name")).alias("channel_color"),
+        spec.alias("specimen_type"),
+        gdc.tumor_descriptor_col(F.col("tumor_spatial"), spec).alias(
+            "tumor_descriptor"
+        ),
+        gdc.multi_map_col(
+            F.col("diag"),
+            {"Sarcoma": "Sarcomas", "Leukemia": "Leukemias"},
+            unmatched=_GDC_UNMATCHED,
+        ).alias("disease_type"),
+        gdc.multi_map_col(
+            F.col("site"),
+            {"site-0": "Brain", "site-1": "Kidney", "site-2": "Liver"},
+        ).alias("primary_site"),
+        gdc.single_map_col(
+            F.col("morph"), {"m0": "9500/3", "m1": "9861/3"}
+        ).alias("morphology"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GDC experiment-name reconcile (src/s3_ccdi_to_gdc.py:180-212): rows
+# sharing a submitter_id all adopt the group's LONGEST experiment
+# name, then dedup.  Tie-break pinned to (length desc, name desc) —
+# the reference's first-occurrence tie depends on pandas row order.
+# ---------------------------------------------------------------------------
+
+_EXP_RECONCILE_ORACLE = """WITH src AS (
+  SELECT 'SUB-' || CAST(l_orderkey AS VARCHAR) AS submitter_id,
+         'e' || repeat('x', CAST(l_linenumber AS INT)) || '_'
+             || CAST(l_orderkey % 3 AS VARCHAR) AS experiment_name,
+         l_returnflag AS flag
+  FROM lineitem),
+best AS (
+  SELECT submitter_id, experiment_name FROM (
+    SELECT submitter_id, experiment_name,
+           row_number() OVER (
+             PARTITION BY submitter_id
+             ORDER BY length(experiment_name) DESC, experiment_name DESC) AS rn
+    FROM src) WHERE rn = 1)
+SELECT DISTINCT s.submitter_id, b.experiment_name, s.flag
+FROM src s JOIN best b ON s.submitter_id = b.submitter_id"""
+
+
+@register(
+    "gdc_experiment_reconcile",
+    _EXP_RECONCILE_ORACLE,
+    "GDC experiment-name reconcile (src/s3_ccdi_to_gdc.py:180-212): "
+    "longest name per submitter_id broadcast to the group, dedup; "
+    "max_by aggregate, no window over the fact",
+)
+def gdc_experiment_reconcile(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    src = lineitem.select(
+        F.concat(F.lit("SUB-"), F.col("l_orderkey").cast("string")).alias(
+            "submitter_id"
+        ),
+        F.concat(
+            F.lit("e"),
+            F.repeat(F.lit("x"), F.col("l_linenumber").cast("int")),
+            F.lit("_"),
+            (F.col("l_orderkey") % 3).cast("string"),
+        ).alias("experiment_name"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    best = src.groupBy("submitter_id").agg(
+        F.max_by(
+            "experiment_name",
+            F.struct(
+                F.length("experiment_name").alias("l"),
+                F.col("experiment_name").alias("n"),
+            ),
+        ).alias("experiment_name")
+    )
+    return (
+        src.drop("experiment_name")
+        .join(best, "submitter_id")
+        .select("submitter_id", "experiment_name", "flag")
+        .dropDuplicates()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nested-entity render round-trip (src/s3_ccdi_to_gdc.py:58-110):
+# dotted columns fold into nested structs (flatten_to_nested), render
+# to JSON entities, then shred back — oracle is the identity
+# projection, proving the nest → to_json → from_json path is lossless.
+# ---------------------------------------------------------------------------
+
+_NESTED_ORACLE = """SELECT 'S' || CAST(o_orderkey AS VARCHAR) AS submitter_id,
+       CASE WHEN o_orderkey % 5 <> 0
+            THEN 'P' || CAST(o_custkey AS VARCHAR) END AS participant_id,
+       o_orderstatus AS status
+FROM orders"""
+
+
+@register(
+    "gdc_nested_entity_roundtrip",
+    _NESTED_ORACLE,
+    "nested-entity render (src/s3_ccdi_to_gdc.py:58-110): dotted cols "
+    "→ nested struct → to_json (nulls skipped like the reference) → "
+    "from_json shred; oracle = identity",
+)
+def gdc_nested_entity_roundtrip(spark, sf_dir):
+    from .operators.reshape import nest_dotted
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    flat = orders.select(
+        F.concat(F.lit("S"), F.col("o_orderkey").cast("string")).alias(
+            "submitter_id"
+        ),
+        F.when(
+            F.col("o_orderkey") % 5 != 0,
+            F.concat(F.lit("P"), F.col("o_custkey").cast("string")),
+        ).alias("participants.participant_id"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    nested = nest_dotted(flat)
+    entities = nested.select(
+        F.to_json(F.struct("submitter_id", "participants", "status")).alias("doc")
+    )
+    schema = (
+        "struct<submitter_id:string,"
+        "participants:struct<participant_id:string>,status:string>"
+    )
+    return entities.select(F.from_json("doc", schema).alias("d")).select(
+        F.col("d.submitter_id").alias("submitter_id"),
+        F.col("d.participants.participant_id").alias("participant_id"),
+        F.col("d.status").alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percent necrosis / tumor-content fill-in
+# (src/cog_igm_utils.py:332-370): contains-based category normalize,
+# left merge of decoded report values onto the clinical sheet keyed by
+# (participant, category), drop rows where both percents are null.
+# ---------------------------------------------------------------------------
+
+_NECROSIS_ORACLE = """WITH clin AS (
+  SELECT 'P' || CAST(o_custkey AS VARCHAR) AS pid,
+         CASE WHEN o_orderkey % 6 <> 0
+              THEN 'S' || CAST(o_orderkey AS VARCHAR) END AS sid,
+         CASE o_orderkey % 4
+           WHEN 0 THEN 'DNA Methylation Profile'
+           WHEN 1 THEN 'RNA Gene Fusion Panel'
+           WHEN 2 THEN 'Tumor Normal Pair'
+           ELSE 'Other Category' END AS data_category
+  FROM orders),
+clin_n AS (
+  SELECT pid, sid,
+         CASE WHEN contains(data_category, 'Methylation') THEN 'methylation'
+              WHEN contains(data_category, 'Gene Fusion') THEN 'archer_fusion'
+              WHEN contains(data_category, 'Tumor Normal') THEN 'tumor_normal'
+              ELSE data_category END AS data_category
+  FROM clin WHERE sid IS NOT NULL),
+parsed AS (
+  SELECT DISTINCT 'P' || CAST(c_custkey AS VARCHAR) AS subject_id,
+         CASE c_custkey % 3 WHEN 0 THEN 'methylation'
+              WHEN 1 THEN 'archer_fusion' ELSE 'tumor_normal' END AS report_type,
+         CASE WHEN c_custkey % 5 <> 0
+              THEN CAST(c_custkey % 90 AS DOUBLE) END AS percent_necrosis,
+         CASE WHEN c_custkey % 7 <> 0
+              THEN CAST(c_custkey % 80 AS DOUBLE) END AS percent_tumor
+  FROM customer)
+SELECT pid AS "participant.participant_id", sid AS "sample.sample_id",
+       percent_necrosis, percent_tumor
+FROM clin_n LEFT JOIN parsed
+  ON pid = subject_id AND data_category = report_type
+WHERE percent_necrosis IS NOT NULL OR percent_tumor IS NOT NULL"""
+
+
+@register(
+    "necrosis_tumor_fill",
+    _NECROSIS_ORACLE,
+    "percent necrosis/tumor fill-in (src/cog_igm_utils.py:332-370): "
+    "contains-normalize categories, broadcast-join decoded report "
+    "values, drop rows with neither percent",
+)
+def necrosis_tumor_fill(spark, sf_dir):
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    ok, ck = F.col("o_orderkey"), F.col("c_custkey")
+    clin = orders.select(
+        F.concat(F.lit("P"), F.col("o_custkey").cast("string")).alias("pid"),
+        F.when(ok % 6 != 0, F.concat(F.lit("S"), ok.cast("string"))).alias("sid"),
+        F.when(ok % 4 == 0, "DNA Methylation Profile")
+        .when(ok % 4 == 1, "RNA Gene Fusion Panel")
+        .when(ok % 4 == 2, "Tumor Normal Pair")
+        .otherwise("Other Category")
+        .alias("data_category"),
+    ).filter(F.col("sid").isNotNull())
+    cat = (
+        F.when(F.col("data_category").contains("Methylation"), "methylation")
+        .when(F.col("data_category").contains("Gene Fusion"), "archer_fusion")
+        .when(F.col("data_category").contains("Tumor Normal"), "tumor_normal")
+        .otherwise(F.col("data_category"))
+    )
+    clin = clin.withColumn("data_category", cat)
+    parsed = (
+        customer.select(
+            F.concat(F.lit("P"), ck.cast("string")).alias("subject_id"),
+            F.when(ck % 3 == 0, "methylation")
+            .when(ck % 3 == 1, "archer_fusion")
+            .otherwise("tumor_normal")
+            .alias("report_type"),
+            F.when(ck % 5 != 0, (ck % 90).cast("double")).alias(
+                "percent_necrosis"
+            ),
+            F.when(ck % 7 != 0, (ck % 80).cast("double")).alias("percent_tumor"),
+        )
+        .dropDuplicates()
+    )
+    merged = clin.join(
+        F.broadcast(parsed),
+        (F.col("pid") == F.col("subject_id"))
+        & (F.col("data_category") == F.col("report_type")),
+        "left",
+    )
+    return merged.filter(
+        F.col("percent_necrosis").isNotNull() | F.col("percent_tumor").isNotNull()
+    ).select(
+        F.col("pid").alias("participant.participant_id"),
+        F.col("sid").alias("sample.sample_id"),
+        "percent_necrosis",
+        "percent_tumor",
+    )

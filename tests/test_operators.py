@@ -875,3 +875,44 @@ def test_model_mapping_diff_states(spark):
         ("ADDITION", "", "sample", "site_v2"),
         ("ADDITION", "", "sample", "brand_new"),
     }
+
+
+# ---------------------------------------------------------------------------
+# nest_dotted (dotted columns → nested structs)
+# ---------------------------------------------------------------------------
+
+
+def test_nest_dotted_three_levels(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.reshape import (
+        nest_dotted,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "y", "z", "w")],
+        ["plain", "a.b", "a.c.d", "a.c.e"],
+    )
+    out = nest_dotted(df)
+    assert set(out.columns) == {"plain", "a"}
+    row = out.collect()[0]
+    assert row.plain == "x"
+    assert row.a.b == "y"
+    assert row.a.c.d == "z"
+    assert row.a.c.e == "w"
+
+
+def test_gdc_multi_map_sorted_join_and_not_mapped(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.plans.gdc import (
+        multi_map_col,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("b;a",), ("a",), ("zz",), ("a;zz",), (None,)], ["v"]
+    )
+    out = df.select(
+        multi_map_col(F.col("v"), {"a": "Alpha", "b": "Beta"}).alias("m")
+    ).collect()
+    got = [r.m for r in out]
+    # sorted join of mapped survivors; lone unmapped → Not Mapped;
+    # mixed keeps only mapped; null passes through
+    assert got == ["Alpha;Beta", "Alpha", "Not Mapped", "Alpha", None]
