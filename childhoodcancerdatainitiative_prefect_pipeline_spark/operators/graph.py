@@ -26,7 +26,7 @@ def transitive_children(
     child_col: str = "child",
     label_col: str | None = "node",
     max_hops: int = 25,
-    checkpoint_every: int = 4,
+    cache_edges: bool = True,
 ) -> DataFrame:
     """Closure of ``seeds`` under the child relation in ``edges``.
 
@@ -37,22 +37,28 @@ def transitive_children(
     i.e. exactly the set of rows ``entry_remover`` deletes.
 
     Scale notes: the frontier starts tiny (a removal list) so each hop
-    is a broadcast-able join against the big edge list with the edge
-    side streaming; the ``left_anti`` against the closure-so-far stops
-    cycles and re-visits.  The frontier is materialized (persist +
-    ``isEmpty`` probe) once per hop — one action per *level* of the
-    graph, bounded by ``max_hops``.  Lineage is truncated with
-    ``localCheckpoint`` every ``checkpoint_every`` hops so deep chains
-    don't accumulate a quadratic plan.
+    is a broadcast-able join against the edge list with the edge side
+    streaming; the ``left_anti`` against the closure-so-far stops
+    cycles and re-visits.  Every hop's ``fresh`` set is EAGERLY
+    ``localCheckpoint``-ed — the per-hop probe doubles as the
+    materialization, so later hops' anti-joins read flat materialized
+    frames instead of recomputing the whole union chain (lazy
+    checkpoints here made the plan quadratic in hop count).
+    ``cache_edges`` persists the edge list across hops — right when
+    the edge build involves real work (unions over many node tables);
+    disable it when edges are a raw 100 TB storage scan you'd rather
+    re-read with pushdown than spill to cache.
     """
     out_cols = ["entry_id"] + ([label_col] if label_col else [])
-    closure = seeds.select(*out_cols).distinct()
-    frontier = closure.select("entry_id").distinct()
+    if cache_edges:
+        edges = edges.persist()
+    seeds = seeds.select(*out_cols).distinct().localCheckpoint()
+    closure_parts = [seeds]
+    closure_ids = seeds.select("entry_id").distinct().localCheckpoint()
+    frontier = closure_ids
 
-    for hop in range(max_hops):
-        frontier = frontier.persist()
+    for _hop in range(max_hops):
         if frontier.isEmpty():
-            frontier.unpersist()
             break
         step_cols = [F.col(child_col).alias("entry_id")] + (
             [F.col(label_col)] if label_col else []
@@ -65,16 +71,19 @@ def transitive_children(
             .select(*step_cols)
             .distinct()
         )
+        # eager checkpoint: one job per hop, flat lineage ever after
         fresh = discovered.join(
-            closure.select("entry_id").distinct(), "entry_id", "left_anti"
-        )
-        if (hop + 1) % checkpoint_every == 0:
-            fresh = fresh.localCheckpoint(eager=False)
-        closure = closure.unionByName(fresh)
-        prev = frontier
+            closure_ids, "entry_id", "left_anti"
+        ).localCheckpoint()
+        closure_parts.append(fresh)
         frontier = fresh.select("entry_id").distinct()
-        prev.unpersist()
+        closure_ids = closure_ids.unionByName(frontier)
 
+    if cache_edges:
+        edges.unpersist()
+    closure = closure_parts[0]
+    for p in closure_parts[1:]:
+        closure = closure.unionByName(p)
     return closure
 
 
@@ -141,3 +150,67 @@ def cascade_remove(
         for node, df in tables.items()
     }
     return closure, kept
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    label_col: str = "cluster_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Min-label propagation connected components.
+
+    The canonicalization step every near-dup pipeline needs after pair
+    generation (MinHash/SimHash/cosine candidates): dup *pairs* become
+    dup *clusters*, each labeled by its minimum member id, so one
+    representative per cluster can be kept.
+
+    Each iteration is one shuffle join (labels against the symmetrized
+    edge list) plus a map-side-combined ``min`` — the classic iterative
+    CC; convergence needs O(graph diameter) rounds, and dup-cluster
+    graphs are shallow (near-clique groups), so 3-4 rounds in practice.
+    Labels are ``localCheckpoint``-ed each round: lineage stays flat and
+    the convergence probe (limit-1 count of changed labels) re-reads the
+    materialized frame instead of recomputing the chain.  For
+    billion-edge general graphs swap in large-star/small-star rounds;
+    the interface stays the same.
+    """
+    sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    sym = sym.unionByName(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    )
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("__nbr__"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("__nbr__"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias(label_col)
+    )

@@ -4748,3 +4748,54 @@ def necrosis_tumor_fill(spark, sf_dir):
         "percent_necrosis",
         "percent_tumor",
     )
+
+
+# ---------------------------------------------------------------------------
+# Dup-pair → dup-cluster canonicalization (LLM-data op): exact-dup
+# CHAIN edges over documents (lag within each md5 group) fed to
+# min-label-propagation connected components; oracle is a recursive
+# CTE computing min-reachable-id per doc.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = """WITH RECURSIVE g AS (
+  SELECT doc_id, md5(text) AS h FROM documents),
+ordered AS (
+  SELECT doc_id, h,
+         lag(doc_id) OVER (PARTITION BY h ORDER BY doc_id) AS prev
+  FROM g),
+edges0 AS (SELECT prev AS src, doc_id AS dst FROM ordered WHERE prev IS NOT NULL),
+edges AS (
+  SELECT src, dst FROM edges0
+  UNION
+  SELECT dst, src FROM edges0),
+reach AS (
+  SELECT doc_id AS a, doc_id AS b FROM g
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"""
+
+
+@register(
+    "dedup_cluster_components",
+    _CLUSTER_ORACLE,
+    "dup-cluster canonicalization (LLM-data op): chain edges per "
+    "exact-dup group → min-label-propagation connected components "
+    "(operators/graph.py); recursive-CTE oracle",
+)
+def dedup_cluster_components(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.graph import connected_components
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    g = documents.select(
+        "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    ordered = g.withColumn("prev", F.lag("doc_id").over(w))
+    edges = ordered.filter(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("src"), F.col("doc_id").alias("dst")
+    )
+    return connected_components(
+        edges, g.select("doc_id"), id_col="doc_id", label_col="cluster_id"
+    )

@@ -916,3 +916,22 @@ def test_gdc_multi_map_sorted_join_and_not_mapped(spark):
     # sorted join of mapped survivors; lone unmapped → Not Mapped;
     # mixed keeps only mapped; null passes through
     assert got == ["Alpha;Beta", "Alpha", "Not Mapped", "Alpha", None]
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3), pair 10-11, singleton 20
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (10,), (11,), (20,)], ["id"]
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(edges, nodes, id_col="id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}

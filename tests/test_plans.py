@@ -169,3 +169,29 @@ def test_validate_is_single_pass(spark):
     # formatted explain prints each node in the tree AND the detail
     # section — "Generate (" matches only the tree entry
     assert plan.count("Generate (") == 1  # one explode
+
+
+def test_gdc_battery_is_single_stage_no_shuffle(spark, sf_dir):
+    plan = _plan(REGISTRY["gdc_mapping_battery"].fn(spark, sf_dir))
+    # the whole battery is one codegen projection over the scan —
+    # a shuffle or a Python eval here means a compiler regression
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_vocab_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(REGISTRY["text_vocab_topk"].fn(spark, sf_dir))
+    # top-k must compile to TakeOrderedAndProject, never a global Sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_db_stats_pivot_no_values_discovery_pass(spark, sf_dir):
+    df = REGISTRY["db_stats_wide"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # study-dimension sides must broadcast (the facts stay put) and the
+    # explicit pivot values list keeps the plan to one exchange per
+    # stat + one for the pivot groupBy — no SortMergeJoin anywhere
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
