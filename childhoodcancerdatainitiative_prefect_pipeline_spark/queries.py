@@ -4799,3 +4799,107 @@ def dedup_cluster_components(spark, sf_dir):
     return connected_components(
         edges, g.select("doc_id"), id_col="doc_id", label_col="cluster_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation (LLM-data op, composed): quality features
+# + language ID + token counts in ONE scan/projection, threshold
+# filters, then exact-dup canonicalization keeping the min doc_id per
+# content hash.  The whole pipeline is one scan + one aggregation —
+# the shape a 100 TB pretraining-corpus pass wants.
+# ---------------------------------------------------------------------------
+
+_CURATION_LLM_ORACLE = r"""WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+feats AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         ROUND(CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(toks, t2 -> list_contains(
+                 ['the','a','of','and','to','in','is','that','it','for'], t2)))
+                 AS DOUBLE) / len(toks) ELSE 0.0 END, 6) AS stopword_ratio,
+         ROUND(CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, t2 -> length(t2))) AS DOUBLE) /
+               len(toks) ELSE 0.0 END, 6) AS mean_word_len,
+         len(list_filter(toks, x -> list_contains(
+           ['der','die','das','und','ist','von','mit','für','ein','nicht'], x))) AS h_de,
+         len(list_filter(toks, x -> list_contains(
+           ['the','a','of','and','to','in','is','that','it','for'], x))) AS h_en,
+         len(list_filter(toks, x -> list_contains(
+           ['el','la','los','de','y','es','un','una','por','para'], x))) AS h_es,
+         len(list_filter(toks, x -> list_contains(
+           ['le','la','les','de','et','est','un','une','pour','dans'], x))) AS h_fr,
+         len(list_filter(toks, x -> list_contains(
+           ['的','是','在','了','和','有','我','不','这','他'], x))) AS h_zh
+  FROM t),
+lang AS (
+  SELECT *,
+         CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) <= 0 THEN 'und'
+              WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+              WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+              WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+              WHEN h_fr = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+              ELSE 'zh' END AS lang_pred
+  FROM feats),
+kept AS (
+  SELECT doc_id, text, n_tokens, stopword_ratio, lang_pred
+  FROM lang
+  WHERE lang_pred = 'en' AND n_tokens >= 10
+    AND stopword_ratio >= 0.05 AND mean_word_len BETWEEN 2.0 AND 12.0),
+canon AS (
+  SELECT md5(text) AS h, min(doc_id) AS keep_id FROM kept GROUP BY 1)
+SELECT k.doc_id, k.n_tokens, k.stopword_ratio, k.lang_pred
+FROM kept k JOIN canon c ON md5(k.text) = c.h AND k.doc_id = c.keep_id"""
+
+
+@register(
+    "corpus_curation_pipeline",
+    _CURATION_LLM_ORACLE,
+    "end-to-end LLM corpus curation (composed): quality + lang-id + "
+    "token counts in one projection, threshold filters, exact-dup "
+    "canonicalization keeping min doc_id — one scan + one aggregation",
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    from .operators.text import language_id, quality_features, token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    feats = quality_features(documents)
+    scored = language_id(feats).withColumn(
+        "n_tokens", token_count("text").cast("long")
+    )
+    kept = scored.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("n_tokens") >= 10)
+        & (F.col("stopword_ratio") >= 0.05)
+        & F.col("mean_word_len").between(2.0, 12.0)
+    ).withColumn("__h__", F.md5(F.encode(F.col("text"), "UTF-8")))
+    canon = kept.groupBy("__h__").agg(F.min("doc_id").alias("__keep__"))
+    return (
+        kept.join(
+            canon,
+            (kept["__h__"] == canon["__h__"])
+            & (kept["doc_id"] == canon["__keep__"]),
+        )
+        .select("doc_id", "n_tokens", "stopword_ratio", "lang_pred")
+    )
+
+
+@register(
+    "corpus_pack_sequences",
+    None,  # packing assignment is engine-specific → rows-only;
+    # invariants (budget respected, every doc once) unit-tested
+    "sequence packing (LLM-data op): first-fit-decreasing within hash "
+    "shards via one applyInPandas; packs ≤ 2048-token budget",
+)
+def corpus_pack_sequences(spark, sf_dir):
+    from .operators.packing import pack_sequences
+    from .operators.text import token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    docs = documents.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=2048, n_groups=16)

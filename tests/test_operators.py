@@ -935,3 +935,36 @@ def test_connected_components_chain_and_singletons(spark):
         for r in connected_components(edges, nodes, id_col="id").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_pack_sequences_invariants(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 900) for i in range(200)] + [(999, 5000)],
+        ["doc_id", "n_tokens"],
+    )
+    out = pack_sequences(docs, budget=1000, n_groups=8).collect()
+    # every doc exactly once
+    assert sorted(r.doc_id for r in out) == sorted(
+        [i for i in range(200)] + [999]
+    )
+    totals: dict[str, int] = {}
+    sizes: dict[str, int] = {}
+    for r in out:
+        totals[r.pack_id] = totals.get(r.pack_id, 0) + r.n_tokens
+        sizes[r.pack_id] = sizes.get(r.pack_id, 0) + 1
+    for pid, tot in totals.items():
+        # budget respected except singleton over-budget docs
+        assert tot <= 1000 or sizes[pid] == 1
+    # the 5000-token doc is alone in its pack
+    big = [r.pack_id for r in out if r.doc_id == 999][0]
+    assert sizes[big] == 1
+
+    # deterministic across runs
+    again = pack_sequences(docs, budget=1000, n_groups=8).collect()
+    assert sorted((r.pack_id, r.doc_id) for r in again) == sorted(
+        (r.pack_id, r.doc_id) for r in out
+    )
