@@ -45,13 +45,19 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     )
 
 
-def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
-    """Fraction of tokens that are (given-language) stopwords."""
-    toks = normalized_tokens(text)
+def stopword_ratio_of(
+    toks: Column, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS
+) -> Column:
+    """Stopword fraction over a pre-staged token array column."""
     sw = F.array(*[F.lit(s) for s in stopwords])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     n = F.size(toks)
     return F.when(n > 0, n_stop.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    """Fraction of tokens that are (given-language) stopwords."""
+    return stopword_ratio_of(normalized_tokens(text), stopwords)
 
 
 def punct_ratio(text: Column | str) -> Column:
@@ -63,8 +69,8 @@ def punct_ratio(text: Column | str) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def mean_word_length(text: Column | str) -> Column:
-    toks = normalized_tokens(text)
+def mean_word_length_of(toks: Column) -> Column:
+    """Mean token length over a pre-staged token array column."""
     total = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
@@ -73,8 +79,15 @@ def mean_word_length(text: Column | str) -> Column:
     )
 
 
+def mean_word_length(text: Column | str) -> Column:
+    return mean_word_length_of(normalized_tokens(text))
+
+
 def quality_features(
-    df: DataFrame, text_col: str = "text", scale: int = 6
+    df: DataFrame,
+    text_col: str = "text",
+    scale: int = 6,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Quality-scoring feature battery: one projection, all metrics.
 
@@ -82,15 +95,21 @@ def quality_features(
     length — the standard heuristics used to filter web-scraped
     training text.  Ratios round to ``scale`` for cross-engine
     reproducibility.
+
+    Pass ``tokens_col`` (a column staged with ``normalized_tokens``)
+    when composing with other token consumers — Catalyst does NOT
+    CSE expressions inside HOF lambdas, so an un-staged composition
+    re-tokenizes the text once per metric (SCALE.md, staging rule).
     """
     t = F.col(text_col)
+    toks = F.col(tokens_col) if tokens_col else normalized_tokens(t)
     return df.withColumns(
         {
             "n_chars_computed": F.length(t).cast("long"),
             "n_tokens": token_count(t).cast("long"),
-            "stopword_ratio": F.round(stopword_ratio(t), scale),
+            "stopword_ratio": F.round(stopword_ratio_of(toks), scale),
             "punct_ratio": F.round(punct_ratio(t), scale),
-            "mean_word_len": F.round(mean_word_length(t), scale),
+            "mean_word_len": F.round(mean_word_length_of(toks), scale),
         }
     )
 
@@ -116,6 +135,7 @@ def language_id(
     text_col: str = "text",
     profiles: dict[str, tuple[str, ...]] = STOPWORD_PROFILES,
     out_col: str = "lang_pred",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Language ID by stopword-profile scoring.
 
@@ -125,7 +145,7 @@ def language_id(
     is compiled into the expression (broadcast-join variant scales to
     large profiles).
     """
-    toks = normalized_tokens(F.col(text_col))
+    toks = F.col(tokens_col) if tokens_col else normalized_tokens(F.col(text_col))
     entries = []
     for lang in sorted(profiles):
         sw = F.array(*[F.lit(s) for s in profiles[lang]])

