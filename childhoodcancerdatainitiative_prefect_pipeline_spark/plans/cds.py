@@ -245,6 +245,7 @@ def cds_metadata(
     final_cols: list[str],
     required_cols: list[str],
     paths: tuple[CdsPath, ...] = CDS_PATHS,
+    persist_file: bool = True,
 ) -> DataFrame:
     """The full CDS Metadata frame.
 
@@ -252,7 +253,20 @@ def cds_metadata(
     keep PI personnel rows, project the template columns, null
     ``anatomic_site`` when ``sample_id`` is null (the reference's
     "minor fix"), fill required props with "Not Applicable", dedup.
+
+    ``persist_file`` materializes the file union once instead of
+    re-deriving it for each of the 14 paths — measured 23.8 s → 8.7 s
+    at sf0.1 (the derived-dimension persist is still a loss, see
+    SCALE.md; it's the 14×-re-scanned FACT that pays).  The
+    materialization is EAGER (``localCheckpoint``): a lazy persist
+    races — the 14 path branches of the single downstream job all
+    start before the cache populates and each re-derives the fact.
+    Disable when the fact is a raw partitioned parquet scan whose
+    per-path link pushdown prunes to disjoint row groups —
+    re-reading beats caching 100 TB.
     """
+    if persist_file:
+        file_df = file_df.localCheckpoint()
     flat = flatten_paths(file_df, nodes, paths)
     flat = flat.filter(F.col("personnel_type") == "PI")
     proj = flat.select(
