@@ -199,8 +199,14 @@ def iterative_resolve(
     resolved: DataFrame | None = None
     cur = frontier
     for _hop in range(max_hops):
-        step = cur.join(term, cur["__cursor__"] == F.col("__tk__"), "left").drop(
-            "__tk__"
+        # eager checkpoint: the drain probe, the done-branch, and the
+        # next hop all read this hop's materialized output instead of
+        # re-running every prior hop's joins (the probe made the loop
+        # quadratic in hop count otherwise)
+        step = (
+            cur.join(term, cur["__cursor__"] == F.col("__tk__"), "left")
+            .drop("__tk__")
+            .localCheckpoint()
         )
         done = step.filter(F.col(target_col).isNotNull()).drop("__cursor__")
         resolved = done if resolved is None else resolved.unionByName(done)
