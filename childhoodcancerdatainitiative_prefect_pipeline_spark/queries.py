@@ -5005,3 +5005,31 @@ def corpus_stratified_sample(spark, sf_dir):
         .filter(F.col("__p__").isNotNull() & (u < F.col("__p__")))
         .select("doc_id", "lang", "source")
     )
+
+
+@register(
+    "dedup_minhash_clusters",
+    None,  # minhash pairs are xxhash64-seeded → rows-only like
+    # dedup_minhash_pairs; the CC step itself is oracle-proven by
+    # dedup_cluster_components
+    "near-dup clustering (LLM-data op, composed): MinHash-LSH verified "
+    "pairs → min-label-propagation connected components → one "
+    "(doc_id, cluster_id) per involved doc",
+)
+def dedup_minhash_clusters(spark, sf_dir):
+    from .operators.dedup import minhash_dedup
+    from .operators.graph import connected_components
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup(documents, threshold=0.7)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("doc_id"))
+        .unionByName(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    return connected_components(
+        edges, nodes, id_col="doc_id", label_col="cluster_id"
+    )
