@@ -82,3 +82,27 @@ def age_exceeds_limit(c: Column | str, limit: int = MAX_AGE_DAYS) -> Column:
     (src/s3_validationry_refactored.py:749-815)."""
     v = _c(c).cast("string").try_cast("double")
     return v.isNotNull() & (F.abs(v.cast("long")) > limit)
+
+
+#: Email pattern for training-data redaction (additive — the
+#: reference's F7 scan covers dates/SSN/phone/ZIP only).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+#: Redaction order matters (an SSN's tail can pre-match the date
+#: pattern); both engines chain replacements in THIS order so results
+#: agree byte-for-byte.
+REDACT_PATTERNS: tuple[str, ...] = PII_PATTERNS + (EMAIL_PATTERN,)
+
+
+def redact_pii(c: Column | str, sentinel: str = "[PII]") -> Column:
+    """Replace every PII pattern occurrence with ``sentinel``.
+
+    The redaction twin of :func:`pii_violation` (F7 is detect-only —
+    the reference REJECTS values; a training-data pipeline keeps the
+    text and masks the spans).  One chained ``regexp_replace`` per
+    pattern, all JVM-side.
+    """
+    out = _c(c)
+    for pat in REDACT_PATTERNS:
+        out = F.regexp_replace(out, pat, sentinel)
+    return out

@@ -5033,3 +5033,66 @@ def dedup_minhash_clusters(spark, sf_dir):
     return connected_components(
         edges, nodes, id_col="doc_id", label_col="cluster_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (LLM-data op): the redaction twin of the F7 scan —
+# training pipelines keep the text and mask the spans instead of
+# rejecting rows.  PII is planted deterministically so the oracle
+# exercises every pattern.
+# ---------------------------------------------------------------------------
+
+_PII_REDACT_ORACLE = r"""WITH planted AS (
+  SELECT doc_id,
+         text || CASE doc_id % 5
+           WHEN 0 THEN ' call 555-123-4567'
+           WHEN 1 THEN ' ssn 123-45-6789'
+           WHEN 2 THEN ' born 2020-01-02'
+           WHEN 3 THEN ' mail a.b@example.org'
+           ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(regexp_replace(
+    text,
+    '\d{1,2}[/-]\d{1,2}[/-]\d{2,4}', '[PII]', 'g'),
+    '\d{4}[/-]\d{1,2}[/-]\d{1,2}', '[PII]', 'g'),
+    '\b\d{1,2}\s+(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\s+\d{2,4}\b',
+    '[PII]', 'g'),
+    '\b(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\s+\d{1,2},?\s+\d{2,4}\b',
+    '[PII]', 'g'),
+    '\b\d{3}-\d{2}-\d{4}\b', '[PII]', 'g'),
+    '\b\d{3}[-.\s]\d{3}[-.\s]\d{4}\b', '[PII]', 'g'),
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g')
+  AS redacted,
+  CASE WHEN doc_id % 5 < 4 THEN TRUE ELSE FALSE END AS had_pii
+FROM planted"""
+
+
+@register(
+    "text_pii_redact",
+    _PII_REDACT_ORACLE,
+    "PII redaction (LLM-data op; redaction twin of F7 "
+    "src/s3_validationry_refactored.py:620-746): chained "
+    "regexp_replace battery masks dates/SSN/phone/email spans",
+)
+def text_pii_redact(spark, sf_dir):
+    from .functions.checks import redact_pii
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    planted = documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, " call 555-123-4567")
+            .when(F.col("doc_id") % 5 == 1, " ssn 123-45-6789")
+            .when(F.col("doc_id") % 5 == 2, " born 2020-01-02")
+            .when(F.col("doc_id") % 5 == 3, " mail a.b@example.org")
+            .otherwise(""),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        redact_pii("text").alias("redacted"),
+        (F.col("doc_id") % 5 < 4).alias("had_pii"),
+    )
