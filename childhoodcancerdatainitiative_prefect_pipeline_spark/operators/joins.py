@@ -319,3 +319,48 @@ def fuzzy_relink(
             "__n_cand__", "__n_size__", "__picked__",
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    partition_col: str,
+    ts_col: str,
+    value_cols: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join — latest right row at-or-before each left row.
+
+    Spark has no ASOF JOIN; the naive theta-join
+    (``l.ts >= r.ts`` + keep-max) explodes to O(|L|·|R|) per key.
+    This is the scalable union formulation: tag both sides, sort each
+    partition once by ``(ts, tag)`` (right rows first on ties, so
+    equal timestamps match like SQL ``ASOF``'s ``>=``), and carry the
+    right side's values forward with ``last(ignorenulls)`` over an
+    unbounded-preceding window.  ONE shuffle on the partition key,
+    cost O((|L|+|R|) log) per partition — the same plan shape DuckDB
+    and kdb execute natively.
+
+    ``value_cols`` must exist on ``right`` and not collide with
+    ``left``'s columns; they surface as ``{prefix}{col}``, null when
+    no right row precedes.
+    """
+    from pyspark.sql import Window
+
+    tag = "__asof_tag__"
+    tagged_r = right.select(
+        F.col(partition_col),
+        F.col(ts_col),
+        *[F.col(v) for v in value_cols],
+        F.lit(0).alias(tag),
+    )
+    tagged_l = left.withColumn(tag, F.lit(1))
+    u = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(ts_col, tag)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for v in value_cols:
+        u = u.withColumn(prefix + v, F.last(v, ignorenulls=True).over(w))
+    return u.filter(F.col(tag) == 1).drop(tag, *value_cols)

@@ -5096,3 +5096,38 @@ def text_pii_redact(spark, sf_dir):
         redact_pii("text").alias("redacted"),
         (F.col("doc_id") % 5 < 4).alias("had_pii"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join over the event stream (custom operator — Spark lacks
+# ASOF JOIN): for every click, the latest purchase value at or before
+# it per user.  Union + single-sort formulation; the DuckDB oracle
+# uses its native ASOF LEFT JOIN.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """SELECT a.event_id, a.user_id,
+       b.value AS asof_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts"""
+
+
+@register(
+    "events_asof_join",
+    _ASOF_ORACLE,
+    "backward as-of join (custom operator, operators/joins.py): "
+    "latest purchase value at-or-before each click per user; union + "
+    "one-sort formulation vs DuckDB's native ASOF JOIN",
+)
+def events_asof_join(spark, sf_dir):
+    from .operators.joins import asof_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(clicks, purchases, "user_id", "ts", ["purchase_value"])
+    return out.select("event_id", "user_id", "asof_purchase_value")
