@@ -195,3 +195,13 @@ def test_db_stats_pivot_no_values_discovery_pass(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_asof_join_single_exchange(spark, sf_dir):
+    plan = _plan(REGISTRY["events_asof_join"].fn(spark, sf_dir))
+    # the union formulation shuffles ONCE (the window partition);
+    # a second hashpartitioning exchange means the theta-join shape
+    # crept back in
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
