@@ -364,3 +364,43 @@ def asof_join(
     for v in value_cols:
         u = u.withColumn(prefix + v, F.last(v, ignorenulls=True).over(w))
     return u.filter(F.col(tag) == 1).drop(tag, *value_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Bucketized range join — points matched to covering intervals.
+
+    Spark plans a bare ``p.v BETWEEN i.lo AND i.hi`` join as
+    BroadcastNestedLoop (or a cartesian) — O(|P|·|I|) work however
+    small the true match set.  Here every interval is replicated to
+    the coarse buckets it covers (``sequence(floor(lo/w), floor(hi/w))``),
+    each point hashes to exactly ONE bucket, and the bucket equi-join +
+    residual ``BETWEEN`` filter does only the work of actual bucket
+    collisions.  Each (point, interval) pair meets in exactly one
+    bucket, so no post-join dedup is needed.  Pick ``bucket_width``
+    near the median interval width: replication factor stays ~2 while
+    a bucket's candidate set stays tiny.
+    """
+    b = "__bucket__"
+    lo, hi, v = F.col(lo_col), F.col(hi_col), F.col(point_col)
+    bucketed_i = intervals.withColumn(
+        b,
+        F.explode(
+            F.sequence(
+                F.floor(lo / bucket_width).cast("long"),
+                F.floor(hi / bucket_width).cast("long"),
+            )
+        ),
+    )
+    bucketed_p = points.withColumn(b, F.floor(v / bucket_width).cast("long"))
+    return (
+        bucketed_p.join(bucketed_i, on=b)
+        .filter((v >= lo) & (v <= hi))
+        .drop(b)
+    )

@@ -5131,3 +5131,48 @@ def events_asof_join(spark, sf_dir):
     )
     out = asof_join(clicks, purchases, "user_id", "ts", ["purchase_value"])
     return out.select("event_id", "user_id", "asof_purchase_value")
+
+
+# ---------------------------------------------------------------------------
+# Range join (custom operator — Spark plans BETWEEN joins as nested
+# loops): events bucket-joined to covering value intervals, rolled up
+# per interval.  The oracle is the plain BETWEEN join.
+# ---------------------------------------------------------------------------
+
+_RANGE_ORACLE = """WITH intervals AS (
+  SELECT 'I' || CAST(p_partkey AS VARCHAR) AS interval_id,
+         CAST(p_partkey % 480 AS DOUBLE) AS lo,
+         CAST(p_partkey % 480 + 1 + p_partkey % 10 AS DOUBLE) AS hi
+  FROM part WHERE p_partkey % 4 = 0)
+SELECT i.interval_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events e JOIN intervals i ON e.value BETWEEN i.lo AND i.hi
+GROUP BY i.interval_id"""
+
+
+@register(
+    "events_range_join",
+    _RANGE_ORACLE,
+    "bucketized range join (custom operator, operators/joins.py): "
+    "intervals replicated to covered buckets, points equi-join one "
+    "bucket + residual BETWEEN — no nested-loop; per-interval rollup",
+)
+def events_range_join(spark, sf_dir):
+    from .operators.joins import interval_join
+
+    events, part = _t(spark, sf_dir, "events", "part")
+    pk = F.col("p_partkey")
+    intervals = part.filter(pk % 4 == 0).select(
+        F.concat(F.lit("I"), pk.cast("string")).alias("interval_id"),
+        (pk % 480).cast("double").alias("lo"),
+        (pk % 480 + 1 + pk % 10).cast("double").alias("hi"),
+    )
+    points = events.select("value")
+    joined = interval_join(points, intervals, "value", "lo", "hi", bucket_width=8.0)
+    return joined.groupBy("interval_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -205,3 +205,11 @@ def test_asof_join_single_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    plan = _plan(REGISTRY["events_range_join"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the bucket key makes it an equi-join
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
