@@ -5176,3 +5176,68 @@ def events_range_join(spark, sf_dir):
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel analysis over the event stream: signup → click →
+# purchase, each stage's timestamp strictly at-or-after the previous
+# stage's.  ONE shuffle (the per-user collect); stage resolution is
+# row-local array logic, so the plan survives any event volume whose
+# per-user history fits a row (skew caveat documented).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """WITH agg AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+  FROM events GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN agg a ON e.user_id = a.user_id
+  WHERE e.event_type = 'click' AND e.ts >= a.t1 GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY 1)
+SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage,
+       COUNT(*) AS n_users
+FROM agg LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+GROUP BY 1"""
+
+
+@register(
+    "events_funnel",
+    _FUNNEL_ORACLE,
+    "ordered funnel (signup → click → purchase) per user in ONE "
+    "per-user aggregation + row-local array stage resolution; the "
+    "oracle re-derives each stage with ordered min-joins",
+)
+def events_funnel(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_type")).alias("evs")
+    )
+    evs = F.col("evs")
+
+    def stage_ts(ev_type: str, not_before):
+        cond = (
+            (lambda e: (e["event_type"] == ev_type) & (e["ts"] >= not_before))
+            if not_before is not None
+            else (lambda e: e["event_type"] == ev_type)
+        )
+        return F.array_min(F.transform(F.filter(evs, cond), lambda e: e["ts"]))
+
+    staged = per_user.withColumn("t1", stage_ts("signup", None))
+    staged = staged.withColumn("t2", stage_ts("click", F.col("t1")))
+    staged = staged.withColumn("t3", stage_ts("purchase", F.col("t2")))
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        staged.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count("*").alias("n_users"))
+    )
