@@ -5241,3 +5241,54 @@ def events_funnel(spark, sf_dir):
         .groupBy("funnel_stage")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping-sets rollup (additive — SURVEY §2.4 notes the reference
+# has no cube/rollup; Spark provides them natively): per-(nation,
+# segment) order stats with nation subtotals and a grand total in ONE
+# pass, replacing the reference's N separate groupby+concat reports.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """SELECT
+  coalesce(n_name, 'ALL') AS study,
+  coalesce(c_mktsegment, 'ALL') AS segment,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)"""
+
+
+@register(
+    "orders_rollup_stats",
+    _ROLLUP_ORACLE,
+    "grouping-sets rollup (additive): per-(nation, segment) order "
+    "stats + nation subtotals + grand total in one pass — replaces "
+    "the reference's separate groupby reports (A1/A6 generalized)",
+)
+def orders_rollup_stats(spark, sf_dir):
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    base = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        base.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("study"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            "n_orders",
+            "total_price",
+        )
+    )
