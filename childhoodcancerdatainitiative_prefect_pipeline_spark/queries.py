@@ -5292,3 +5292,65 @@ def orders_rollup_stats(spark, sf_dir):
             "total_price",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch gap-sessionization (the oracle-checkable twin of
+# stream_session_windows): session breaks where the per-user gap
+# exceeds 30 min; session id is the running sum of breaks.  Two
+# windows over ONE shuffle (same partition key), then one agg.
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_ORACLE = """WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, us,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM marked)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       max(us) - min(us) AS duration_us
+FROM sess GROUP BY user_id, session_seq"""
+
+
+@register(
+    "events_sessionize",
+    _SESSIONIZE_ORACLE,
+    "batch gap-sessionization (oracle twin of stream_session_windows): "
+    "break on >30min per-user gaps, running-sum session ids, "
+    "per-session rollup — two windows sharing one shuffle",
+)
+def events_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    # integer MICROSECOND arithmetic on both engines — unix_timestamp
+    # truncates sub-seconds while DuckDB's epoch() keeps them, so
+    # second-resolution gaps disagree at boundaries
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = us - F.unix_micros(F.lag("ts").over(w))
+    marked = events.select(
+        "user_id",
+        us.alias("us"),
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("session_seq", F.sum("brk").over(ws))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
