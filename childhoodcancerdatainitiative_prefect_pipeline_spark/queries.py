@@ -455,11 +455,11 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 @register(
     "w1_eav_pivot",
     """SELECT user_id,
-              SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-              SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-              SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-              SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+              COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+              COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+              COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+              COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+              COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
        FROM events GROUP BY user_id""",
     "W1 EAV long→wide pivot (src/neo4j_data_tools.py:1666-1759)",
 )
@@ -1770,19 +1770,19 @@ def l3_unlifted_report(spark, sf_dir):
                      ELSE 'clean note' END AS notes
          FROM orders)
        SELECT 'odate_str' AS property,
-              SUM(CASE WHEN regexp_matches(odate_str, '\\d{4}-\\d{2}-\\d{2}')
-                         OR regexp_matches(odate_str, '\\d{3}-\\d{2}-\\d{4}')
-                       THEN 1 ELSE 0 END) AS n_violations FROM scan
+              COUNT(CASE WHEN regexp_matches(odate_str, '\\d{4}-\\d{2}-\\d{2}')
+                           OR regexp_matches(odate_str, '\\d{3}-\\d{2}-\\d{4}')
+                         THEN 1 END) AS n_violations FROM scan
        UNION ALL
        SELECT 'o_orderpriority',
-              SUM(CASE WHEN regexp_matches(o_orderpriority, '\\d{4}-\\d{2}-\\d{2}')
-                         OR regexp_matches(o_orderpriority, '\\d{3}-\\d{2}-\\d{4}')
-                       THEN 1 ELSE 0 END) FROM scan
+              COUNT(CASE WHEN regexp_matches(o_orderpriority, '\\d{4}-\\d{2}-\\d{2}')
+                           OR regexp_matches(o_orderpriority, '\\d{3}-\\d{2}-\\d{4}')
+                         THEN 1 END) FROM scan
        UNION ALL
        SELECT 'notes',
-              SUM(CASE WHEN regexp_matches(notes, '\\d{4}-\\d{2}-\\d{2}')
-                         OR regexp_matches(notes, '\\d{3}-\\d{2}-\\d{4}')
-                       THEN 1 ELSE 0 END) FROM scan""",
+              COUNT(CASE WHEN regexp_matches(notes, '\\d{4}-\\d{2}-\\d{2}')
+                           OR regexp_matches(notes, '\\d{3}-\\d{2}-\\d{4}')
+                         THEN 1 END) FROM scan""",
     "F7 PII regex scan per string prop (src/s3_validationry_refactored.py:615-746)",
 )
 def f7_pii_scan(spark, sf_dir):
@@ -1857,9 +1857,9 @@ def f12_ext_type_infer(spark, sf_dir):
                      ELSE CAST(c_custkey AS VARCHAR) END AS v
          FROM customer)
        SELECT
-         SUM(CASE WHEN regexp_matches(v, '^[+-]?\\d+$') THEN 1 ELSE 0 END) AS n_int_ok,
-         SUM(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END) AS n_float_ok,
-         SUM(CASE WHEN TRY_CAST(v AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS n_bad
+         COUNT(CASE WHEN regexp_matches(v, '^[+-]?\\d+$') THEN 1 END) AS n_int_ok,
+         COUNT(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 1 END) AS n_float_ok,
+         COUNT(CASE WHEN TRY_CAST(v AS DOUBLE) IS NULL THEN 1 END) AS n_bad
        FROM vals""",
     "F13 numeric parse checks via try_cast (src/s3_validationry_refactored.py:28-41,474-586)",
 )
@@ -1964,9 +1964,9 @@ def o1_order_by_count(spark, sf_dir):
 @register(
     "rule_proband_family",
     """SELECT o_custkey AS family_id,
-              SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_probands
+              COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_probands
        FROM orders GROUP BY o_custkey
-       HAVING SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) <> 1""",
+       HAVING COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) <> 1""",
     "proband-in-family rule: exactly one proband per family "
     "(src/s3_validationry_refactored.py:837-910)",
 )
@@ -5334,13 +5334,23 @@ def events_sessionize(spark, sf_dir):
     # integer MICROSECOND arithmetic on both engines — unix_timestamp
     # truncates sub-seconds while DuckDB's epoch() keeps them, so
     # second-resolution gaps disagree at boundaries
+    # `ts` arrives as TIMESTAMP_NTZ under Spark 4.x (TIMESTAMP(NANOS)
+    # parquet reads natively as NTZ; `unix_micros` only takes LTZ), so
+    # derive epoch micros with timestampdiff from an NTZ epoch literal
+    # — integer-exact parity with DuckDB's epoch_us on naive ts.
+    def _us(c):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+        )
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros("ts")
-    gap = us - F.unix_micros(F.lag("ts").over(w))
-    marked = events.select(
+    us = _us("ts")
+    marked0 = events.withColumn("__prev_ts__", F.lag("ts").over(w))
+    gap = us - _us("__prev_ts__")
+    marked = marked0.select(
         "user_id",
         us.alias("us"),
-        F.when(F.lag("ts").over(w).isNull() | (gap > 1_800_000_000), 1)
+        F.when(F.col("__prev_ts__").isNull() | (gap > 1_800_000_000), 1)
         .otherwise(0)
         .alias("brk"),
     )

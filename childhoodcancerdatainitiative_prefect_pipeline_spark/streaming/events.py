@@ -19,6 +19,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
 
+def _as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Coerce the event-time column to TIMESTAMP (LTZ).
+
+    Watermarks and ``window``/``session_window`` event time require
+    TIMESTAMP; the driver's events.parquet carries TIMESTAMP(NANOS),
+    which Spark 4.x reads natively as TIMESTAMP_NTZ.  The cast is a
+    no-op for LTZ input and value-preserving for NTZ under the
+    engine's UTC session timezone (session.py ENGINE_CONF).
+    """
+    return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+
 def tumbling_rollup(
     events: DataFrame,
     window_size: str = "1 hour",
@@ -31,7 +43,7 @@ def tumbling_rollup(
     rows beyond the bound are dropped and state is reclaimed; in
     batch mode leave it None and the same plan runs as a group-by.
     """
-    src = events
+    src = _as_event_time(events, ts_col)
     if watermark is not None:
         src = src.withWatermark(ts_col, watermark)
     return src.groupBy(
@@ -58,7 +70,8 @@ def sessionize(
 ) -> DataFrame:
     """Session windows per user (gap-based), streaming-native."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _as_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -85,9 +98,9 @@ def streaming_dedup(
     ``dropDuplicates`` on a watermarked stream keeps state only for
     the horizon — the streaming rendering of A9.
     """
-    return events.withWatermark(ts_col, watermark).dropDuplicates(
-        keys or ["event_id"]
-    )
+    return _as_event_time(events, ts_col).withWatermark(
+        ts_col, watermark
+    ).dropDuplicates(keys or ["event_id"])
 
 
 def start_console_sink(df: DataFrame, mode: str = "update") -> DataStreamWriter:
