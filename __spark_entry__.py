@@ -29,6 +29,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # the whole registry by scripts/verify_driver.py before each commit.
 _CERTIFY_FIRST = [
     # round-3 additions (never checked by driver or judge)
+    "text_repetition_stats",
+    "corpus_gopher_filter",
+    "text_tfidf_topk",
+    "text_bm25_search",
+    "inverted_index_build",
+    "corpus_domain_mix",
+    "profile_quantiles",
+    "events_retention_cohorts",
+    "events_daily_topk",
+    "url_dedup_canonical",
     # round-2 additions (never checked by driver or judge)
     "cds_flatten",
     "ccdi_to_dbgap",

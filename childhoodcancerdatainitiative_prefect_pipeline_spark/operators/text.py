@@ -183,3 +183,53 @@ def fingerprint(
         F.transform(F.col("__fp_sh__"), lambda s: F.xxhash64(s))
     )
     return staged.withColumn(out_col, fp).drop("__fp_sh__")
+
+
+def word_ngrams_expr(tokens_col: str, n: int) -> Column:
+    """Overlapping word n-grams from a STAGED token-array column.
+
+    ``transform`` with the positional lambda over the first
+    ``size - (n-1)`` tokens — row-local, no explode, codegen'd.
+    Requires a bound column NAME (not an expression) so the array is
+    evaluated once (HOF-CSE staging rule, SCALE.md).
+    """
+    if n < 2:
+        return F.col(tokens_col)
+    # transform's index is 0-based; element_at is 1-based, so the
+    # j-th successor of the element at index i is element_at(i+1+j).
+    parts = ["x"] + [
+        f"element_at({tokens_col}, i + {1 + j})" for j in range(1, n)
+    ]
+    return F.expr(
+        f"transform(slice({tokens_col}, 1, "
+        f"greatest(size({tokens_col}) - {n - 1}, 0)), "
+        f"(x, i) -> concat_ws(' ', {', '.join(parts)}))"
+    )
+
+
+def max_element_run(arr: Column) -> Column:
+    """Largest multiplicity of any element in an array (row-local).
+
+    Sort, then a single ``aggregate`` fold tracking the current and
+    best run length — O(n log n) per row with NO shuffle, where the
+    naive explode→groupBy→max costs a full shuffle per n-gram.  Used
+    for Gopher-style "top n-gram fraction" repetition filters.
+    """
+    s = F.sort_array(arr)
+    run = lambda acc, x: (  # noqa: E731 — shared subexpression
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+    )
+    return F.aggregate(
+        s,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )

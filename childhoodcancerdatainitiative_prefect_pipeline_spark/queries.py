@@ -5364,3 +5364,642 @@ def events_sessionize(spark, sf_dir):
         F.count("*").alias("n_events"),
         (F.max("us") - F.min("us")).alias("duration_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 LLM-data-pipeline pack: repetition detection, quality-filter
+# battery, TF-IDF / BM25 ranking, inverted-index build, deterministic
+# domain-mix sampling, quantile profiling, retention cohorts, daily
+# top-k, and URL canonicalization dedup.  All integer-exact or
+# %.6g-stable against DuckDB; token pipelines stage the token array
+# once (HOF-CSE rule) and keep n-gram work row-local.
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = r"""toks AS (
+  SELECT doc_id, w,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS BIGINT)
+           AS pos
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w,
+               generate_subscripts(
+                 regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS ord
+        FROM documents)
+  WHERE w <> '')"""
+
+_REPETITION_ORACLE = rf"""WITH {_TOKS_CTE},
+g2 AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS g
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+g3 AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+t_agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                 COUNT(DISTINCT w) AS n_distinct_tokens
+          FROM toks GROUP BY doc_id),
+g2_agg AS (SELECT doc_id, COUNT(*) AS n_2grams,
+                  COUNT(DISTINCT g) AS n_distinct_2grams
+           FROM g2 GROUP BY doc_id),
+g2_top AS (SELECT doc_id, MAX(c) AS top_2gram_count
+           FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g)
+           GROUP BY doc_id),
+g3_agg AS (SELECT doc_id, COUNT(*) AS n_3grams,
+                  COUNT(DISTINCT g) AS n_distinct_3grams
+           FROM g3 GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens, t.n_distinct_tokens,
+       COALESCE(g2_agg.n_2grams, 0) AS n_2grams,
+       COALESCE(g2_agg.n_distinct_2grams, 0) AS n_distinct_2grams,
+       COALESCE(g3_agg.n_3grams, 0) AS n_3grams,
+       COALESCE(g3_agg.n_distinct_3grams, 0) AS n_distinct_3grams,
+       COALESCE(g2_top.top_2gram_count, 0) AS top_2gram_count
+FROM t_agg t
+LEFT JOIN g2_agg ON t.doc_id = g2_agg.doc_id
+LEFT JOIN g2_top ON t.doc_id = g2_top.doc_id
+LEFT JOIN g3_agg ON t.doc_id = g3_agg.doc_id"""
+
+
+@register(
+    "text_repetition_stats",
+    _REPETITION_ORACLE,
+    "Gopher-style repetition detection: duplicate word / 2-gram / "
+    "3-gram multiplicities and the top-2-gram run, integer-exact, "
+    "one row-local projection — no shuffle beyond the scan (the "
+    "oracle needs three self-joins for what the fold does in-row)",
+)
+def text_repetition_stats(spark, sf_dir):
+    from .operators.dedup import normalized_tokens
+    from .operators.text import max_element_run, word_ngrams_expr
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    staged = (
+        documents.select("doc_id", normalized_tokens("text").alias("toks"))
+        .withColumn("g2", word_ngrams_expr("toks", 2))
+        .withColumn("g3", word_ngrams_expr("toks", 3))
+    )
+    return staged.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
+        F.size("g2").cast("long").alias("n_2grams"),
+        F.size(F.array_distinct("g2")).cast("long").alias("n_distinct_2grams"),
+        F.size("g3").cast("long").alias("n_3grams"),
+        F.size(F.array_distinct("g3")).cast("long").alias("n_distinct_3grams"),
+        max_element_run(F.col("g2")).alias("top_2gram_count"),
+    )
+
+
+_GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that")
+
+_GOPHER_ORACLE = rf"""WITH {_TOKS_CTE},
+feat AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(length(w)) AS BIGINT) AS total_word_chars,
+         COUNT(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 END)
+           AS n_alpha_words,
+         COUNT(DISTINCT CASE WHEN w IN
+           ('the','a','of','and','to','in','is','that') THEN w END)
+           AS n_stop_hits
+  FROM toks GROUP BY doc_id)
+SELECT doc_id, n_tokens, total_word_chars, n_alpha_words, n_stop_hits,
+       (n_tokens BETWEEN 50 AND 100000) AS ok_word_count,
+       (3 * n_tokens <= total_word_chars
+        AND total_word_chars <= 10 * n_tokens) AS ok_mean_word_len,
+       (10 * n_alpha_words >= 8 * n_tokens) AS ok_alpha_frac,
+       (n_stop_hits >= 2) AS ok_stopwords,
+       ((n_tokens BETWEEN 50 AND 100000)
+        AND 3 * n_tokens <= total_word_chars
+        AND total_word_chars <= 10 * n_tokens
+        AND 10 * n_alpha_words >= 8 * n_tokens
+        AND n_stop_hits >= 2) AS keep
+FROM feat"""
+
+
+@register(
+    "corpus_gopher_filter",
+    _GOPHER_ORACLE,
+    "Gopher/C4-style quality-filter battery: word-count bounds, mean "
+    "word length (integer cross-multiplication — no float drift), "
+    "alphabetic-word fraction, stopword presence; per-doc keep flag. "
+    "One scan, all row-local",
+)
+def corpus_gopher_filter(spark, sf_dir):
+    from .operators.dedup import normalized_tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    staged = documents.select(
+        "doc_id", normalized_tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.col("toks"),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t),
+        ).alias("total_word_chars"),
+        F.size(
+            F.filter(F.col("toks"), lambda t: t.rlike("[a-z]"))
+        ).cast("long").alias("n_alpha_words"),
+        F.size(
+            F.array_intersect(F.array_distinct(F.col("toks")), sw)
+        ).cast("long").alias("n_stop_hits"),
+    )
+    ok_wc = F.col("n_tokens").between(50, 100000)
+    ok_mwl = (3 * F.col("n_tokens") <= F.col("total_word_chars")) & (
+        F.col("total_word_chars") <= 10 * F.col("n_tokens")
+    )
+    ok_alpha = 10 * F.col("n_alpha_words") >= 8 * F.col("n_tokens")
+    ok_stop = F.col("n_stop_hits") >= 2
+    return staged.select(
+        "*",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_frac"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
+_TFIDF_ORACLE = rf"""WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, w AS token, COUNT(*) AS tf
+       FROM toks GROUP BY doc_id, w),
+dfreq AS (SELECT token, COUNT(*) AS df_docs FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df_docs,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df_docs) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df_docs)
+                      DESC,
+                    tf.token) AS rn
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+SELECT doc_id, token, tf, df_docs, tfidf
+FROM scored WHERE rn <= 5"""
+
+
+@register(
+    "text_tfidf_topk",
+    _TFIDF_ORACLE,
+    "per-document top-5 terms by TF-IDF: explode → (doc,term) counts "
+    "→ doc-frequency self-agg → broadcast N → window top-k; the "
+    "(doc,term) shuffle is reused by the df aggregation (partial "
+    "aggregation map-side)",
+)
+def text_tfidf_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.dedup import normalized_tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.explode(normalized_tokens("text")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_docs"))
+    ndocs = documents.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df_docs")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "token", "tf", "df_docs", "tfidf")
+    )
+
+
+_BM25_TERMS = ("spark", "table", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = rf"""WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf FROM toks
+       WHERE w IN ('spark','table','window') GROUP BY doc_id, w),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75
+                               + 0.75 * dl.dl / stats.avgdl))) AS bm25
+  FROM tf JOIN dfreq USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, bm25 FROM scored
+ORDER BY bm25 DESC, doc_id LIMIT 20"""
+
+
+@register(
+    "text_bm25_search",
+    _BM25_ORACLE,
+    "BM25 ranking for a fixed query-term set: term filter pushed "
+    "into the explode, per-doc length + broadcast corpus stats "
+    "(N, avgdl), top-20 by score — the scan only materializes "
+    "matching terms",
+)
+def text_bm25_search(spark, sf_dir):
+    from .operators.dedup import normalized_tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    staged = documents.select(
+        "doc_id", normalized_tokens("text").alias("toks")
+    )
+    dl = staged.select(
+        "doc_id", F.size("toks").cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    terms = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    tf = (
+        staged.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.col("toks"), lambda t: F.array_contains(terms, t))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_INVINDEX_ORACLE = rf"""WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, w AS token, COUNT(*) AS tf
+       FROM toks GROUP BY doc_id, w),
+stats AS (SELECT token, COUNT(*) AS df_docs,
+                 CAST(SUM(tf) AS BIGINT) AS tf_total
+          FROM tf GROUP BY token),
+ranked AS (SELECT token, doc_id,
+                  row_number() OVER (PARTITION BY token ORDER BY doc_id)
+                    AS rn
+           FROM tf),
+postings AS (SELECT token,
+                    string_agg(CAST(doc_id AS VARCHAR), ','
+                               ORDER BY doc_id) AS posting_head
+             FROM ranked WHERE rn <= 20 GROUP BY token)
+SELECT stats.token, stats.df_docs, stats.tf_total, postings.posting_head
+FROM stats JOIN postings USING (token)"""
+
+
+@register(
+    "inverted_index_build",
+    _INVINDEX_ORACLE,
+    "inverted-index build: token → (doc freq, total tf, head of the "
+    "sorted posting list).  Postings are truncated BEFORE collect "
+    "(window rn ≤ 20 per token) so a stop-word key never "
+    "materializes its full doc list — the hot-key-safe shape for a "
+    "100 TB corpus",
+)
+def inverted_index_build(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.dedup import normalized_tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    tf = (
+        documents.select(
+            "doc_id", F.explode(normalized_tokens("text")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = tf.groupBy("token").agg(
+        F.count("*").alias("df_docs"),
+        F.sum("tf").cast("long").alias("tf_total"),
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    postings = (
+        tf.select("token", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .groupBy("token")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("posting_head")
+        )
+    )
+    return stats.join(postings, "token")
+
+
+# Deterministic domain-mix sampling: md5-threshold keep decision —
+# identical bytes on both engines, so the sample is reproducible and
+# oracle-checkable (vs rand(), which can never be).  Weight buckets
+# keyed on the numeric source suffix mod 4.
+_MIX_THRESH = {0: "g", 1: "80000000", 2: "40000000", 3: "1999999a"}
+
+_DOMAIN_MIX_ORACLE = """WITH marked AS (
+  SELECT source,
+         CASE CAST(substr(source, 4) AS INTEGER) % 4
+           WHEN 0 THEN 'g' WHEN 1 THEN '80000000'
+           WHEN 2 THEN '40000000' ELSE '1999999a' END AS thresh,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(CASE WHEN h < thresh THEN 1 END) AS n_kept
+FROM marked GROUP BY source"""
+
+
+@register(
+    "corpus_domain_mix",
+    _DOMAIN_MIX_ORACLE,
+    "domain-weighted mix sampling: per-source target weights applied "
+    "as an md5-hash threshold — deterministic, reproducible across "
+    "engines and runs (no rand()), one scan + one small agg; the "
+    "weight table is a broadcast join",
+)
+def corpus_domain_mix(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    weights = F.broadcast(
+        documents.sparkSession.createDataFrame(
+            [(f"src{i}", _MIX_THRESH[i % 4]) for i in range(20)],
+            "source string, thresh string",
+        )
+    )
+    marked = documents.join(weights, "source").select(
+        "source",
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+            < F.col("thresh")
+        ).alias("kept"),
+    )
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+    )
+
+
+_QUANTILE_ORACLE = """SELECT 'orders' AS tbl, 'o_totalprice' AS col,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.75) AS p75 FROM orders
+UNION ALL
+SELECT 'lineitem', 'l_extendedprice',
+       quantile_cont(l_extendedprice, 0.25),
+       quantile_cont(l_extendedprice, 0.5),
+       quantile_cont(l_extendedprice, 0.75) FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'l_quantity',
+       quantile_cont(l_quantity, 0.25),
+       quantile_cont(l_quantity, 0.5),
+       quantile_cont(l_quantity, 0.75) FROM lineitem
+UNION ALL
+SELECT 'customer', 'c_acctbal',
+       quantile_cont(c_acctbal, 0.25),
+       quantile_cont(c_acctbal, 0.5),
+       quantile_cont(c_acctbal, 0.75) FROM customer
+UNION ALL
+SELECT 'events', 'value',
+       quantile_cont(value, 0.25),
+       quantile_cont(value, 0.5),
+       quantile_cont(value, 0.75) FROM events"""
+
+
+@register(
+    "profile_quantiles",
+    _QUANTILE_ORACLE,
+    "exact quantile profiling (p25/p50/p75) across five numeric "
+    "columns, one small agg per table unioned — the exact tier; "
+    "approx_percentile is the documented 100 TB scale path (single "
+    "pass, mergeable sketches)",
+)
+def profile_quantiles(spark, sf_dir):
+    def q(df, tbl, col):
+        pct = F.expr(f"percentile({col}, array(0.25D, 0.5D, 0.75D))")
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(col).alias("col"),
+            F.element_at(pct, 1).alias("p25"),
+            F.element_at(pct, 2).alias("p50"),
+            F.element_at(pct, 3).alias("p75"),
+        )
+
+    orders, lineitem, customer, events = _t(
+        spark, sf_dir, "orders", "lineitem", "customer", "events"
+    )
+    parts = [
+        q(orders, "orders", "o_totalprice"),
+        q(lineitem, "lineitem", "l_extendedprice"),
+        q(lineitem, "lineitem", "l_quantity"),
+        q(customer, "customer", "c_acctbal"),
+        q(events, "events", "value"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_RETENTION_ORACLE = """WITH days AS (
+  SELECT user_id, date_trunc('day', ts) AS day FROM events),
+cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+SELECT CAST(cohort.cohort_day AS DATE) AS cohort_day,
+       CAST(date_diff('day', cohort.cohort_day, days.day) AS BIGINT)
+         AS offset_days,
+       COUNT(DISTINCT days.user_id) AS n_users
+FROM days JOIN cohort USING (user_id)
+GROUP BY 1, 2"""
+
+
+@register(
+    "events_retention_cohorts",
+    _RETENTION_ORACLE,
+    "retention cohort analysis: first-seen day per user (one agg), "
+    "re-join activity days, distinct users per (cohort, day-offset) "
+    "— the cohort frame shuffles once on user_id and is reused",
+)
+def events_retention_cohorts(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("offset_days"),
+        )
+        .groupBy(F.col("cohort_day").cast("date").alias("cohort_day"), "offset_days")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_DAILY_TOPK_ORACLE = """WITH counts AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT day, event_type, n,
+         row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type)
+           AS rk
+  FROM counts)
+SELECT day, event_type, n, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3"""
+
+
+@register(
+    "events_daily_topk",
+    _DAILY_TOPK_ORACLE,
+    "top-3 event types per day: groupBy counts then a rank window — "
+    "compiles to WindowGroupLimit (only survivors cross the final "
+    "exchange), deterministic tie-break on type",
+)
+def events_daily_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    counts = (
+        events.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "event_type",
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("day", "event_type", "n", "rk")
+    )
+
+
+# URL canonicalization + dedup (F11 generalized to the web-corpus
+# case): lowercase scheme+host, strip default https port, drop utm_*
+# tracking params, strip trailing slash — then group identical
+# canonical urls.  The synthetic urls are derived from orders keys so
+# both engines build byte-identical inputs.
+_URL_DEDUP_ORACLE = r"""WITH raw AS (
+  SELECT 'https://Shop' || CAST(o_custkey % 20 AS VARCHAR) ||
+         '.Example.COM' ||
+         CASE WHEN o_orderkey % 3 = 0 THEN ':443' ELSE '' END ||
+         '/p/' || CAST(o_orderkey % 500 AS VARCHAR) ||
+         CASE WHEN o_orderkey % 2 = 0
+              THEN '/?utm_source=mail&utm_id=' ||
+                   CAST(o_custkey % 7 AS VARCHAR) || '&ref=abc'
+              ELSE '' END AS url
+  FROM orders),
+canon AS (
+  SELECT url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 lower(regexp_extract(url, '^(https?://[^/?]+)', 1)) ||
+                 substr(url, length(regexp_extract(url, '^(https?://[^/?]+)', 1)) + 1),
+                 ':443/', '/'),
+               'utm_[a-z_]+=[^&]*&', '', 'g'),
+             '[?&]utm_[a-z_]+=[^&]*$', ''),
+           '/\?', '?') AS c0
+  FROM raw),
+canon2 AS (
+  SELECT url, regexp_replace(regexp_replace(c0, '\?$', ''), '/$', '')
+           AS canonical_url
+  FROM canon)
+SELECT canonical_url, COUNT(*) AS n_rows,
+       COUNT(DISTINCT url) AS n_distinct_raw,
+       MIN(url) AS sample_raw
+FROM canon2 GROUP BY canonical_url"""
+
+
+@register(
+    "url_dedup_canonical",
+    _URL_DEDUP_ORACLE,
+    "URL canonicalization dedup: lowercase host, strip default "
+    "port / utm_* params / trailing slash via chained "
+    "regexp_replace (JVM-side, one projection), then exact group "
+    "dedup on the canonical form",
+)
+def url_dedup_canonical(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    raw = orders.select(
+        F.concat(
+            F.lit("https://Shop"),
+            (F.col("o_custkey") % 20).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(F.col("o_orderkey") % 3 == 0, ":443").otherwise(""),
+            F.lit("/p/"),
+            (F.col("o_orderkey") % 500).cast("string"),
+            F.when(
+                F.col("o_orderkey") % 2 == 0,
+                F.concat(
+                    F.lit("/?utm_source=mail&utm_id="),
+                    (F.col("o_custkey") % 7).cast("string"),
+                    F.lit("&ref=abc"),
+                ),
+            ).otherwise(""),
+        ).alias("url")
+    )
+    head = F.regexp_extract(F.col("url"), r"^(https?://[^/?]+)", 1)
+    lowered = F.concat(
+        F.lower(head), F.expr("substr(url, length(regexp_extract(url, '^(https?://[^/?]+)', 1)) + 1)")
+    )
+    c0 = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(lowered, ":443/", "/"),
+                "utm_[a-z_]+=[^&]*&",
+                "",
+            ),
+            r"[?&]utm_[a-z_]+=[^&]*$",
+            "",
+        ),
+        r"/\?",
+        "?",
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(c0, r"\?$", ""), "/$", ""
+    )
+    return (
+        raw.select("url", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("url").alias("n_distinct_raw"),
+            F.min("url").alias("sample_raw"),
+        )
+    )

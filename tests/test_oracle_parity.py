@@ -20,12 +20,17 @@ ORACLE_NAMES = [n for n, q in REGISTRY.items() if q.oracle is not None]
 
 
 def _duck(sf_dir: str, sql: str):
+    """Columns + raw rows via fetchall — the driver's comparison
+    surface (pandas conversion would silently fold DuckDB DATE into
+    midnight datetime64 and hide type misalignments)."""
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    return con.execute(sql).fetch_df()
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    return cols, res.fetchall()
 
 
 def _norm_cell(v):
@@ -35,40 +40,37 @@ def _norm_cell(v):
         if math.isnan(v):
             return "NULL"
         return f"{v:.6g}"
-    # pandas turns SQL DATE into midnight datetime64 while Spark's
-    # toPandas keeps datetime.date — the driver compares fetchall
-    # (both sides datetime.date, equal); normalize the pandas
-    # representation the same way so this harness agrees with it
-    if isinstance(v, datetime.datetime) and (
-        v.hour == v.minute == v.second == v.microsecond == 0
-    ):
-        return v.date().isoformat()
+    # NO date/datetime folding: scripts/verify_driver.py (the closest
+    # model of the round driver) compares raw str() of fetchall
+    # values, where datetime.date('2024-01-01') and a midnight
+    # datetime render differently.  Queries must align date-like
+    # output types EXPLICITLY on both sides (cast both to DATE or
+    # both to TIMESTAMP) — a fold here would mask real driver
+    # hash mismatches (this bit events_daily_topk in round 3).
+    if isinstance(v, datetime.datetime):
+        return str(v.replace(tzinfo=None))
     return str(v)
 
 
-def _multiset(pdf):
-    cols = sorted(pdf.columns)
-    rows = [
-        tuple(_norm_cell(row[c]) for c in cols) for _, row in pdf.iterrows()
-    ]
-    return sorted(rows)
+def _multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(spark, sf_dir, name):
     q = REGISTRY[name]
-    spark_pdf = q.fn(spark, sf_dir).toPandas()
-    duck_pdf = _duck(sf_dir, q.oracle)
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
-        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    sdf = q.fn(spark, sf_dir)
+    scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    ocols, orows = _duck(sf_dir, q.oracle)
+    assert sorted(scols) == sorted(ocols), (
+        f"{name}: column mismatch {sorted(scols)} vs {sorted(ocols)}"
     )
-    assert len(spark_pdf) == len(duck_pdf), (
-        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
+    assert len(srows) == len(orows), (
+        f"{name}: row count {len(srows)} vs {len(orows)}"
     )
-    sm, dm = _multiset(spark_pdf), _multiset(duck_pdf)
-    mismatches = [
-        (a, b) for a, b in zip(sm, dm) if a != b
-    ]
+    sm, dm = _multiset(scols, srows), _multiset(ocols, orows)
+    mismatches = [(a, b) for a, b in zip(sm, dm) if a != b]
     assert sm == dm, f"{name}: value mismatch, first diffs: {mismatches[:3]}"
 
 
