@@ -29,6 +29,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # the whole registry by scripts/verify_driver.py before each commit.
 _CERTIFY_FIRST = [
     # round-3 additions (never checked by driver or judge)
+    "text_unigram_logprob",
+    "corpus_token_budget_mix",
+    "orders_percentile_rank",
+    "events_sliding_rate",
+    "embedding_label_outliers",
+    "events_scd2_intervals",
+    "bipartite_degree_hist",
     "text_repetition_stats",
     "corpus_gopher_filter",
     "text_tfidf_topk",

@@ -5542,10 +5542,10 @@ FROM scored WHERE rn <= 5"""
 @register(
     "text_tfidf_topk",
     _TFIDF_ORACLE,
-    "per-document top-5 terms by TF-IDF: explode → (doc,term) counts "
-    "→ doc-frequency self-agg → broadcast N → window top-k; the "
-    "(doc,term) shuffle is reused by the df aggregation (partial "
-    "aggregation map-side)",
+    "per-document top-5 terms by TF-IDF: explode → (doc,term) counts; "
+    "doc-frequency is a COUNT window over the token partitioning "
+    "(no aggregate+re-join — one exchange fewer, same bytes), "
+    "broadcast N (metadata-only count-star scan), window top-k",
 )
 def text_tfidf_topk(spark, sf_dir):
     from pyspark.sql import Window
@@ -5557,10 +5557,11 @@ def text_tfidf_topk(spark, sf_dir):
         "doc_id", F.explode(normalized_tokens("text")).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_docs"))
     ndocs = documents.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "token")
+        tf.withColumn(
+            "df_docs", F.count("*").over(Window.partitionBy("token"))
+        )
         .crossJoin(F.broadcast(ndocs))
         .withColumn(
             "tfidf",
@@ -5699,27 +5700,31 @@ def inverted_index_build(spark, sf_dir):
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
-    stats = tf.groupBy("token").agg(
-        F.count("*").alias("df_docs"),
-        F.sum("tf").cast("long").alias("tf_total"),
+    # df/tf_total as windows over the SAME token partitioning the
+    # rank window needs — one exchange serves all three, and the
+    # final groupBy(token) reuses it (no aggregate+re-join).
+    wt = Window.partitionBy("token")
+    wr = Window.partitionBy("token").orderBy("doc_id")
+    enriched = (
+        tf.withColumn("df_docs", F.count("*").over(wt))
+        .withColumn("tf_total", F.sum("tf").over(wt).cast("long"))
+        .withColumn("rn", F.row_number().over(wr))
     )
-    w = Window.partitionBy("token").orderBy("doc_id")
-    postings = (
-        tf.select("token", "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+    return (
+        enriched.filter(F.col("rn") <= 20)
         .groupBy("token")
         .agg(
+            F.max("df_docs").alias("df_docs"),
+            F.max("tf_total").alias("tf_total"),
             F.concat_ws(
                 ",",
                 F.transform(
                     F.array_sort(F.collect_list("doc_id")),
                     lambda x: x.cast("string"),
                 ),
-            ).alias("posting_head")
+            ).alias("posting_head"),
         )
     )
-    return stats.join(postings, "token")
 
 
 # Deterministic domain-mix sampling: md5-threshold keep decision —
@@ -6003,3 +6008,322 @@ def url_dedup_canonical(spark, sf_dir):
             F.min("url").alias("sample_raw"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 pack 2: unigram-LM scoring, token-budget mixing, rank
+# windows, sliding rates, embedding centroids, SCD2 intervals, and
+# bipartite degree profiling.
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = rf"""WITH {_TOKS_CTE},
+lm AS (SELECT w, COUNT(*) AS ctf FROM toks GROUP BY w),
+total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM toks)
+SELECT toks.doc_id,
+       COUNT(*) AS n_tokens,
+       SUM(ln(lm.ctf / total.n_total)) / COUNT(*) AS avg_logprob
+FROM toks JOIN lm USING (w) CROSS JOIN total
+GROUP BY toks.doc_id"""
+
+
+@register(
+    "text_unigram_logprob",
+    _UNIGRAM_ORACLE,
+    "perplexity-proxy scoring: corpus unigram LM (one token agg) "
+    "joined back to doc tokens, mean log-probability per doc — the "
+    "cheap LM-quality signal used to rank web corpora.  The LM side "
+    "aggregates BEFORE the join so the join carries (vocab) rows, "
+    "not (corpus tokens) rows",
+)
+def text_unigram_logprob(spark, sf_dir):
+    from .operators.dedup import normalized_tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.explode(normalized_tokens("text")).alias("w")
+    )
+    lm = toks.groupBy("w").agg(F.count("*").alias("ctf"))
+    total = toks.agg(F.count("*").cast("double").alias("n_total"))
+    return (
+        toks.join(lm, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.sum(F.log(F.col("ctf") / F.col("n_total"))) / F.count("*")
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+_TOKEN_BUDGET = 1000
+
+_BUDGET_MIX_ORACLE = rf"""WITH {_TOKS_CTE},
+doc_tokens AS (SELECT doc_id, COUNT(*) AS n_tokens
+               FROM toks GROUP BY doc_id),
+ordered AS (
+  SELECT d.source, d.doc_id, t.n_tokens,
+         CAST(SUM(t.n_tokens) OVER (
+           PARTITION BY d.source
+           ORDER BY substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16), d.doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM documents d JOIN doc_tokens t USING (doc_id))
+SELECT source, doc_id, n_tokens, cum_tokens
+FROM ordered WHERE cum_tokens <= {_TOKEN_BUDGET}"""
+
+
+@register(
+    "corpus_token_budget_mix",
+    _BUDGET_MIX_ORACLE,
+    "token-budget mixing: per-source deterministic shuffle order "
+    "(md5 of doc id), cumulative token sum, keep docs until the "
+    "source's token budget fills — the data-mixing primitive for "
+    "hitting per-domain token targets exactly, one window shuffle",
+)
+def corpus_token_budget_mix(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.text import token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sized = documents.select(
+        "source",
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 16).alias("__h__"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("__h__", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+    )
+
+
+_PCT_RANK_ORACLE = """SELECT o_orderkey, o_custkey, o_totalprice,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(ntile(10) OVER w AS BIGINT) AS decile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)"""
+
+
+@register(
+    "orders_percentile_rank",
+    _PCT_RANK_ORACLE,
+    "rank-family windows (percent_rank / cume_dist / ntile) per "
+    "priority group — exact rational arithmetic on both engines, "
+    "full tie-break so results are deterministic",
+)
+def orders_percentile_rank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+_SLIDING_RATE_ORACLE = """WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+           AS day_idx,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT day, n,
+       CAST(SUM(n) OVER (ORDER BY day_idx
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_7d
+FROM daily"""
+
+
+@register(
+    "events_sliding_rate",
+    _SLIDING_RATE_ORACLE,
+    "7-day sliding event rate: daily counts then a RANGE window over "
+    "an integer day index (calendar-gap-correct, unlike a ROWS "
+    "frame) — the batch twin of a sliding streaming window",
+)
+def events_sliding_rate(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "day_idx",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("long"),
+        )
+    )
+    w = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    return daily.select(
+        "day", "n", F.sum("n").over(w).cast("long").alias("n_7d")
+    )
+
+
+_CENTROID_ORACLE = """WITH dims AS (
+  SELECT vec_id, label,
+         unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings),
+centroids AS (
+  SELECT label, pos, AVG(CAST(x AS DOUBLE)) AS c
+  FROM dims GROUP BY label, pos),
+dist AS (
+  SELECT dims.vec_id, dims.label,
+         sqrt(SUM((CAST(dims.x AS DOUBLE) - centroids.c)
+                  * (CAST(dims.x AS DOUBLE) - centroids.c))) AS d
+  FROM dims JOIN centroids USING (label, pos)
+  GROUP BY dims.vec_id, dims.label),
+ranked AS (
+  SELECT label, vec_id, d,
+         row_number() OVER (PARTITION BY label ORDER BY d DESC, vec_id)
+           AS rn
+  FROM dist)
+SELECT label, vec_id, d AS dist_to_centroid
+FROM ranked WHERE rn <= 3"""
+
+
+@register(
+    "embedding_label_outliers",
+    _CENTROID_ORACLE,
+    "per-label centroid + top-3 outliers by euclidean distance: "
+    "posexplode → (label, dim) mean (the centroid fits in one agg "
+    "row per dimension — broadcastable), rejoin for per-vector "
+    "distance, WindowGroupLimit top-k.  The label-cluster quality "
+    "probe for embedding spaces",
+)
+def embedding_label_outliers(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    dims = embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("x").cast("double").alias("x"),
+    )
+    centroids = dims.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    dist = (
+        dims.join(F.broadcast(centroids), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            ).alias("d")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("d"), F.asc("vec_id"))
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_id", F.col("d").alias("dist_to_centroid"))
+    )
+
+
+_SCD2_ORACLE = """WITH ordered AS (
+  SELECT user_id, event_type AS status, ts, event_id,
+         lag(event_type) OVER w AS prev_status
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+changes AS (
+  SELECT user_id, status, ts AS valid_from, event_id
+  FROM ordered
+  WHERE prev_status IS NULL OR status <> prev_status),
+intervals AS (
+  SELECT user_id, status, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, event_id)
+           AS valid_to
+  FROM changes)
+SELECT user_id, status, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM intervals"""
+
+
+@register(
+    "events_scd2_intervals",
+    _SCD2_ORACLE,
+    "SCD type-2 dimension build from a change stream: collapse "
+    "consecutive repeats (lag), validity intervals via lead, open "
+    "interval flagged current — two windows sharing one user_id "
+    "shuffle.  The warehouse-dimension primitive the reference's "
+    "keep-last dedup (A9) approximates",
+)
+def events_scd2_intervals(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_status"),
+    )
+    changes = ordered.filter(
+        F.col("prev_status").isNull()
+        | (F.col("status") != F.col("prev_status"))
+    ).select("user_id", "status", F.col("ts").alias("valid_from"), "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+_DEGREE_ORACLE = """WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS custkey, l.l_suppkey AS suppkey
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+deg AS (SELECT custkey, COUNT(*) AS degree FROM edges GROUP BY custkey)
+SELECT degree, COUNT(*) AS n_customers
+FROM deg GROUP BY degree"""
+
+
+@register(
+    "bipartite_degree_hist",
+    _DEGREE_ORACLE,
+    "bipartite degree histogram (customer↔supplier via lineitem): "
+    "distinct edge projection, per-node degree, degree histogram — "
+    "the graph-profiling shape; the distinct is the only wide "
+    "exchange, degrees reuse its partitioning",
+)
+def bipartite_degree_hist(spark, sf_dir):
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    edges = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_suppkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("custkey"),
+                F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    deg = edges.groupBy("custkey").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_customers"))
