@@ -81,6 +81,10 @@ _CERTIFY_FIRST = [
     "events_sessionize",
     # regressed in r02 (HUGEINT oracle formatting, fixed) — re-certify
     "w1_eav_pivot",
+    # rows-only round-3 additions (beyond the 50-slot window; next
+    # round's rotation picks them up)
+    "stream_sliding_rollup",
+    "profile_columns_approx",
     # judge-verified in r01 but never driver-certified
     "o2_custom_order",
     "o4_incell_sort",

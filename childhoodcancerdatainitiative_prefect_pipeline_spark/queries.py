@@ -6327,3 +6327,78 @@ def bipartite_degree_hist(spark, sf_dir):
     )
     deg = edges.groupBy("custkey").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "stream_sliding_rollup",
+    None,  # sliding windows overlap → rows-only (stream-native shape)
+    "§2.15 sliding-window rollup (2h window, 1h slide): each event "
+    "lands in two windows; the same transform attaches to readStream "
+    "with a watermark for incremental state reclamation",
+)
+def stream_sliding_rollup(spark, sf_dir):
+    from .streaming.events import _as_event_time
+
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        _as_event_time(events, "ts")
+        .groupBy(
+            F.window(F.col("ts"), "2 hours", "1 hour").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "profile_columns_approx",
+    None,  # sketch estimates are engine-specific → rows-only
+    "sketch-based profiling — the documented 100 TB swap-in for "
+    "profile_columns/profile_quantiles: approx_count_distinct (HLL++) "
+    "and approx_percentile (KLL-ish) in ONE pass with mergeable "
+    "partial state, no exact-distinct shuffle, no full sort.  "
+    "Estimates are engine-specific, hence rows-only; the exact twins "
+    "are the oracles",
+)
+def profile_columns_approx(spark, sf_dir):
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    o = orders.agg(
+        F.lit("orders").alias("tbl"),
+        F.approx_count_distinct("o_custkey").alias("approx_distinct_keys"),
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)"
+        ).alias("approx_quantiles"),
+        F.count("*").alias("n_rows"),
+    )
+    l = lineitem.agg(
+        F.lit("lineitem").alias("tbl"),
+        F.approx_count_distinct("l_partkey").alias("approx_distinct_keys"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)"
+        ).alias("approx_quantiles"),
+        F.count("*").alias("n_rows"),
+    )
+    return o.unionByName(l).select(
+        "tbl",
+        "approx_distinct_keys",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("approx_quantiles"),
+                lambda x: F.format_number(x, 2),
+            ),
+        ).alias("approx_quantiles_str"),
+        "n_rows",
+    )

@@ -213,3 +213,36 @@ def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the bucket key makes it an equi-join
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_repetition_stats_is_shuffle_free(spark, sf_dir):
+    """Per-doc n-gram repetition metrics must stay row-local: the
+    sort+fold formulation needs ZERO exchanges where the naive
+    explode→groupBy costs a full shuffle per n-gram order."""
+    plan = _plan(REGISTRY["text_repetition_stats"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    # and only the two referenced columns are scanned
+    assert "lang" not in plan
+    assert "source" not in plan
+
+
+def test_inverted_index_shares_token_partitioning(spark, sf_dir):
+    """df/tf_total/rank windows and the final groupBy must ride ONE
+    token exchange (aggregate+re-join costs 5)."""
+    plan = _plan(REGISTRY["inverted_index_build"].fn(spark, sf_dir))
+    # formatted explain prints each node twice (tree + detail):
+    # 4 occurrences = 2 physical exchanges (tokenize-agg + token window)
+    assert plan.count("Exchange") <= 4
+    assert "WindowGroupLimit" in plan  # rn <= 20 pre-filters the sort
+
+
+def test_daily_topk_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(REGISTRY["events_daily_topk"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_bm25_broadcasts_stats_and_prunes_scan(spark, sf_dir):
+    plan = _plan(REGISTRY["text_bm25_search"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # corpus stats (N, avgdl) must never shuffle the token table
+    assert "lang" not in plan and "source" not in plan
