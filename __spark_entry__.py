@@ -29,6 +29,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # the whole registry by scripts/verify_driver.py before each commit.
 _CERTIFY_FIRST = [
     # round-3 additions (never checked by driver or judge)
+    "igm_sample_mapper",
+    "submission_cruncher_merge",
+    "template_update_migrate",
+    "orders_market_basket",
+    "events_anomaly_zscore",
     "text_unigram_logprob",
     "corpus_token_budget_mix",
     "orders_percentile_rank",
@@ -55,24 +60,16 @@ _CERTIFY_FIRST = [
     "liftover_generic_node",
     "cascade_remove",
     "guid_fill_reconcile",
-    "db_stats_wide",
     "model_mapping_diff",
-    "cog_tranche_sparsity",
     "json_roundtrip_shred",
     "surrogate_key_translate",
     "cpi_associated_ids",
-    "db_count_diff",
-    "text_vocab_topk",
     "gdc_mapping_battery",
     "gdc_experiment_reconcile",
     "gdc_nested_entity_roundtrip",
     "necrosis_tumor_fill",
     "dedup_cluster_components",
     "corpus_curation_pipeline",
-    "corpus_pack_sequences",
-    "profile_columns",
-    "corpus_stratified_sample",
-    "dedup_minhash_clusters",
     "text_pii_redact",
     "events_asof_join",
     "events_range_join",
@@ -81,8 +78,18 @@ _CERTIFY_FIRST = [
     "events_sessionize",
     # regressed in r02 (HUGEINT oracle formatting, fixed) — re-certify
     "w1_eav_pivot",
-    # rows-only round-3 additions (beyond the 50-slot window; next
-    # round's rotation picks them up)
+    # simple aggregate shapes deferred to the round-4 rotation
+    # (locally verified every commit by scripts/verify_driver.py)
+    "db_count_diff",
+    "text_vocab_topk",
+    "db_stats_wide",
+    "cog_tranche_sparsity",
+    "profile_columns",
+    # rows-only entries (weaker driver check by design; certified
+    # as slots free up in later rotations)
+    "corpus_pack_sequences",
+    "corpus_stratified_sample",
+    "dedup_minhash_clusters",
     "stream_sliding_rollup",
     "profile_columns_approx",
     # judge-verified in r01 but never driver-certified

@@ -269,3 +269,153 @@ def blocked_cosine_pairs(
     # (min(i,j), max(i,j)) and obk==i the diagonal (i, i) — no dedup
     # pass needed, the groupBy is the only shuffle
     return replicated.groupBy("lo", "hi").applyInPandas(gemm, out_schema)
+
+
+def _hyperplane_signs(n_planes: int, dims: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes as ±1 sign matrices.
+
+    Rademacher hyperplanes (±1 entries) are a standard SimHash
+    variant for cosine LSH; deriving the signs from md5(seed:plane:dim)
+    makes every run / engine / retry produce the same planes with no
+    RNG state to ship.  Compiled into literal arrays — the plane
+    matrix is (n_planes × dims) constants, trivially broadcast inside
+    the expression tree.
+    """
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[0] & 1
+            else -1.0
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Per-vector cosine-LSH bit signature (row-local, one scan).
+
+    Bit p = sign(<v, plane_p>); vectors with high cosine similarity
+    agree on most bits (P[bit match] = 1 - θ/π).  All JVM-side:
+    ``zip_with`` dot products against literal plane arrays folded
+    into a single long.
+    """
+    v = as_double_array(vec_col)
+    planes = _hyperplane_signs(n_planes, dims, seed)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        for plane in planes
+    ]
+    sig = bits[0]
+    for p, b in enumerate(bits[1:], start=1):
+        sig = sig + F.shiftleft(b, p)
+    return df.select(F.col(id_col), v.alias("__v__"), sig.alias("__sig__"))
+
+
+def hyperplane_lsh_pairs(
+    df: DataFrame,
+    dims: int,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_bands: int = 8,
+    seed: int = 7,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cosine near-dup pairs via banded hyperplane LSH.
+
+    The scale path for embedding near-dup (exact twin:
+    ``dedup_embedding_cosine``): signature → band keys → bucket
+    equi-join → exact cosine verify on candidates only.  With 16
+    planes in 8 bands of 2 bits, P[candidate] ≈ 1-(1-p²)⁸ — ≈0.99
+    for cosine ≥ 0.45 — while the bucket join only pairs vectors
+    agreeing on some 2-bit band, never all-pairs.  ``max_bucket_size``
+    drops degenerate buckets (hot-bucket cap, same discipline as
+    MinHash LSH).
+    """
+    assert n_planes % n_bands == 0
+    bits_per_band = n_planes // n_bands
+    mask = (1 << bits_per_band) - 1
+    sigs = hyperplane_signatures(
+        df, dims, id_col, vec_col, n_planes, seed
+    ).localCheckpoint()  # signatures feed BOTH join sides — compute once
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("__sig__"), b * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
+        bands = bands.withColumn("__bn__", F.count("*").over(w)).filter(
+            F.col("__bn__") <= max_bucket_size
+        ).drop("__bn__")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v__").alias("va"),
+        l2_norm(F.col("__v__")).alias("na"),
+    )
+    vb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v__").alias("vb"),
+        l2_norm(F.col("__v__")).alias("nb"),
+    )
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

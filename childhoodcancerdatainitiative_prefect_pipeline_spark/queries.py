@@ -6402,3 +6402,516 @@ def profile_columns_approx(spark, sf_dir):
         ).alias("approx_quantiles_str"),
         "n_rows",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 pack 3: market-basket lift, anomaly z-scores, cosine LSH.
+# ---------------------------------------------------------------------------
+
+_BASKET_ORACLE = """WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+      FROM items),
+part_n AS (SELECT l_partkey, COUNT(*) AS cnt FROM items GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_n
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey)
+SELECT pairs.part_a, pairs.part_b, pairs.pair_n,
+       pairs.pair_n * n.n_orders / (pa.cnt * pb.cnt) AS lift
+FROM pairs
+JOIN part_n pa ON pairs.part_a = pa.l_partkey
+JOIN part_n pb ON pairs.part_b = pb.l_partkey
+CROSS JOIN n
+ORDER BY pairs.pair_n DESC, pairs.part_a, pairs.part_b
+LIMIT 20"""
+
+
+@register(
+    "orders_market_basket",
+    _BASKET_ORACLE,
+    "market-basket pair mining: distinct items per order, "
+    "within-order self-join (quadratic only in basket size — bounded "
+    "by the max basket, never by table size), support counts + lift "
+    "vs independent margins, top-20",
+)
+def orders_market_basket(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    part_n = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (a.ok == b.ok) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_n"))
+    )
+    return (
+        pairs.join(
+            part_n.select(
+                F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")
+            ),
+            "part_a",
+        )
+        .join(
+            part_n.select(
+                F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_n",
+            (
+                F.col("pair_n") * F.col("n_orders")
+                / (F.col("cnt_a") * F.col("cnt_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_n"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+_ZSCORE_ORACLE = """WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+           AS day_idx,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT day, n,
+         AVG(n) OVER w AS mean_7d,
+         STDDEV_SAMP(n) OVER w AS std_7d,
+         COUNT(*) OVER w AS n_days
+  FROM daily
+  WINDOW w AS (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING))
+SELECT day, CAST(n AS BIGINT) AS n,
+       CASE WHEN n_days >= 3 AND std_7d > 0
+            THEN (n - mean_7d) / std_7d END AS zscore
+FROM stats"""
+
+
+@register(
+    "events_anomaly_zscore",
+    _ZSCORE_ORACLE,
+    "trailing z-score anomaly detection: daily counts scored against "
+    "the PRIOR 6 days' mean/stddev (RANGE frame ending at 1 "
+    "PRECEDING, so the anomaly never contaminates its own baseline); "
+    "guarded for short history and zero variance",
+)
+def events_anomaly_zscore(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count("*").cast("double").alias("n"))
+        .withColumn(
+            "day_idx",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("long"),
+        )
+    )
+    w = Window.orderBy("day_idx").rangeBetween(-6, -1)
+    scored = daily.select(
+        "day",
+        "n",
+        F.avg("n").over(w).alias("mean_7d"),
+        F.stddev_samp("n").over(w).alias("std_7d"),
+        F.count("*").over(w).alias("n_days"),
+    )
+    return scored.select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (F.col("n_days") >= 3) & (F.col("std_7d") > 0),
+            (F.col("n") - F.col("mean_7d")) / F.col("std_7d"),
+        ).alias("zscore"),
+    )
+
+
+@register(
+    "dedup_embedding_lsh",
+    None,  # LSH candidate set is probabilistic → rows-only; the exact
+    # twin dedup_embedding_cosine is the oracle, recall unit-tested
+    "cosine near-dup via banded hyperplane LSH — the 100 TB scale "
+    "path for dedup_embedding_cosine: 16 deterministic Rademacher "
+    "planes → 8×2-bit band buckets → equi-join candidates → exact "
+    "cosine verify on candidates only.  Never all-pairs",
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    from .operators.similarity import hyperplane_lsh_pairs
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_pairs(
+        embeddings, dims=64, threshold=0.45, max_bucket_size=200
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 pack 4: the last uncovered reference workflows — COG IGM
+# sample mapping (src/cog_igm_utils.py:38-170), Submission Cruncher
+# multi-manifest merge (src/submission_cruncher.py:20-76), and the
+# Template Updater column migration (src/update_ccdi_template.py:98-254).
+# Synthetic twins built identically on both engines from orders/customer.
+# ---------------------------------------------------------------------------
+
+_IGM_ORACLE = r"""WITH sample_tab AS (
+  SELECT '0' || lpad(CAST(c_custkey AS VARCHAR), 5, '0') AS sample_id,
+         'P' || CAST(c_custkey % 500 AS VARCHAR) AS participant_id,
+         c_custkey
+  FROM customer),
+assay_files AS (
+  SELECT sample_id, participant_id,
+         CASE WHEN c_custkey % 2 = 0 THEN 'archer_fusion'
+              ELSE 'tumor_normal' END AS assay
+  FROM sample_tab
+  UNION ALL
+  SELECT sample_id, participant_id, 'methylation' AS assay
+  FROM sample_tab WHERE c_custkey % 5 = 0),
+assay_map AS (
+  SELECT DISTINCT participant_id, assay, sample_id FROM assay_files),
+uniq_assay AS (
+  SELECT participant_id, assay, MIN(sample_id) AS mapped_sample,
+         COUNT(*) AS n_cand
+  FROM assay_map GROUP BY participant_id, assay),
+clin AS (
+  SELECT o_orderkey AS file_id,
+         'P' || CAST(o_custkey % 500 AS VARCHAR) AS participant_id,
+         CASE o_orderkey % 4 WHEN 0 THEN 'COG CRF'
+              WHEN 1 THEN 'IGM Pathology' ELSE 'IGM Report' END
+           AS data_category,
+         CASE o_orderkey % 3
+           WHEN 0 THEN 'report_archer_fusion_' ||
+                '0' || lpad(CAST(o_custkey AS VARCHAR), 5, '0') || '.pdf'
+           WHEN 1 THEN 'report_methylation_' ||
+                CAST(o_orderkey AS VARCHAR) || '.pdf'
+           ELSE 'report_tumor_normal_' ||
+                CAST(o_orderkey AS VARCHAR) || '.pdf' END AS file_name,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN '0' || lpad(CAST(o_custkey AS VARCHAR), 5, '0') END
+           AS prefilled_sample
+  FROM orders),
+inferred AS (
+  SELECT clin.*,
+         CASE WHEN file_name LIKE '%archer_fusion%' THEN 'archer_fusion'
+              WHEN file_name LIKE '%methylation%' THEN 'methylation'
+              WHEN file_name LIKE '%tumor_normal%' THEN 'tumor_normal'
+              ELSE '' END AS assay
+  FROM clin),
+filled AS (
+  SELECT i.file_id, i.participant_id, i.data_category, i.file_name,
+         COALESCE(i.prefilled_sample,
+                  CASE WHEN u.n_cand = 1 THEN u.mapped_sample END)
+           AS sample_id
+  FROM inferred i
+  LEFT JOIN uniq_assay u
+    ON i.participant_id = u.participant_id AND i.assay = u.assay),
+dupguard AS (
+  SELECT *,
+         COUNT(*) OVER (PARTITION BY file_name) AS n_same_name
+  FROM filled),
+resolved AS (
+  SELECT file_id, participant_id, data_category, file_name,
+         CASE WHEN n_same_name > 1 AND sample_id IS NOT NULL
+                   AND file_name NOT LIKE '%' || sample_id || '%'
+              THEN NULL ELSE sample_id END AS sample_id
+  FROM dupguard),
+final AS (
+  SELECT file_id, participant_id, data_category, file_name,
+         CASE WHEN sample_id IS NULL
+                   AND data_category NOT LIKE '%COG%'
+              THEN NULLIF(regexp_extract(file_name, '0[0-9A-Z]{5}'), '')
+              ELSE sample_id END AS sample_id
+  FROM resolved)
+SELECT file_id, participant_id, data_category, file_name, sample_id
+FROM final"""
+
+
+@register(
+    "igm_sample_mapper",
+    _IGM_ORACLE,
+    "COG IGM clinical-file sample mapping "
+    "(src/cog_igm_utils.py:38-170): filename→assay inference, "
+    "assay-file union (seq + methylation, enum-normalized), "
+    "unambiguous (participant, assay)→sample fill, duplicate-"
+    "filename guard (null when the sample isn't a filename "
+    "substring), regex id fallback for non-COG rows — the "
+    "reference's per-row loops become one when-cascade projection, "
+    "one broadcast-shaped join, one window",
+)
+def igm_sample_mapper(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    sid = F.concat(
+        F.lit("0"), F.lpad(F.col("c_custkey").cast("string"), 5, "0")
+    )
+    sample_tab = customer.select(
+        sid.alias("sample_id"),
+        F.concat(F.lit("P"), (F.col("c_custkey") % 500).cast("string")).alias(
+            "participant_id"
+        ),
+        "c_custkey",
+    )
+    seq = sample_tab.select(
+        "sample_id",
+        "participant_id",
+        F.when(F.col("c_custkey") % 2 == 0, "archer_fusion")
+        .otherwise("tumor_normal")
+        .alias("assay"),
+    )
+    meth = sample_tab.filter(F.col("c_custkey") % 5 == 0).select(
+        "sample_id", "participant_id", F.lit("methylation").alias("assay")
+    )
+    uniq_assay = (
+        seq.unionByName(meth)
+        .distinct()
+        .groupBy("participant_id", "assay")
+        .agg(
+            F.min("sample_id").alias("mapped_sample"),
+            F.count("*").alias("n_cand"),
+        )
+    )
+    ok = F.col("o_orderkey")
+    psid = F.concat(
+        F.lit("0"), F.lpad(F.col("o_custkey").cast("string"), 5, "0")
+    )
+    clin = orders.select(
+        ok.alias("file_id"),
+        F.concat(F.lit("P"), (F.col("o_custkey") % 500).cast("string")).alias(
+            "participant_id"
+        ),
+        F.when(ok % 4 == 0, "COG CRF")
+        .when(ok % 4 == 1, "IGM Pathology")
+        .otherwise("IGM Report")
+        .alias("data_category"),
+        F.when(
+            ok % 3 == 0,
+            F.concat(F.lit("report_archer_fusion_"), psid, F.lit(".pdf")),
+        )
+        .when(
+            ok % 3 == 1,
+            F.concat(
+                F.lit("report_methylation_"), ok.cast("string"), F.lit(".pdf")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("report_tumor_normal_"), ok.cast("string"), F.lit(".pdf")
+            )
+        )
+        .alias("file_name"),
+        F.when(ok % 7 == 0, psid).alias("prefilled_sample"),
+    )
+    inferred = clin.withColumn(
+        "assay",
+        F.when(F.col("file_name").contains("archer_fusion"), "archer_fusion")
+        .when(F.col("file_name").contains("methylation"), "methylation")
+        .when(F.col("file_name").contains("tumor_normal"), "tumor_normal")
+        .otherwise(""),
+    )
+    filled = inferred.join(
+        F.broadcast(uniq_assay), ["participant_id", "assay"], "left"
+    ).select(
+        "file_id",
+        "participant_id",
+        "data_category",
+        "file_name",
+        F.coalesce(
+            F.col("prefilled_sample"),
+            F.when(F.col("n_cand") == 1, F.col("mapped_sample")),
+        ).alias("sample_id"),
+    )
+    w = Window.partitionBy("file_name")
+    resolved = filled.withColumn("n_same_name", F.count("*").over(w)).select(
+        "file_id",
+        "participant_id",
+        "data_category",
+        "file_name",
+        F.when(
+            (F.col("n_same_name") > 1)
+            & F.col("sample_id").isNotNull()
+            & ~F.col("file_name").contains(F.col("sample_id")),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.col("sample_id"))
+        .alias("sample_id"),
+    )
+    return resolved.select(
+        "file_id",
+        "participant_id",
+        "data_category",
+        "file_name",
+        F.when(
+            F.col("sample_id").isNull()
+            & ~F.col("data_category").contains("COG"),
+            F.nullif(
+                F.regexp_extract(F.col("file_name"), "0[0-9A-Z]{5}", 0),
+                F.lit(""),
+            ),
+        )
+        .otherwise(F.col("sample_id"))
+        .alias("sample_id"),
+    )
+
+
+_CRUNCHER_ORACLE = """WITH submissions AS (
+  SELECT o_orderkey % 3 AS submission_id,
+         CASE WHEN o_orderkey % 3 = 2 THEN '1.8.0' ELSE '1.7.2' END
+           AS version,
+         'participant' AS node,
+         'P' || CAST(o_custkey % 2000 AS VARCHAR) AS key_value,
+         o_orderpriority AS attr
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey % 3,
+         CASE WHEN o_orderkey % 3 = 2 THEN '1.8.0' ELSE '1.7.2' END,
+         'study', 'ST' || CAST(o_custkey % 40 AS VARCHAR),
+         o_orderstatus
+  FROM orders),
+matched AS (SELECT * FROM submissions WHERE version = '1.7.2'),
+merged AS (
+  SELECT DISTINCT node, key_value, attr FROM matched)
+SELECT node, COUNT(*) AS n_rows,
+       COUNT(DISTINCT key_value) AS n_keys
+FROM merged GROUP BY node"""
+
+
+@register(
+    "submission_cruncher_merge",
+    _CRUNCHER_ORACLE,
+    "Submission Cruncher (src/submission_cruncher.py:20-76): merge N "
+    "submission manifests into one — version gate (mismatched "
+    "submissions excluded, as the reference logs and skips), "
+    "per-node unionByName + exact dedup, merged per-node row/key "
+    "counts.  The per-file append loop becomes ONE union + distinct",
+)
+def submission_cruncher_merge(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    sub_id = F.col("o_orderkey") % 3
+    version = F.when(sub_id == 2, "1.8.0").otherwise("1.7.2")
+    part = orders.select(
+        sub_id.alias("submission_id"),
+        version.alias("version"),
+        F.lit("participant").alias("node"),
+        F.concat(F.lit("P"), (F.col("o_custkey") % 2000).cast("string")).alias(
+            "key_value"
+        ),
+        F.col("o_orderpriority").alias("attr"),
+    )
+    study = orders.select(
+        sub_id.alias("submission_id"),
+        version.alias("version"),
+        F.lit("study").alias("node"),
+        F.concat(F.lit("ST"), (F.col("o_custkey") % 40).cast("string")).alias(
+            "key_value"
+        ),
+        F.col("o_orderstatus").alias("attr"),
+    )
+    merged = (
+        part.unionByName(study)
+        .filter(F.col("version") == "1.7.2")
+        .select("node", "key_value", "attr")
+        .distinct()
+    )
+    return merged.groupBy("node").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("key_value").alias("n_keys"),
+    )
+
+
+_TEMPLATE_UPDATE_ORACLE = """WITH old_props AS (
+  SELECT * FROM (VALUES ('c_name'), ('c_nationkey'), ('c_acctbal'),
+                        ('c_mktsegment')) AS t(property)),
+new_props AS (
+  SELECT * FROM (VALUES ('c_name'), ('c_acctbal'),
+                        ('c_consent_group')) AS t(property)),
+data_stats AS (
+  SELECT 'c_name' AS property, COUNT(c_name) AS n_filled FROM customer
+  UNION ALL SELECT 'c_nationkey', COUNT(c_nationkey) FROM customer
+  UNION ALL SELECT 'c_acctbal', COUNT(c_acctbal) FROM customer
+  UNION ALL SELECT 'c_mktsegment', COUNT(c_mktsegment) FROM customer)
+SELECT COALESCE(o.property, n.property) AS property,
+       CASE WHEN o.property IS NULL THEN 'added'
+            WHEN n.property IS NULL THEN 'dropped'
+            ELSE 'carried' END AS status,
+       COALESCE(d.n_filled, 0) AS n_filled,
+       (o.property IS NOT NULL AND n.property IS NULL
+        AND COALESCE(d.n_filled, 0) > 0) AS data_loss_warning
+FROM old_props o
+FULL OUTER JOIN new_props n ON o.property = n.property
+LEFT JOIN data_stats d ON COALESCE(o.property, n.property) = d.property"""
+
+
+@register(
+    "template_update_migrate",
+    _TEMPLATE_UPDATE_ORACLE,
+    "Template Updater migration report "
+    "(src/update_ccdi_template.py:98-254): old-template vs "
+    "new-template property diff (carried / dropped / added) with "
+    "non-null data counts — a dropped property that still holds data "
+    "raises the data-loss warning the reference logs.  Schema frames "
+    "full-outer joined, data stats one aggregation",
+)
+def template_update_migrate(spark, sf_dir):
+    (customer,) = _t(spark, sf_dir, "customer")
+    ss = customer.sparkSession
+    old_props = ss.createDataFrame(
+        [("c_name",), ("c_nationkey",), ("c_acctbal",), ("c_mktsegment",)],
+        "property string",
+    )
+    new_props = ss.createDataFrame(
+        [("c_name",), ("c_acctbal",), ("c_consent_group",)],
+        "property string",
+    )
+    cols = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    stats_row = customer.agg(
+        *[F.count(c).alias(c) for c in cols]
+    )
+    data_stats = stats_row.selectExpr(
+        "stack({n}, {args}) as (property, n_filled)".format(
+            n=len(cols),
+            args=", ".join(f"'{c}', {c}" for c in cols),
+        )
+    )
+    o = old_props.select(F.col("property").alias("old_p"))
+    n = new_props.select(F.col("property").alias("new_p"))
+    joined = o.join(n, o.old_p == n.new_p, "full_outer").select(
+        F.coalesce(F.col("old_p"), F.col("new_p")).alias("property"),
+        F.when(F.col("old_p").isNull(), "added")
+        .when(F.col("new_p").isNull(), "dropped")
+        .otherwise("carried")
+        .alias("status"),
+        F.col("old_p").isNotNull().alias("__was_old__"),
+        F.col("new_p").isNull().alias("__not_new__"),
+    )
+    return (
+        joined.join(F.broadcast(data_stats), "property", "left")
+        .select(
+            "property",
+            "status",
+            F.coalesce(F.col("n_filled"), F.lit(0)).cast("long").alias(
+                "n_filled"
+            ),
+            (
+                F.col("__was_old__")
+                & F.col("__not_new__")
+                & (F.coalesce(F.col("n_filled"), F.lit(0)) > 0)
+            ).alias("data_loss_warning"),
+        )
+    )

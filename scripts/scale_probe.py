@@ -88,6 +88,9 @@ def main():
         "catalog_stats", "j3_multi_path_flatten", "a9_dedup_keep_last",
         "w1_eav_pivot", "events_daily_rollup", "dedup_ngram_jaccard",
         "text_quality", "sim_cosine_topk",
+        # round-3 ops
+        "text_repetition_stats", "text_tfidf_topk", "inverted_index_build",
+        "events_sessionize", "corpus_token_budget_mix",
     )
     timings = {}
     for name in queries:

@@ -998,3 +998,49 @@ def test_stratified_sample_fractions_and_determinism(spark):
         if totals.get(lang, 0) >= 40:
             got = by_lang.get(lang, 0) / totals[lang]
             assert abs(got - p) < 0.15, (lang, got, p)
+
+
+def test_hyperplane_lsh_recall_vs_exact(spark):
+    """Banded cosine LSH must recover most true near-dup pairs found
+    by the exact all-pairs baseline (8 bands × 2 bits → expected
+    candidate probability ≈0.99 at cosine 0.45)."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.queries import (
+        REGISTRY,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_embedding_cosine"].fn(spark, sf).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_embedding_lsh"].fn(spark, sf).collect()
+    }
+    assert lsh <= exact  # verify step keeps only true pairs
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_hyperplane_signatures_deterministic(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.catalog import (
+        load_testdata,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.similarity import (
+        hyperplane_signatures,
+    )
+
+    emb = load_testdata(
+        spark, "/root/testdata/sf0.001", tables=("embeddings",),
+        register_views=False,
+    )["embeddings"]
+    s1 = {
+        (r["vec_id"], r["__sig__"])
+        for r in hyperplane_signatures(emb, dims=64).collect()
+    }
+    s2 = {
+        (r["vec_id"], r["__sig__"])
+        for r in hyperplane_signatures(emb, dims=64).collect()
+    }
+    assert s1 == s2 and len(s1) > 0
