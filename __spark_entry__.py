@@ -30,6 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _CERTIFY_FIRST = [
     # round-3 additions (never checked by driver or judge)
     "igm_sample_mapper",
+    "events_path_transitions",
+    "orders_abc_pareto",
+    "text_collocation_pmi",
     "submission_cruncher_merge",
     "template_update_migrate",
     "orders_market_basket",

@@ -6915,3 +6915,175 @@ def template_update_migrate(spark, sf_dir):
             ).alias("data_loss_warning"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 pack 5: path transitions, Pareto classification, PMI
+# collocations.
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+FROM ordered WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type"""
+
+
+@register(
+    "events_path_transitions",
+    _TRANSITIONS_ORACLE,
+    "first-order path transitions (Markov counts): per-user lead "
+    "window then a global (from, to) count — funnel discovery's raw "
+    "material; one user shuffle + one pair agg",
+)
+def events_path_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        ordered.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_PARETO_ORACLE = """WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT o_custkey, revenue,
+         SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         SUM(revenue) OVER () AS total_rev
+  FROM cust)
+SELECT o_custkey, revenue,
+       CASE WHEN cum_rev <= 0.8 * total_rev THEN 'A'
+            WHEN cum_rev <= 0.95 * total_rev THEN 'B'
+            ELSE 'C' END AS pareto_class
+FROM ranked"""
+
+
+@register(
+    "orders_abc_pareto",
+    _PARETO_ORACLE,
+    "ABC/Pareto classification: per-customer revenue (decimal-exact "
+    "sum), descending cumulative share, 80/95 class cut — one agg "
+    "shuffle + one global-order window (the single-partition sort "
+    "carries |customers| rows, already reduced)",
+)
+def orders_abc_pareto(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    wc = (
+        Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy()
+    ranked = cust.select(
+        "o_custkey",
+        "revenue",
+        F.sum("revenue").over(wc).alias("cum_rev"),
+        F.sum("revenue").over(wt).alias("total_rev"),
+    )
+    return ranked.select(
+        "o_custkey",
+        "revenue",
+        F.when(F.col("cum_rev") <= 0.8 * F.col("total_rev"), "A")
+        .when(F.col("cum_rev") <= 0.95 * F.col("total_rev"), "B")
+        .otherwise("C")
+        .alias("pareto_class"),
+    )
+
+
+_PMI_ORACLE = rf"""WITH {_TOKS_CTE},
+pairs AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+pair_n AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS n_pair
+           FROM pairs GROUP BY w1, w2),
+uni AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS n_w FROM toks GROUP BY w),
+total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_tok FROM toks)
+SELECT pair_n.w1, pair_n.w2, CAST(pair_n.n_pair AS BIGINT) AS n_pair,
+       ln(pair_n.n_pair * total.n_tok / (u1.n_w * u2.n_w)) AS pmi
+FROM pair_n
+JOIN uni u1 ON pair_n.w1 = u1.w
+JOIN uni u2 ON pair_n.w2 = u2.w
+CROSS JOIN total
+WHERE pair_n.n_pair >= 5
+ORDER BY pmi DESC, pair_n.w1, pair_n.w2
+LIMIT 50"""
+
+
+@register(
+    "text_collocation_pmi",
+    _PMI_ORACLE,
+    "bigram collocation mining by PMI: adjacent-pair counts from the "
+    "staged token arrays (row-local n-grams, NOT a positional "
+    "self-join), unigram margins broadcast back, min-support 5, "
+    "top-50 — the phrase-discovery primitive",
+)
+def text_collocation_pmi(spark, sf_dir):
+    from .operators.dedup import normalized_tokens
+    from .operators.text import word_ngrams_expr
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    staged = documents.select(
+        "doc_id", normalized_tokens("text").alias("toks")
+    ).withColumn("g2", word_ngrams_expr("toks", 2))
+    pair_n = (
+        staged.select(F.explode("g2").alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").cast("double").alias("n_pair"))
+        .select(
+            F.split(F.col("g"), " ").getItem(0).alias("w1"),
+            F.split(F.col("g"), " ").getItem(1).alias("w2"),
+            "n_pair",
+        )
+    )
+    uni = (
+        staged.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("double").alias("n_w"))
+    )
+    total = staged.select(F.explode("toks").alias("w")).agg(
+        F.count("*").cast("double").alias("n_tok")
+    )
+    return (
+        pair_n.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_pair") >= 5)
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.log(
+                F.col("n_pair") * F.col("n_tok")
+                / (F.col("n_w1") * F.col("n_w2"))
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )
