@@ -30,6 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _CERTIFY_FIRST = [
     # round-3 additions (never checked by driver or judge)
     "igm_sample_mapper",
+    "corpus_decontaminate",
+    "dedup_exact_normalized",
     "events_path_transitions",
     "orders_abc_pareto",
     "text_collocation_pmi",
@@ -65,8 +67,6 @@ _CERTIFY_FIRST = [
     "guid_fill_reconcile",
     "model_mapping_diff",
     "json_roundtrip_shred",
-    "surrogate_key_translate",
-    "cpi_associated_ids",
     "gdc_mapping_battery",
     "gdc_experiment_reconcile",
     "gdc_nested_entity_roundtrip",
@@ -83,6 +83,8 @@ _CERTIFY_FIRST = [
     "w1_eav_pivot",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
+    "cpi_associated_ids",
+    "surrogate_key_translate",
     "db_count_diff",
     "text_vocab_topk",
     "db_stats_wide",

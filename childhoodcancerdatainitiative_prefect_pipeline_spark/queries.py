@@ -7087,3 +7087,112 @@ def text_collocation_pmi(spark, sf_dir):
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 pack 6: benchmark decontamination + normalized exact dedup.
+# ---------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = rf"""WITH {_TOKS_CTE},
+grams AS (
+  SELECT a.doc_id,
+         a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS g
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  JOIN toks d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+  JOIN toks e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4),
+bench_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+contaminated AS (
+  SELECT DISTINCT grams.doc_id
+  FROM grams JOIN bench_grams USING (g)
+  WHERE grams.doc_id % 97 <> 0)
+SELECT d.doc_id,
+       (d.doc_id % 97 = 0) AS is_benchmark,
+       (c.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id"""
+
+
+@register(
+    "corpus_decontaminate",
+    _DECONTAM_ORACLE,
+    "benchmark decontamination: flag training docs sharing any "
+    "5-gram with the benchmark set (doc_id %% 97 == 0 as the held-out "
+    "proxy) — benchmark shingles aggregate small and broadcast into "
+    "a semi-join against the corpus's row-local shingle arrays; the "
+    "corpus is never self-joined.  The eval-leak guard every "
+    "training pipeline needs",
+)
+def corpus_decontaminate(spark, sf_dir):
+    from .operators.dedup import normalized_tokens
+    from .operators.text import word_ngrams_expr
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    staged = documents.select(
+        "doc_id", normalized_tokens("text").alias("toks")
+    ).withColumn("g5", word_ngrams_expr("toks", 5))
+    bench_grams = (
+        staged.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("g5").alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        staged.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode("g5").alias("g"))
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit__", F.lit(True))
+    )
+    return documents.join(contaminated, "doc_id", "left").select(
+        "doc_id",
+        (F.col("doc_id") % 97 == 0).alias("is_benchmark"),
+        F.coalesce(F.col("__hit__"), F.lit(False)).alias("contaminated"),
+    )
+
+
+_NORM_DEDUP_ORACLE = r"""WITH normed AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           AS norm_hash
+  FROM documents),
+groups AS (
+  SELECT norm_hash, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_id
+  FROM normed GROUP BY norm_hash)
+SELECT n.doc_id, g.canonical_id, g.n_dups,
+       (n.doc_id = g.canonical_id) AS is_canonical
+FROM normed n JOIN groups g USING (norm_hash)
+WHERE g.n_dups > 1"""
+
+
+@register(
+    "dedup_exact_normalized",
+    _NORM_DEDUP_ORACLE,
+    "exact dedup after text normalization (lowercase, trim, "
+    "whitespace collapse → md5): duplicate groups with min-id "
+    "canonical election — the standard first pass before near-dup; "
+    "md5 for oracle parity, xxhash64 at scale (same shape as "
+    "dedup_exact_prefix)",
+)
+def dedup_exact_normalized(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    normed = documents.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("norm_hash"),
+    )
+    groups = normed.groupBy("norm_hash").agg(
+        F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_id")
+    )
+    return (
+        normed.join(groups, "norm_hash")
+        .filter(F.col("n_dups") > 1)
+        .select(
+            "doc_id",
+            "canonical_id",
+            "n_dups",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
