@@ -6438,7 +6438,10 @@ LIMIT 20"""
 )
 def orders_market_basket(spark, sf_dir):
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # items feeds FOUR consumers (total, margins, both pair sides);
+    # eager materialization runs the wide distinct once, not 4×
+    # (same rule as the CDS fact union, SCALE.md)
+    items = lineitem.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
     n = items.agg(
         F.count_distinct("l_orderkey").cast("double").alias("n_orders")
     )

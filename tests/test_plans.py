@@ -246,3 +246,11 @@ def test_bm25_broadcasts_stats_and_prunes_scan(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # corpus stats (N, avgdl) must never shuffle the token table
     assert "lang" not in plan and "source" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The corpus must never self-join: benchmark shingles broadcast
+    into a semi-join, no SortMergeJoin anywhere."""
+    plan = _plan(REGISTRY["corpus_decontaminate"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
