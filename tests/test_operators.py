@@ -1044,3 +1044,49 @@ def test_hyperplane_signatures_deterministic(spark):
         for r in hyperplane_signatures(emb, dims=64).collect()
     }
     assert s1 == s2 and len(s1) > 0
+
+
+def test_streaming_sessionize_executes(spark, tmp_path):
+    """session_window must run as a real stream (watermarked, append
+    mode) and produce the gap-delimited sessions batch logic expects."""
+    import datetime
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.streaming.events import (
+        sessionize,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        # user 10: two sessions (gap 45 min > 30 min)
+        (1, at(0), 10, "click", 1.0),
+        (2, at(10), 10, "view", 2.0),
+        (3, at(55), 10, "click", 3.0),
+        # user 11: one session
+        (4, at(5), 11, "view", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    src = str(tmp_path / "sess_src")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        sessionize(stream, gap="30 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT user_id, n_events, session_value FROM sess_test"
+        ).collect()
+    finally:
+        q.stop()
+    got = sorted((r["user_id"], r["n_events"], r["session_value"]) for r in out)
+    assert got == [(10, 1, 3.0), (10, 2, 3.0), (11, 1, 4.0)]
