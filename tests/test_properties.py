@@ -115,3 +115,78 @@ def test_salted_join_equivalence_property(spark, probe, build, n_salts):
             .count()
         )
         assert diff == 0 and salted.count() == plain.count(), how
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    arrays=st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Ll", "Nd"), max_codepoint=0x17F
+                ),
+                min_size=1,
+                max_size=6,
+            ),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_max_element_run_matches_python_counter(spark, arrays):
+    """max_element_run == max multiplicity from collections.Counter."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.text import (
+        max_element_run,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "i: long, arr: array<string>"
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select("i", max_element_run(F.col("arr")).alias("m")).collect()
+    }
+    for i, a in enumerate(arrays):
+        expected = max(Counter(a).values()) if a else 0
+        assert got[i] == expected, (a, got[i], expected)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    toks=st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll",), max_codepoint=0x17F),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_word_ngrams_expr_matches_python_zip(spark, toks, n):
+    """word_ngrams_expr == the Python sliding-window reference."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.text import (
+        word_ngrams_expr,
+    )
+
+    df = spark.createDataFrame([(toks,)], "toks: array<string>")
+    got = df.select(word_ngrams_expr("toks", n).alias("g")).collect()[0]["g"]
+    expected = [
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    ]
+    assert got == expected, (toks, n, got, expected)
