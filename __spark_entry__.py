@@ -81,6 +81,12 @@ _CERTIFY_FIRST = [
     "events_sessionize",
     # regressed in r02 (HUGEINT oracle formatting, fixed) — re-certify
     "w1_eav_pivot",
+    # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
+    "q4_priority_exists",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q19_disjunctive_filter",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",
