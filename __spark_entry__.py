@@ -87,6 +87,7 @@ _CERTIFY_FIRST = [
     "q10_returned_items",
     "q14_promo_share",
     "q19_disjunctive_filter",
+    "dedup_incremental_batch",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

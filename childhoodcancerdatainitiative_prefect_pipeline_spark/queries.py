@@ -7458,3 +7458,64 @@ def q19_disjunctive_filter(spark, sf_dir):
             F.count("*").alias("n_lines"),
         )
     )
+
+
+_INCR_DEDUP_ORACLE = r"""WITH normed AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           AS norm_hash
+  FROM documents),
+corpus AS (SELECT * FROM normed WHERE doc_id % 10 <> 0),
+batch AS (SELECT * FROM normed WHERE doc_id % 10 = 0),
+corpus_hashes AS (SELECT DISTINCT norm_hash FROM corpus),
+flagged AS (
+  SELECT b.doc_id,
+         (c.norm_hash IS NOT NULL) AS dup_of_existing,
+         COUNT(*) OVER (PARTITION BY b.norm_hash) AS n_in_batch
+  FROM batch b LEFT JOIN corpus_hashes c USING (norm_hash))
+SELECT doc_id, dup_of_existing,
+       (n_in_batch > 1) AS dup_within_batch,
+       (NOT dup_of_existing AND n_in_batch = 1) AS admit
+FROM flagged"""
+
+
+@register(
+    "dedup_incremental_batch",
+    _INCR_DEDUP_ORACLE,
+    "incremental ingestion dedup — the production shape: a new batch "
+    "(doc_id %% 10 == 0 as the arriving delta) checked against the "
+    "existing corpus's DISTINCT hash set (aggregated before the "
+    "join, so the join carries |unique hashes| not |corpus rows|) "
+    "plus a within-batch window; admit = new AND unique.  At scale "
+    "the corpus hash set is a bloom-filter / bucketed table, same "
+    "plan shape",
+)
+def dedup_incremental_batch(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    normed = documents.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("norm_hash"),
+    )
+    corpus_hashes = (
+        normed.filter(F.col("doc_id") % 10 != 0)
+        .select("norm_hash")
+        .distinct()
+        .withColumn("__seen__", F.lit(True))
+    )
+    batch = normed.filter(F.col("doc_id") % 10 == 0)
+    w = Window.partitionBy("norm_hash")
+    flagged = (
+        batch.join(corpus_hashes, "norm_hash", "left")
+        .withColumn("dup_of_existing", F.coalesce(F.col("__seen__"), F.lit(False)))
+        .withColumn("n_in_batch", F.count("*").over(w))
+    )
+    return flagged.select(
+        "doc_id",
+        "dup_of_existing",
+        (F.col("n_in_batch") > 1).alias("dup_within_batch"),
+        (~F.col("dup_of_existing") & (F.col("n_in_batch") == 1)).alias("admit"),
+    )
