@@ -103,6 +103,7 @@ _CERTIFY_FIRST = [
     "corpus_stratified_sample",
     "dedup_minhash_clusters",
     "stream_sliding_rollup",
+    "graph_pagerank_topk",
     "profile_columns_approx",
     # judge-verified in r01 but never driver-certified
     "o2_custom_order",

@@ -214,3 +214,81 @@ def connected_components(
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias(label_col)
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded-iteration PageRank over a directed edge list.
+
+    Each iteration is ONE distributed join (ranks ⨝ edges on src) +
+    ONE aggregation (sum contributions per dst) — job count scales
+    with ``n_iter``, never with node count.  Dangling-node mass is
+    redistributed uniformly each step so ranks stay a probability
+    distribution (sum = 1).  Frames are eagerly ``localCheckpoint``-ed
+    per iteration: without it, iteration k replays all k-1 prior
+    joins (the same lineage rule as ``transitive_children`` and the
+    CDS fact union, SCALE.md).
+
+    Returns (node, rank).  Deterministic for a fixed edge list and
+    iteration count — double summation order may differ in the last
+    ulp across runs, so tests compare with a tolerance.
+    """
+    edges = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(n_iter):
+        contribs = (
+            ranks.join(
+                out_deg.withColumnRenamed("src", "__od_src__"),
+                F.col("node") == F.col("__od_src__"),
+                "left",
+            )
+            .join(
+                edges.withColumnRenamed("src", "__e_src__"),
+                F.col("node") == F.col("__e_src__"),
+                "left",
+            )
+            .select(
+                F.col("dst"),
+                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+                # dangling rows (no out-edges) carry their mass here
+                F.when(F.col("dst").isNull(), F.col("rank"))
+                .otherwise(F.lit(0.0))
+                .alias("dangling"),
+            )
+        )
+        dangling_mass = contribs.agg(
+            F.coalesce(F.sum("dangling"), F.lit(0.0)).alias("m")
+        ).collect()[0]["m"]
+        summed = (
+            contribs.filter(F.col("dst").isNotNull())
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        base = (1.0 - damping) / n_nodes + damping * dangling_mass / n_nodes
+        ranks = (
+            nodes.join(summed, nodes.node == summed.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -7519,3 +7519,36 @@ def dedup_incremental_batch(spark, sf_dir):
         (F.col("n_in_batch") > 1).alias("dup_within_batch"),
         (~F.col("dup_of_existing") & (F.col("n_in_batch") == 1)).alias("admit"),
     )
+
+
+@register(
+    "graph_pagerank_topk",
+    None,  # bounded-iteration float ranks → rows-only; pinned against
+    # a pure-Python reference in tests/test_operators.py
+    "5-iteration PageRank over the customer↔supplier order graph "
+    "(directed both ways): per iteration ONE join + ONE aggregation "
+    "with eager checkpointing, job count scales with iterations not "
+    "nodes; dangling mass redistributed so ranks stay a probability "
+    "distribution.  Top-20 by rank",
+)
+def graph_pagerank_topk(spark, sf_dir):
+    from .operators.graph import pagerank
+
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    pairs = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    ranks = pagerank(edges, n_iter=5)
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)

@@ -1090,3 +1090,41 @@ def test_streaming_sessionize_executes(spark, tmp_path):
         q.stop()
     got = sorted((r["user_id"], r["n_events"], r["session_value"]) for r in out)
     assert got == [(10, 1, 3.0), (10, 2, 3.0), (11, 1, 4.0)]
+
+
+def test_pagerank_matches_python_reference(spark):
+    """5-iteration PageRank on a small digraph (with a dangling node)
+    must match a pure-Python reference within float tolerance, and
+    ranks must sum to 1."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.graph import (
+        pagerank,
+    )
+
+    edge_list = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+        # e is dangling (no out-edges); reachable from c? no — isolated sink
+        ("b", "e"),
+    ]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=5).collect()}
+
+    # pure-Python reference
+    nodes = sorted({n for e in edge_list for n in e})
+    n = len(nodes)
+    out = {}
+    for s, d in edge_list:
+        out.setdefault(s, []).append(d)
+    ranks = {v: 1.0 / n for v in nodes}
+    damping = 0.85
+    for _ in range(5):
+        dangling = sum(r for v, r in ranks.items() if v not in out)
+        base = (1 - damping) / n + damping * dangling / n
+        nxt = {v: base for v in nodes}
+        for s, ds in out.items():
+            for d in ds:
+                nxt[d] += damping * ranks[s] / len(ds)
+        ranks = nxt
+
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
