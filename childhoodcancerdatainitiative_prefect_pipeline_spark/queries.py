@@ -7552,3 +7552,592 @@ def graph_pagerank_topk(spark, sf_dir):
     ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
     ranks = pagerank(edges, n_iter=5)
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 pack 8: the remaining adapted TPC-H planning shapes.  Each
+# query exercises a Catalyst feature the earlier packs don't:
+# correlated scalar subqueries (q2/q15/q17), scalar-subquery HAVING
+# (q11), conditional pivot counts (q12), outer-join group histograms
+# (q13), NOT IN → anti join (q16), decimal-exact correlated-average
+# rewrites (q17), IN-subquery semi joins (q18/q20), the double
+# EXISTS / NOT EXISTS decorrelation (q21), and anti join + scalar
+# average (q22).  Decimal-exact arithmetic throughout per the
+# hash-parity conventions at the top of this module.
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(18,4)"
+
+
+def _vol():
+    """Decimal-exact extendedprice*(1-discount) used by every revenue query."""
+    return F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC)
+    )
+
+
+_Q2_ORACLE = """SELECT p_partkey, p_name, s_name, l_extendedprice AS min_price
+FROM (SELECT p.p_partkey, p.p_name, s.s_name, l.l_extendedprice,
+             MIN(l.l_extendedprice) OVER (PARTITION BY p.p_partkey) AS mp
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'EUROPE' AND p.p_size < 10) t
+WHERE l_extendedprice = mp"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    _Q2_ORACLE,
+    "TPC-H q2 shape: correlated MIN subquery decorrelated to one "
+    "partition-window pass — dims broadcast, fact shuffles once on "
+    "l_partkey, ties preserved",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    from pyspark.sql import Window
+
+    lineitem, supplier, nation, region, part = _t(
+        spark, sf_dir, "lineitem", "supplier", "nation", "region", "part"
+    )
+    eu_sup = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name")
+    )
+    small_parts = part.filter(F.col("p_size") < 10).select("p_partkey", "p_name")
+    shp = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        shp.withColumn("mp", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("mp"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("l_extendedprice").alias("min_price"),
+        )
+    )
+
+
+_Q8_ORACLE = """WITH t AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,4)) *
+           (1 - CAST(l_discount AS DECIMAL(18,4))) AS vol,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE r.r_name = 'ASIA')
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol END) AS DOUBLE)
+         AS nation_volume,
+       CAST(SUM(vol) AS DOUBLE) AS total_volume,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol END) AS DOUBLE) /
+         CAST(SUM(vol) AS DOUBLE) AS mkt_share
+FROM t GROUP BY o_year"""
+
+
+@register(
+    "q8_market_share",
+    _Q8_ORACLE,
+    "TPC-H q8 shape: one nation's share of a region's yearly revenue — "
+    "numerator/denominator as decimal-exact conditional sums, the "
+    "ratio a deterministic double division",
+)
+def q8_market_share(spark, sf_dir):
+    lineitem, orders, customer, supplier, nation, region = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation",
+        "region",
+    )
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    t = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("c_nk"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _vol().alias("vol"),
+            "supp_nation",
+        )
+    )
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol")))
+    return t.groupBy("o_year").agg(
+        nat.cast("double").alias("nation_volume"),
+        F.sum("vol").cast("double").alias("total_volume"),
+        (nat.cast("double") / F.sum("vol").cast("double")).alias("mkt_share"),
+    )
+
+
+_Q9_ORACLE = """SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_rev,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4)) *
+                CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_cost,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) -
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4)) *
+                CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year"""
+
+
+@register(
+    "q9_profit_by_nation",
+    _Q9_ORACLE,
+    "TPC-H q9 shape: product-profit per supplier nation per year; "
+    "revenue and cost aggregated as separate exact decimals, profit "
+    "derived by double subtraction (order-independent)",
+)
+def q9_profit_by_nation(spark, sf_dir):
+    lineitem, orders, part, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation"
+    )
+    widget_parts = part.filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    joined = (
+        lineitem.join(F.broadcast(widget_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    cost = F.col("p_retailprice").cast(_DEC) * F.col("l_quantity").cast(_DEC)
+    rev_d = F.sum(_vol()).cast("double")
+    cost_d = F.sum(cost).cast("double")
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(
+        rev_d.alias("sum_rev"),
+        cost_d.alias("sum_cost"),
+        (rev_d - cost_d).alias("profit"),
+    )
+
+
+_Q11_ORACLE = """WITH pp AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+             (1 - CAST(l_discount AS DECIMAL(18,4)))) AS val
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM pp
+WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) FROM pp) * 0.0007"""
+
+
+@register(
+    "q11_important_parts",
+    _Q11_ORACLE,
+    "TPC-H q11 shape: HAVING against a scalar subquery — the global "
+    "total re-aggregated from the per-part frame (no second fact "
+    "scan) and broadcast into the filter",
+)
+def q11_important_parts(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    pp = lineitem.groupBy("l_partkey").agg(F.sum(_vol()).alias("val"))
+    total = pp.agg(F.sum("val").cast("double").alias("grand_total"))
+    return (
+        pp.join(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("grand_total") * 0.0007)
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+_Q12_ORACLE = """SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY l_returnflag"""
+
+
+@register(
+    "q12_late_shipment_priority",
+    _Q12_ORACLE,
+    "TPC-H q12 shape: conditional pivot counts over a non-equi "
+    "join residual (ship lag > 45 days), ship-date range pushed to "
+    "the lineitem scan",
+)
+def q12_late_shipment_priority(spark, sf_dir):
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    joined = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+_Q13_ORACLE = """WITH co AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist FROM co GROUP BY c_count"""
+
+
+@register(
+    "q13_order_count_distribution",
+    _Q13_ORACLE,
+    "TPC-H q13 shape: outer join with an ON-clause-only filter "
+    "(customers with zero matching orders still count), then a "
+    "histogram of per-customer counts",
+)
+def q13_order_count_distribution(spark, sf_dir):
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    co = (
+        customer.select("c_custkey")
+        .join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT").select(
+                "o_custkey", "o_orderkey"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q15_ORACLE = """WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+             (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1998-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)"""
+
+
+@register(
+    "q15_top_supplier",
+    _Q15_ORACLE,
+    "TPC-H q15 shape: the revenue view computed once, its MAX "
+    "re-aggregated and broadcast back as an exact-decimal equality "
+    "filter (ties preserved)",
+)
+def q15_top_supplier(spark, sf_dir):
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1998-01-01")
+            & (F.col("l_shipdate") < "1998-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_vol()).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+_Q16_ORACLE = """SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_type, p_size"""
+
+
+@register(
+    "q16_supplier_part_types",
+    _Q16_ORACLE,
+    "TPC-H q16 shape: NOT IN over a non-null key column compiled to "
+    "a broadcast anti join, distinct-supplier counts per part class",
+)
+def q16_supplier_part_types(spark, sf_dir):
+    lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    parts_f = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excluded = supplier.filter(F.col("s_name").like("%7")).select("s_suppkey")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q17_ORACLE = """WITH pa AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_price,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa ON pk = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND CAST(l_quantity AS DECIMAL(18,4)) * 5 * cnt < sq"""
+
+
+@register(
+    "q17_small_quantity_revenue",
+    _Q17_ORACLE,
+    "TPC-H q17 shape: correlated AVG subquery rewritten to the "
+    "exact-integer cross-multiplication 5*qty*cnt < sum(qty) — no "
+    "float average, bit-identical on both engines",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    pa = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("sq"),
+        F.count("*").alias("cnt"),
+    )
+    brand_parts = part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    return (
+        lineitem.join(
+            F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity").cast(_DEC) * 5 * F.col("cnt") < F.col("sq"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC))
+            .cast("double")
+            .alias("total_price"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q18_ORACLE = """WITH oq AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 120)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sq AS DOUBLE) AS sum_qty
+FROM oq
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey"""
+
+
+@register(
+    "q18_large_volume_customers",
+    _Q18_ORACLE,
+    "TPC-H q18 shape: IN-subquery over a grouped HAVING folded into "
+    "one aggregation (no re-scan, no re-aggregation after the join)",
+)
+def q18_large_volume_customers(spark, sf_dir):
+    lineitem, orders, customer = _t(
+        spark, sf_dir, "lineitem", "orders", "customer"
+    )
+    oq = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("sq"))
+        .filter(F.col("sq") > 120)
+    )
+    return (
+        oq.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+_Q20_ORACLE = """WITH per AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+tot AS (SELECT l_partkey, SUM(sq) AS tq FROM per GROUP BY l_partkey)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT per.l_suppkey FROM per
+  JOIN tot ON tot.l_partkey = per.l_partkey
+  JOIN part ON p_partkey = per.l_partkey
+  WHERE p_name LIKE '%gear%' AND per.sq * 20 > tq * 3)"""
+
+
+@register(
+    "q20_part_share_suppliers",
+    _Q20_ORACLE,
+    "TPC-H q20 shape: nested IN over an aggregated share predicate — "
+    "per-(part,supplier) totals re-aggregated to per-part totals "
+    "(one fact shuffle), share compared by exact-decimal "
+    "cross-multiplication, supplier side a broadcast semi join",
+)
+def q20_part_share_suppliers(spark, sf_dir):
+    lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    per = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("sq")
+    )
+    tot = per.groupBy(F.col("l_partkey").alias("tpk")).agg(
+        F.sum("sq").alias("tq")
+    )
+    gear_parts = part.filter(F.col("p_name").like("%gear%")).select("p_partkey")
+    qualified = (
+        per.join(F.broadcast(gear_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(tot, F.col("tpk") == F.col("l_partkey"))
+        .filter(F.col("sq") * 20 > F.col("tq") * 3)
+        .select("l_suppkey")
+    )
+    return supplier.join(
+        qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+_Q21_ORACLE = """WITH l AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+late AS (SELECT * FROM l
+         WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name"""
+
+
+@register(
+    "q21_waiting_suppliers",
+    _Q21_ORACLE,
+    "TPC-H q21 shape: the EXISTS / NOT EXISTS pair decorrelated into "
+    "per-order distinct-supplier counts (order has >=2 suppliers "
+    "overall, exactly 1 late supplier) — three aggregations over one "
+    "joined frame instead of two correlated self-joins",
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    lineitem, orders, supplier = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    l = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = l.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    n_all = l.groupBy(F.col("l_orderkey").alias("ok_all")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    n_late = late.groupBy(F.col("l_orderkey").alias("ok_late")).agg(
+        F.countDistinct("l_suppkey").alias("n_late_supp")
+    )
+    late_lines = late.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count("*").alias("n_lines")
+    )
+    qual = (
+        late_lines.join(n_all, F.col("l_orderkey") == F.col("ok_all"))
+        .join(n_late, F.col("l_orderkey") == F.col("ok_late"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        qual.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_lines").alias("numwait"))
+    )
+
+
+_Q22_ORACLE = """WITH avgbal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS ab
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT ab FROM avgbal)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey"""
+
+
+@register(
+    "q22_dormant_customers",
+    _Q22_ORACLE,
+    "TPC-H q22 shape: scalar-average subquery (decimal-exact sum, "
+    "one double division) + NOT EXISTS anti join against the fact",
+)
+def q22_dormant_customers(spark, sf_dir):
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    avgbal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double") / F.count("*")
+        ).alias("ab")
+    )
+    return (
+        customer.join(F.broadcast(avgbal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            orders.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("totacctbal"),
+        )
+    )
