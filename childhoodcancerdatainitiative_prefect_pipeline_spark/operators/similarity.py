@@ -112,6 +112,47 @@ def pick_centroids(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Quality-tier IVF centroid build: distributed k-means (MLlib).
+
+    :func:`pick_centroids` seeds cells from hashed corpus rows — zero
+    extra passes, but cell populations are arbitrary, so probe recall
+    depends on luck.  Lloyd's iterations move centroids to actual
+    density modes, which tightens cells and raises recall at the same
+    ``n_probe``.  MLlib's implementation is the right 100 TB shape:
+    k-means|| init and each iteration one map-side-combined
+    aggregation over the corpus — no driver-side data motion except
+    the (n_cells × dim) centers themselves, which are tiny by
+    construction and become the broadcast side of
+    :func:`assign_cells` / :func:`ivf_top_k` unchanged.
+
+    Returns the same ``(cell_id, centroid)`` contract as
+    :func:`pick_centroids` — the two builders are drop-in swaps.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(as_double_array(vec_col)).alias("features")
+    )
+    model = KMeans(
+        k=n_cells, maxIter=max_iter, seed=seed, initMode="k-means||"
+    ).fit(feats)
+    rows = [
+        (i, [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "cell_id int, centroid array<double>"
+    )
+
+
 def assign_cells(
     corpus: DataFrame,
     centroids: DataFrame,

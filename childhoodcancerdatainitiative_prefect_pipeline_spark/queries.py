@@ -4801,6 +4801,34 @@ def dedup_cluster_components(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_cluster_star",
+    _CLUSTER_ORACLE,
+    "dup-cluster canonicalization on the O(log n)-round large/small-"
+    "star algorithm (operators/graph.py::connected_components_star) — "
+    "same edge construction and the same recursive-CTE oracle as "
+    "dedup_cluster_components, so the scale-path algorithm itself is "
+    "hash-certified, not just unit-pinned",
+)
+def dedup_cluster_star(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.graph import connected_components_star
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    g = documents.select(
+        "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    ordered = g.withColumn("prev", F.lag("doc_id").over(w))
+    edges = ordered.filter(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("src"), F.col("doc_id").alias("dst")
+    )
+    return connected_components_star(
+        edges, g.select("doc_id"), id_col="doc_id", label_col="cluster_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end corpus curation (LLM-data op, composed): quality features
 # + language ID + token counts in ONE scan/projection, threshold

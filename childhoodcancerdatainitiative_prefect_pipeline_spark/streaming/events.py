@@ -103,6 +103,100 @@ def streaming_dedup(
     ).dropDuplicates(keys or ["event_id"])
 
 
+def attribution_join(
+    events: DataFrame,
+    trigger_type: str = "click",
+    outcome_type: str = "purchase",
+    horizon: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: outcome events attributed to the
+    trigger events that preceded them within ``horizon``.
+
+    The canonical streaming-native workload the batch engine can't
+    fake with a window: two *unbounded* inputs joined on key plus a
+    time-range predicate.  Both sides carry watermarks and the join
+    condition bounds outcome time to [trigger, trigger + horizon], so
+    Spark can size the join state store and evict expired rows —
+    without the range bound the state grows forever.  In batch mode
+    the same plan degrades gracefully to an ordinary non-equi join
+    (watermarks are no-ops), which is exactly what the equivalence
+    test pins.
+
+    Returns one row per (trigger, outcome) pair within the horizon:
+    ``user_id, trigger_id, trigger_ts, outcome_id, outcome_ts,
+    outcome_value, lag_seconds``.
+    """
+    src = _as_event_time(events, ts_col)
+    trig = (
+        src.filter(F.col("event_type") == trigger_type)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("trigger_id"),
+            F.col(ts_col).alias("trigger_ts"),
+        )
+        .withWatermark("trigger_ts", watermark)
+    )
+    out = (
+        src.filter(F.col("event_type") == outcome_type)
+        .select(
+            F.col("user_id").alias("__o_user__"),
+            F.col("event_id").alias("outcome_id"),
+            F.col(ts_col).alias("outcome_ts"),
+            F.col("value").alias("outcome_value"),
+        )
+        .withWatermark("outcome_ts", watermark)
+    )
+    return (
+        trig.join(
+            out,
+            (F.col("user_id") == F.col("__o_user__"))
+            & (F.col("outcome_ts") >= F.col("trigger_ts"))
+            & (
+                F.col("outcome_ts")
+                <= F.col("trigger_ts") + F.expr(f"INTERVAL {horizon}")
+            ),
+        )
+        .select(
+            "user_id",
+            "trigger_id",
+            "trigger_ts",
+            "outcome_id",
+            "outcome_ts",
+            "outcome_value",
+            (
+                F.unix_timestamp("outcome_ts") - F.unix_timestamp("trigger_ts")
+            ).alias("lag_seconds"),
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermark-bounded dedup with *re-emission* semantics.
+
+    ``dropDuplicates`` on a stream guarantees global uniqueness but
+    must therefore keep every key seen forever unless the key set is
+    watermark-prefixed.  ``dropDuplicatesWithinWatermark`` makes the
+    right 100 TB trade instead: a key is suppressed only while it can
+    still collide inside the watermark horizon, after which its state
+    is evicted and a very-late recurrence is emitted again — bounded
+    state for an unbounded keyspace, the semantics ingestion dedup
+    actually wants (exact global dedup happens downstream in batch,
+    `dedup_incremental_batch`).
+    """
+    return (
+        _as_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys or ["event_id"])
+    )
+
+
 def start_console_sink(df: DataFrame, mode: str = "update") -> DataStreamWriter:
     """Debug sink helper (not used by the engine's own tests)."""
     return df.writeStream.outputMode(mode).format("console")

@@ -121,6 +121,47 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert 7 in approx
 
 
+def test_ivf_kmeans_centroids_drop_in(spark, sf_dir):
+    """The MLlib k-means centroid builder is a drop-in for the hash
+    seed: same (cell_id, centroid) contract, every vector lands in
+    exactly one cell, and probing ALL cells reproduces brute force
+    exactly (the IVF chain loses nothing beyond the probe pruning —
+    partial-probe recall on uniform-random fixtures is noise, so the
+    exactness bound is the meaningful invariant)."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.similarity import (
+        assign_cells,
+        brute_force_top_k,
+        ivf_top_k,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = {
+        r["vec_id"] for r in brute_force_top_k(emb, query, k=10).collect()
+    }
+    centroids = kmeans_centroids(emb, n_cells=8)
+    assert centroids.count() == 8
+    assert set(centroids.columns) == {"cell_id", "centroid"}
+    indexed = assign_cells(emb, centroids)
+    # partition of the corpus: every vector in exactly one cell
+    assert indexed.count() == emb.count()
+    # probe all 8 cells → candidate set is the full corpus → exact
+    full = {
+        r["vec_id"]
+        for r in ivf_top_k(indexed, centroids, query, k=10, n_probe=8).collect()
+    }
+    assert full == exact
+    # partial probe must still find the query vector itself (cos=1)
+    partial = {
+        r["vec_id"]
+        for r in ivf_top_k(indexed, centroids, query, k=10, n_probe=2).collect()
+    }
+    assert 7 in partial
+
+
 def test_blocked_gemm_matches_exact_pairs(spark, sf_dir):
     """The GEMM scale path must reproduce the JVM recall oracle: same
     pair set, same scores (to rounding), across several block counts
@@ -431,6 +472,79 @@ def test_streaming_dedup(spark, tmp_path):
         out = spark.sql("SELECT event_id FROM dedup_test").collect()
     finally:
         q.stop()
+    assert sorted(r["event_id"] for r in out) == [1, 2]
+
+
+def test_stream_stream_attribution_join(spark, tmp_path, sf_dir):
+    """Stream-stream interval join must equal the batch non-equi join
+    over the same data (watermarks are no-ops in batch)."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.catalog import load_testdata
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.streaming.events import (
+        attribution_join,
+    )
+
+    events = load_testdata(
+        spark, sf_dir, tables=("events",), register_views=False
+    )["events"]
+    batch = {
+        (r["trigger_id"], r["outcome_id"], r["lag_seconds"])
+        for r in attribution_join(events).collect()
+    }
+    assert batch, "fixture must produce at least one attributed pair"
+
+    src = str(tmp_path / "attr_src")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        attribution_join(stream)
+        .writeStream.format("memory")
+        .queryName("attr_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["trigger_id"], r["outcome_id"], r["lag_seconds"])
+            for r in spark.sql("SELECT * FROM attr_test").collect()
+        }
+    finally:
+        q.stop()
+    assert streamed == batch
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    import datetime
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.streaming.events import (
+        dedup_within_watermark,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10, "click", 1.0),
+        (1, t0 + datetime.timedelta(minutes=5), 10, "click", 1.0),  # dup in horizon
+        (2, t0, 11, "view", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    src = str(tmp_path / "wmdedup_src")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        dedup_within_watermark(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("wmdedup_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT event_id FROM wmdedup_test").collect()
+    finally:
+        q.stop()
+    # within one horizon the duplicate is suppressed
     assert sorted(r["event_id"] for r in out) == [1, 2]
 
 
