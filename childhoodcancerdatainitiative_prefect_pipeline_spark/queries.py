@@ -7970,17 +7970,21 @@ WHERE p_brand = 'Brand#3'
     "float average, bit-identical on both engines",
 )
 def q17_small_quantity_revenue(spark, sf_dir):
+    # the correlated average is only consulted for Brand#3 parts, so
+    # the per-part aggregate runs over the brand-pruned fact — not the
+    # whole table (the oracle aggregates everything; values used are
+    # identical)
     lineitem, part = _t(spark, sf_dir, "lineitem", "part")
-    pa = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+    brand_parts = part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li_b = lineitem.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    pa = li_b.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(F.col("l_quantity").cast(_DEC)).alias("sq"),
         F.count("*").alias("cnt"),
     )
-    brand_parts = part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     return (
-        lineitem.join(
-            F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
-        )
-        .join(pa, F.col("pk") == F.col("l_partkey"))
+        li_b.join(pa, F.col("pk") == F.col("l_partkey"))
         .filter(F.col("l_quantity").cast(_DEC) * 5 * F.col("cnt") < F.col("sq"))
         .agg(
             F.sum(F.col("l_extendedprice").cast(_DEC))
@@ -8098,6 +8102,13 @@ GROUP BY s_name"""
     "joined frame instead of two correlated self-joins",
 )
 def q21_waiting_suppliers(spark, sf_dir):
+    # ONE fact join with a row-level late flag, ONE (order, supplier)
+    # aggregation, then the order-level EXISTS / NOT-EXISTS facts as
+    # window sums over that compact frame — the naive rendering joins
+    # the fact three times (l, late, late_lines); this shape scans and
+    # joins it once.
+    from pyspark.sql import Window
+
     lineitem, orders, supplier = _t(spark, sf_dir, "lineitem", "orders", "supplier")
     l = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
         orders.filter(F.col("o_orderstatus") == "F").select(
@@ -8105,27 +8116,29 @@ def q21_waiting_suppliers(spark, sf_dir):
         ),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
-    late = l.filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAY"
     )
-    n_all = l.groupBy(F.col("l_orderkey").alias("ok_all")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp")
+    per_os = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(is_late, 1)).alias("n_late_lines")
     )
-    n_late = late.groupBy(F.col("l_orderkey").alias("ok_late")).agg(
-        F.countDistinct("l_suppkey").alias("n_late_supp")
-    )
-    late_lines = late.groupBy("l_orderkey", "l_suppkey").agg(
-        F.count("*").alias("n_lines")
-    )
+    w = Window.partitionBy("l_orderkey")
     qual = (
-        late_lines.join(n_all, F.col("l_orderkey") == F.col("ok_all"))
-        .join(n_late, F.col("l_orderkey") == F.col("ok_late"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        per_os.withColumn("n_supp", F.count("*").over(w))
+        .withColumn(
+            "n_late_supp",
+            F.sum(F.when(F.col("n_late_lines") > 0, 1).otherwise(0)).over(w),
+        )
+        .filter(
+            (F.col("n_late_lines") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
     )
     return (
         qual.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.sum("n_lines").alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("numwait"))
     )
 
 

@@ -254,3 +254,75 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     plan = _plan(REGISTRY["corpus_decontaminate"].fn(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-3 pack 8 plan pins (TPC-H shapes)
+# ---------------------------------------------------------------------------
+
+
+def test_q2_pushdown_and_broadcast_dims(spark, sf_dir):
+    plan = _plan(REGISTRY["q2_min_cost_supplier"].fn(spark, sf_dir))
+    assert "EqualTo(r_name,EUROPE)" in plan
+    assert "LessThan(p_size,10)" in plan
+    # every dimension closure broadcasts; the fact never sort-merges
+    assert "SortMergeJoin" not in plan
+
+
+def test_q12_ship_date_range_reaches_scan(spark, sf_dir):
+    plan = _plan(REGISTRY["q12_late_shipment_priority"].fn(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in plan
+    assert "LessThan(l_shipdate,1999-01-01" in plan
+
+
+def test_q16_not_in_compiles_to_anti_join(spark, sf_dir):
+    plan = _plan(REGISTRY["q16_supplier_part_types"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "StringEndsWith(s_name,7)" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q17_brand_filter_prunes_both_sides(spark, sf_dir):
+    plan = _plan(REGISTRY["q17_small_quantity_revenue"].fn(spark, sf_dir))
+    assert "EqualTo(p_brand,Brand#3)" in plan
+    # the correlated per-part aggregate runs over the brand-pruned
+    # fact: a full-corpus aggregate would leak l_extendedprice into
+    # the aggregate branch input — both lineitem reads stay 4-column
+    assert "l_returnflag" not in plan and "l_tax" not in plan
+
+
+def test_q21_single_fact_join_shared_window_sort(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS decorrelation must scan and join the
+    fact ONCE (the naive rendering does it three times), and both
+    order-level windows must share one partitioning (one Sort)."""
+    plan = _plan(REGISTRY["q21_waiting_suppliers"].fn(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+    tree = plan.split("(1)")[0]
+    assert tree.count("Window") == 2
+    assert tree.count("Sort") == 1
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path, sf_dir):
+    """write_partitioned_parquet + a partition-column filter must
+    compile to PartitionFilters (directory pruning), not a data
+    filter over a full scan — the 100 TB ingest layout contract."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.catalog import load_testdata
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.files import (
+        write_partitioned_parquet,
+    )
+
+    events = load_testdata(
+        spark, sf_dir, tables=("events",), register_views=False
+    )["events"]
+    path = str(tmp_path / "events_by_type")
+    write_partitioned_parquet(
+        events, path, partition_by=("event_type",), sort_within=("ts",)
+    )
+    back = spark.read.parquet(path).filter("event_type = 'click'")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan
+    assert "(event_type" in plan.split("PartitionFilters")[1].split("]")[0]
+    n_click = events.filter("event_type = 'click'").count()
+    assert back.count() == n_click
