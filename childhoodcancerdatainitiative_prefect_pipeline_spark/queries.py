@@ -8182,3 +8182,98 @@ def q22_dormant_customers(spark, sf_dir):
             F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 pack 9: two more LLM-data-pipeline primitives — exact-k
+# per-group sampling (the "give me exactly 10k docs per source"
+# curation ask, deterministic so reruns ship identical corpora) and
+# sliding-window token chunking (long documents → fixed-size training
+# chunks with overlap).
+# ---------------------------------------------------------------------------
+
+_GROUP_SAMPLE_ORACLE = """WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('gs1:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank
+FROM ranked WHERE rn <= 15"""
+
+
+@register(
+    "corpus_group_sample_k",
+    _GROUP_SAMPLE_ORACLE,
+    "exact-k per-group sampling (LLM-data op): md5-ordered row_number "
+    "per source, keep k — deterministic (reruns pick the same docs), "
+    "uniform under the hash, and WindowGroupLimit-compilable so the "
+    "shuffle carries survivors not the corpus; vs corpus_stratified_"
+    "sample which is fraction-based and join-free",
+)
+def corpus_group_sample_k(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("gs1:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    return (
+        documents.select("doc_id", "source")
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= 15)
+    )
+
+
+_CHUNK_ORACLE = r"""WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+starts AS (
+  SELECT doc_id, toks, n, unnest(range(0, CAST(n AS BIGINT), 48)) AS start
+  FROM s)
+SELECT doc_id,
+       CAST(start // 48 AS BIGINT) AS chunk_id,
+       CAST(len(toks[CAST(start + 1 AS BIGINT):CAST(LEAST(start + 64, n) AS BIGINT)]) AS BIGINT)
+         AS chunk_len,
+       toks[CAST(start + 1 AS BIGINT)] AS first_tok,
+       toks[CAST(LEAST(start + 64, n) AS BIGINT)] AS last_tok
+FROM starts"""
+
+
+@register(
+    "corpus_chunk_sliding",
+    _CHUNK_ORACLE,
+    "sliding-window token chunking (LLM-data op): docs → 64-token "
+    "training chunks at stride 48 (16-token overlap), entirely "
+    "row-local — sequence+posexplode+slice, no shuffle until the "
+    "consumer — the pre-tokenization pass every context-window "
+    "pipeline runs over the corpus",
+)
+def corpus_chunk_sliding(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    t = documents.select("doc_id", toks.alias("toks")).withColumn(
+        "n", F.size("toks")
+    ).filter(F.col("n") > 0)
+    starts = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(48))).alias(
+            "start"
+        ),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, F.lit(64))
+    return starts.select(
+        "doc_id",
+        F.floor(F.col("start") / 48).alias("chunk_id"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.element_at(chunk, 1).alias("first_tok"),
+        F.element_at(chunk, -1).alias("last_tok"),
+    )

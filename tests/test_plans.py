@@ -326,3 +326,16 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path, sf_dir):
     assert "(event_type" in plan.split("PartitionFilters")[1].split("]")[0]
     n_click = events.filter("event_type = 'click'").count()
     assert back.count() == n_click
+
+
+def test_group_sample_uses_window_group_limit(spark, sf_dir):
+    """Exact-k sampling must push the rank bound into the shuffle
+    (WindowGroupLimit): survivors travel, the corpus doesn't."""
+    plan = _plan(REGISTRY["corpus_group_sample_k"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_chunk_sliding_is_shuffle_free(spark, sf_dir):
+    plan = _plan(REGISTRY["corpus_chunk_sliding"].fn(spark, sf_dir))
+    tree = plan.split("(1)")[0]
+    assert "Exchange" not in tree
