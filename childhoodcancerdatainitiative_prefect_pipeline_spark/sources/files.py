@@ -160,6 +160,8 @@ __all__ = [
     "rows_to_json_column",
     "read_parquet_tables",
     "write_partitioned_parquet",
+    "write_bucketed_table",
+    "compact_parquet_dir",
 ]
 
 
@@ -190,3 +192,53 @@ def write_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table_name)
+
+
+def compact_parquet_dir(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: Sequence[str] = (),
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``target_file_bytes`` files.  Returns the partition count used.
+
+    Streaming ingest and per-task writers leave thousands of KB-sized
+    files; at 100 TB the *listing* alone dominates query startup and
+    every scan task underfills.  Compaction = one read + one
+    ``repartition`` + one write:
+
+    - the output partition count derives from the directory's actual
+      byte size (from the source files, not a row-count guess), so
+      output files land near the target regardless of row width;
+    - ``repartition(n)`` (round-robin) balances bytes evenly —
+      ``coalesce(n)`` would skip the shuffle but inherits input
+      skew and, worse, caps upstream read parallelism to n tasks;
+    - with ``partition_by`` the repartition hashes on those columns
+      instead, one write task per directory partition.
+
+    The rewrite is atomic-per-directory only (write to ``dst_path``,
+    swap in the caller) — intentionally not an in-place overwrite so
+    a failed compaction never loses the source.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, names in os.walk(src_path):
+        for nm in names:
+            if nm.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, nm))
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    if partition_by:
+        out = df.repartition(n, *partition_by)
+        (
+            out.write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(dst_path)
+        )
+    else:
+        df.repartition(n).write.mode("overwrite").parquet(dst_path)
+    return n

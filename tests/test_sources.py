@@ -819,3 +819,50 @@ def test_schema_render_round_trip(spark):
         for r in validate(df, rebuilt["sample"]).collect()
     }
     assert v_orig == v_back and ("required", "sample_id", "ERROR") in v_orig
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    """64 tiny files → a handful of target-sized files, data intact."""
+    import glob
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.files import (
+        compact_parquet_dir,
+    )
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(0, 20000).withColumn(
+        "payload", F.md5(F.col("id").cast("string"))
+    )
+    df.repartition(64).write.parquet(src)
+    n_src = len(glob.glob(f"{src}/*.parquet"))
+    assert n_src == 64
+
+    total = sum(
+        __import__("os").path.getsize(p) for p in glob.glob(f"{src}/*.parquet")
+    )
+    n = compact_parquet_dir(spark, src, dst, target_file_bytes=total // 4)
+    n_dst = len(glob.glob(f"{dst}/*.parquet"))
+    assert n_dst == n <= 6
+    back = spark.read.parquet(dst)
+    assert back.count() == 20000
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(20000))
+
+
+def test_compact_parquet_dir_partitioned(spark, tmp_path):
+    import glob
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.files import (
+        compact_parquet_dir,
+    )
+
+    src = str(tmp_path / "frag_part")
+    dst = str(tmp_path / "comp_part")
+    df = spark.range(0, 8000).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    df.repartition(32).write.parquet(src)
+    compact_parquet_dir(
+        spark, src, dst, target_file_bytes=10**9, partition_by=("bucket",)
+    )
+    # one directory per partition value, data intact
+    assert len(glob.glob(f"{dst}/bucket=*")) == 4
+    assert spark.read.parquet(dst).count() == 8000
