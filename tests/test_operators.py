@@ -1286,3 +1286,75 @@ def test_pagerank_matches_python_reference(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for v in nodes:
         assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+
+
+def test_zorder_key_matches_python_reference(spark):
+    import random
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.zorder import (
+        zorder_key,
+        zorder_py,
+    )
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(1 << 21), rng.randrange(1 << 21)) for _ in range(200)]
+    rows += [(0, 0), ((1 << 21) - 1, (1 << 21) - 1), (1, 0), (0, 1)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = df.select("a", "b", zorder_key("a", "b").alias("z")).collect()
+    for r in got:
+        assert r["z"] == zorder_py(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
+    """Z-ordered files must carry small min/max rectangles on BOTH
+    dimensions (the whole point of the layout); a single-column sort
+    leaves the other dimension's per-file range at full width."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.zorder import (
+        write_zordered,
+    )
+
+    n_side = 256  # 256×256 grid, both dims uniform
+    df = (
+        spark.range(0, n_side * n_side)
+        .withColumn("x", (F.col("id") % n_side).cast("long"))
+        .withColumn("y", (F.col("id") / n_side).cast("long"))
+        .drop("id")
+    )
+
+    linear = str(tmp_path / "linear")
+    zed = str(tmp_path / "zed")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(linear)
+    write_zordered(df, zed, "x", "y", n_files=16)
+
+    def spans(path, col):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(names.index(col)).statistics
+                lo = stats.min if lo is None else min(lo, stats.min)
+                hi = stats.max if hi is None else max(hi, stats.max)
+            out.append((lo, hi))
+        return out
+
+    def files_hit(path, col, value):
+        """Files a point predicate must read under min/max pruning."""
+        return sum(1 for lo, hi in spans(path, col) if lo <= value <= hi)
+
+    # linear-by-x layout: x predicates prune hard, y predicates can't
+    # prune anything (every file spans the full y range)
+    assert files_hit(linear, "x", 42) <= 2
+    assert files_hit(linear, "y", 42) == 16
+    # z-order: predicates on EITHER dimension prune — a few
+    # quadrant-crossing files may span full width, but most files
+    # cover a small rectangle, so point queries touch a minority
+    assert files_hit(zed, "x", 42) <= 8
+    assert files_hit(zed, "y", 42) <= 8
+    # data intact
+    assert spark.read.parquet(zed).count() == n_side * n_side
