@@ -8277,3 +8277,66 @@ def corpus_chunk_sliding(spark, sf_dir):
         F.element_at(chunk, 1).alias("first_tok"),
         F.element_at(chunk, -1).alias("last_tok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KF data-sync manifest generator
+# (workflows/kf_data_sync_manifest_generator.py:23-58): the last
+# reference workflow without a registry entry — s3-url split + group
+# by (source_bucket, dest_bucket).  Urls are derived deterministically
+# from the documents table so the split+group semantics are what the
+# oracle checks.
+# ---------------------------------------------------------------------------
+
+_KF_ORACLE = """WITH m AS (
+  SELECT 's3://bkt-' || source || '/docs/' || CAST(doc_id AS VARCHAR) || '.txt'
+           AS source,
+         's3://sync-' || lang || '/mirror/' || source || '/' ||
+           CAST(doc_id AS VARCHAR) || '.txt' AS dest
+  FROM documents),
+p AS (
+  SELECT 's3://' || split_part(regexp_replace(source, '^s3://', ''), '/', 1)
+           AS source_bucket,
+         regexp_replace(regexp_replace(source, '^s3://', ''), '^[^/]*/', '')
+           AS source_path,
+         's3://' || split_part(regexp_replace(dest, '^s3://', ''), '/', 1)
+           AS dest_bucket
+  FROM m)
+SELECT source_bucket, dest_bucket, COUNT(*) AS n_files,
+       COUNT(DISTINCT source_path) AS n_distinct_paths,
+       MIN(source_path) AS first_path
+FROM p GROUP BY source_bucket, dest_bucket"""
+
+
+@register(
+    "kf_transfer_groups",
+    _KF_ORACLE,
+    "KF data-sync manifest generator (workflows/"
+    "kf_data_sync_manifest_generator.py:23-58): row-local s3-url "
+    "struct split + one (source_bucket, dest_bucket) aggregation; "
+    "the per-group manifest files the reference writes in a Python "
+    "loop become partitionBy on the ungrouped projection",
+)
+def kf_transfer_groups(spark, sf_dir):
+    from .sources.s3 import transfer_manifest_groups
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    manifest = documents.select(
+        F.concat(
+            F.lit("s3://bkt-"),
+            F.col("source"),
+            F.lit("/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit(".txt"),
+        ).alias("source"),
+        F.concat(
+            F.lit("s3://sync-"),
+            F.col("lang"),
+            F.lit("/mirror/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit(".txt"),
+        ).alias("dest"),
+    )
+    return transfer_manifest_groups(manifest)

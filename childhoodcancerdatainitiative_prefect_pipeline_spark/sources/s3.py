@@ -285,3 +285,55 @@ def plan_moves(
         ).alias("dest_url"),
         (F.col("file_size").cast("long") > 5 * 1024**3).alias("needs_multipart"),
     )
+
+
+def split_s3_url(url: "Column | str") -> "Column":
+    """``s3://bucket/path/to/file`` → struct(bucket, path).
+
+    Column rendering of the reference's ``split_s3``
+    (workflows/kf_data_sync_manifest_generator.py:9-20): bucket is the
+    first segment after the scheme, path the remainder ('' when the
+    url has no key part).
+    """
+    url = F.col(url) if isinstance(url, str) else url
+    stripped = F.regexp_replace(url, r"^s3://", "")
+    return F.struct(
+        F.concat(F.lit("s3://"), F.split_part(stripped, F.lit("/"), F.lit(1)))
+        .alias("bucket"),
+        F.when(
+            stripped.contains("/"),
+            F.regexp_replace(stripped, r"^[^/]*/", ""),
+        )
+        .otherwise(F.lit(""))
+        .alias("path"),
+    )
+
+
+def transfer_manifest_groups(
+    manifest: DataFrame,
+    src_col: str = "source",
+    dst_col: str = "dest",
+) -> DataFrame:
+    """KF data-sync manifest generator
+    (workflows/kf_data_sync_manifest_generator.py:23-58) as one plan.
+
+    The reference splits both s3 urls, groups the frame by
+    (source_bucket, dest_bucket), and writes one per-group manifest of
+    source paths.  Here the split is a row-local struct projection and
+    the grouping one aggregation producing the per-pair file count —
+    the per-group manifest write is ``partitionBy(source_bucket,
+    dest_bucket)`` on the ungrouped projection (same plan, no loop
+    over groups).
+    """
+    parts = manifest.select(
+        split_s3_url(src_col).alias("s"), split_s3_url(dst_col).alias("d")
+    ).select(
+        F.col("s.bucket").alias("source_bucket"),
+        F.col("s.path").alias("source_path"),
+        F.col("d.bucket").alias("dest_bucket"),
+    )
+    return parts.groupBy("source_bucket", "dest_bucket").agg(
+        F.count("*").alias("n_files"),
+        F.countDistinct("source_path").alias("n_distinct_paths"),
+        F.min("source_path").alias("first_path"),
+    )

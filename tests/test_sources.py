@@ -866,3 +866,29 @@ def test_compact_parquet_dir_partitioned(spark, tmp_path):
     # one directory per partition value, data intact
     assert len(glob.glob(f"{dst}/bucket=*")) == 4
     assert spark.read.parquet(dst).count() == 8000
+
+
+def test_split_s3_url_edge_cases(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.s3 import (
+        split_s3_url,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("s3://bucket/path/to/file.txt",),
+            ("s3://bucket/file.txt",),
+            ("s3://bucket",),
+            ("s3://bucket/",),
+        ],
+        ["u"],
+    )
+    got = [
+        (r["s"]["bucket"], r["s"]["path"])
+        for r in df.select(split_s3_url("u").alias("s")).collect()
+    ]
+    assert got == [
+        ("s3://bucket", "path/to/file.txt"),
+        ("s3://bucket", "file.txt"),
+        ("s3://bucket", ""),
+        ("s3://bucket", ""),
+    ]
