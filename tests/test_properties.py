@@ -190,3 +190,50 @@ def test_word_ngrams_expr_matches_python_zip(spark, toks, n):
         " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
     ]
     assert got == expected, (toks, n, got, expected)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_star_cc_matches_union_find_property(spark, edges):
+    """connected_components_star must agree with a plain union-find
+    on arbitrary edge lists (self-loops, duplicates, isolated nodes)."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 41
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member id per component
+    expected = {i: find(i) for i in range(n)}
+    # find() roots are already min-ids because unions keep the min
+
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], ["src", "dst"]
+    )
+    ndf = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components_star(edf, ndf, id_col="id").collect()
+    }
+    assert got == expected
