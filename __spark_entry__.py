@@ -88,6 +88,24 @@ _CERTIFY_FIRST = [
     "q14_promo_share",
     "q19_disjunctive_filter",
     "dedup_incremental_batch",
+    # round-3 pack 8/9 (added after the r03 cutoff; round-4 rotation)
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_types",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q20_part_share_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "dedup_cluster_star",
+    "corpus_group_sample_k",
+    "corpus_chunk_sliding",
+    "kf_transfer_groups",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

@@ -91,6 +91,11 @@ def main():
         # round-3 ops
         "text_repetition_stats", "text_tfidf_topk", "inverted_index_build",
         "events_sessionize", "corpus_token_budget_mix",
+        # round-3 pack 8/9 (TPC-H shapes + LLM primitives)
+        "q2_min_cost_supplier", "q13_order_count_distribution",
+        "q18_large_volume_customers", "q21_waiting_suppliers",
+        "corpus_chunk_sliding", "corpus_group_sample_k",
+        "dedup_cluster_star", "kf_transfer_groups",
     )
     timings = {}
     for name in queries:
