@@ -96,3 +96,58 @@ def latest_per_group(
         .filter(F.col("__rn__") == 1)
         .drop("__rn__")
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[Column | str],
+    n_partitions: int = 32,
+    out_col: str = "cum_sum",
+) -> DataFrame:
+    """Global running sum without a single-partition window.
+
+    ``Window.orderBy(...)`` with no partition key funnels every row
+    through ONE task — fine on an already-reduced frame (days,
+    categories), fatal on 100M+ rows.  The classic two-pass fix:
+
+    1. range-partition by the global order (``repartitionByRange``
+       assigns contiguous, sorted key ranges to partitions 0..n-1);
+    2. per-partition local prefix sums (parallel windows);
+    3. per-partition totals — n rows — get their own tiny prefix
+       window, and each partition's preceding-total offset is
+       broadcast back and added to the local sums.
+
+    The order must be TOTAL (include a tie-break key), or rows that
+    compare equal may land on either side of a partition boundary
+    with either offset.  For bit-stable results across partition
+    counts use an exact type (decimal/long) for ``value_col``;
+    float addition is order-sensitive by nature.
+    """
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    d = df.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "__pid__", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("__pid__")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("__local__", F.sum(value_col).over(local_w))
+    offsets_w = Window.orderBy("__pid__").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        d.groupBy("__pid__")
+        .agg(F.sum(value_col).alias("__ptotal__"))
+        .withColumn(
+            "__offset__",
+            F.coalesce(F.sum("__ptotal__").over(offsets_w), F.lit(0)),
+        )
+        .select("__pid__", "__offset__")
+    )
+    return (
+        d.join(F.broadcast(offsets), "__pid__")
+        .withColumn(out_col, F.col("__local__") + F.col("__offset__"))
+        .drop("__pid__", "__local__")
+    )

@@ -1358,3 +1358,42 @@ def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
     assert files_hit(zed, "y", 42) <= 8
     # data intact
     assert spark.read.parquet(zed).count() == n_side * n_side
+
+
+def test_distributed_prefix_sum_matches_global_window(spark):
+    """The two-pass range-partitioned prefix sum must equal the
+    single-partition global window exactly (decimal values), across
+    partition counts, with ties broken totally."""
+    import random
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.windows import (
+        distributed_prefix_sum,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randrange(0, 50), Decimal(rng.randrange(1, 1000)) / 100)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, grp int, val decimal(10,2)"
+    )
+    # ties on grp are real: break totally on (grp, id)
+    w = Window.orderBy("grp", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expected = {
+        r["id"]: r["c"]
+        for r in df.withColumn("c", F.sum("val").over(w)).collect()
+    }
+    for n_parts in (1, 4, 16):
+        got = {
+            r["id"]: r["cum_sum"]
+            for r in distributed_prefix_sum(
+                df, "val", ["grp", "id"], n_partitions=n_parts
+            ).collect()
+        }
+        assert got == expected, f"mismatch at n_partitions={n_parts}"
