@@ -106,6 +106,7 @@ _CERTIFY_FIRST = [
     "corpus_group_sample_k",
     "corpus_chunk_sliding",
     "kf_transfer_groups",
+    "orders_abc_pareto_scaled",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

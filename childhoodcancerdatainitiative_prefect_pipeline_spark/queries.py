@@ -8340,3 +8340,65 @@ def kf_transfer_groups(spark, sf_dir):
         ).alias("dest"),
     )
     return transfer_manifest_groups(manifest)
+
+
+# ---------------------------------------------------------------------------
+# Scale-path twin of orders_abc_pareto: the global cumulative sum via
+# the two-pass range-partitioned prefix sum (no single-task window).
+# Decimal-exact accumulation + integer cross-multiplied thresholds so
+# the distributed addition order cannot perturb the class cuts —
+# hash-certifies operators/windows.py::distributed_prefix_sum itself.
+# ---------------------------------------------------------------------------
+
+_PARETO_SCALED_ORACLE = """WITH cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT o_custkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                        ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         SUM(rev) OVER () AS total_rev
+  FROM cust)
+SELECT o_custkey, CAST(rev AS DOUBLE) AS revenue,
+       CASE WHEN cum_rev * 5 <= total_rev * 4 THEN 'A'
+            WHEN cum_rev * 20 <= total_rev * 19 THEN 'B'
+            ELSE 'C' END AS pareto_class
+FROM ranked"""
+
+
+@register(
+    "orders_abc_pareto_scaled",
+    _PARETO_SCALED_ORACLE,
+    "Pareto classification via distributed_prefix_sum (range-"
+    "partitioned two-pass running total — no single-task window); "
+    "decimal accumulation + integer cross-multiplied 80/95 cuts keep "
+    "it bit-identical to the sequential oracle",
+)
+def orders_abc_pareto_scaled(spark, sf_dir):
+    from .operators.windows import distributed_prefix_sum
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    cum = distributed_prefix_sum(
+        cust,
+        "rev",
+        [F.col("rev").desc(), F.col("o_custkey").asc()],
+        n_partitions=8,
+        out_col="cum_rev",
+    )
+    total = cust.agg(F.sum("rev").alias("total_rev"))
+    return (
+        cum.join(F.broadcast(total))
+        .select(
+            "o_custkey",
+            F.col("rev").cast("double").alias("revenue"),
+            F.when(
+                F.col("cum_rev") * 5 <= F.col("total_rev") * 4, "A"
+            )
+            .when(F.col("cum_rev") * 20 <= F.col("total_rev") * 19, "B")
+            .otherwise("C")
+            .alias("pareto_class"),
+        )
+    )
