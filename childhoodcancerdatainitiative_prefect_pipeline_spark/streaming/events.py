@@ -197,6 +197,33 @@ def dedup_within_watermark(
     )
 
 
+def idempotent_batch_writer(base_path: str):
+    """Exactly-once parquet sink for ``foreachBatch``.
+
+    Structured Streaming guarantees at-least-once delivery to
+    ``foreachBatch``: after a crash the last micro-batch can be
+    REPLAYED with the same ``batch_id``.  Writing each batch to its
+    own ``batch_id=N`` directory with ``overwrite`` makes the replay
+    a no-op (the directory is rewritten with identical content), so
+    checkpoint + idempotent sink = effective exactly-once without a
+    transactional table format.  Readers see the union via ordinary
+    partition discovery on ``batch_id``.
+
+    Returns the ``(batch_df, batch_id)`` callable for
+    ``writeStream.foreachBatch(...)`` — also directly unit-testable
+    in batch, which is how the tests pin the replay semantics.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                f"{base_path}/batch_id={batch_id}"
+            )
+        )
+
+    return write_batch
+
+
 def start_console_sink(df: DataFrame, mode: str = "update") -> DataStreamWriter:
     """Debug sink helper (not used by the engine's own tests)."""
     return df.writeStream.outputMode(mode).format("console")
