@@ -70,6 +70,39 @@ def write_zordered(
     )
 
 
+def equi_depth_bucket(
+    df: DataFrame, col: str, n_buckets: int = 1024, out_col: str | None = None
+) -> DataFrame:
+    """Map a continuous column onto a bounded integer grid for Z-ordering.
+
+    Morton keys need bounded integers; raw doubles (prices, scores,
+    timestamps-as-epoch) also skew — uniform-width bins put most rows
+    in a few cells and pruning dies.  Equi-depth bins fix both: one
+    ``approx_percentile`` pass computes ``n_buckets`` boundaries
+    (a mergeable sketch, no sort), they broadcast back as an array
+    literal-of-one-row, and each row's bucket is the count of
+    boundaries at or below its value (row-local ``aggregate`` over the
+    broadcast array).  Every bucket holds ~1/n of the data regardless
+    of distribution, which is exactly what the z-curve wants.
+    """
+    out_col = out_col or f"{col}_bucket"
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        F.expr(
+            f"approx_percentile({col}, array({','.join(map(str, qs))}), 10000)"
+        ).alias("__bounds__")
+    )
+    return df.join(F.broadcast(bounds)).withColumn(
+        out_col,
+        F.aggregate(
+            F.col("__bounds__"),
+            F.lit(0).cast("long"),
+            lambda acc, bnd: acc
+            + F.when(F.col(col) >= bnd, 1).otherwise(0).cast("long"),
+        ),
+    ).drop("__bounds__")
+
+
 def zorder_py(a: int, b: int, bits: int = 21) -> int:
     """Pure-Python reference for the tests (same masking semantics)."""
     a &= (1 << bits) - 1

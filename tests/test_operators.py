@@ -1440,3 +1440,32 @@ def test_idempotent_batch_sink_replay_safe(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 500
     assert got.select("id").distinct().count() == 500
+
+
+def test_equi_depth_bucket_balances_skew(spark):
+    """Buckets of a heavily skewed column must come out near-uniform
+    (that's the point vs uniform-width binning), bounded in [0, n),
+    and monotone in the underlying value."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.zorder import (
+        equi_depth_bucket,
+    )
+
+    # lognormal-ish skew: squares of ids
+    df = spark.range(1, 4001).withColumn(
+        "v", (F.col("id") * F.col("id")).cast("double")
+    )
+    out = equi_depth_bucket(df, "v", n_buckets=16)
+    rows = out.select("v", "v_bucket").collect()
+    buckets = [r["v_bucket"] for r in rows]
+    assert min(buckets) == 0 and max(buckets) == 15
+    from collections import Counter
+
+    sizes = Counter(buckets)
+    # equi-depth: every bucket within 2x of the ideal 250
+    assert all(125 <= sizes[b] <= 500 for b in range(16)), sizes
+    # monotone: sorting by value never decreases the bucket
+    ordered = sorted(rows, key=lambda r: r["v"])
+    assert all(
+        ordered[i]["v_bucket"] <= ordered[i + 1]["v_bucket"]
+        for i in range(len(ordered) - 1)
+    )
