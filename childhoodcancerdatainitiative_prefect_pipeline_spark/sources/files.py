@@ -162,6 +162,7 @@ __all__ = [
     "write_partitioned_parquet",
     "write_bucketed_table",
     "compact_parquet_dir",
+    "read_with_quarantine",
 ]
 
 
@@ -242,3 +243,57 @@ def compact_parquet_dir(
     else:
         df.repartition(n).write.mode("overwrite").parquet(dst_path)
     return n
+
+
+def read_with_quarantine(
+    spark,
+    path: str,
+    schema,
+    fmt: str = "csv",
+    sep: str = "\t",
+) -> tuple[DataFrame, DataFrame]:
+    """Typed scan with a dead-letter channel for corrupt records.
+
+    At ingest scale some fraction of rows is always malformed (ragged
+    lines, bad quoting, truncated JSON).  FAILFAST kills a 100 TB job
+    on row one; silent DROPMALFORMED loses data unaccountably.
+    PERMISSIVE + ``columnNameOfCorruptRecord`` is the scale answer:
+    well-formed rows parse to the typed schema, malformed rows land
+    whole in a quarantine column.  Returns ``(clean, quarantined)``
+    as two filters over ONE cached scan — the quarantine frame keeps
+    the raw line for re-processing/audit, the clean frame drops the
+    helper column.
+
+    ``schema`` must NOT already contain ``_corrupt_record``; it is
+    added here.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    full = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType(), True)]
+    )
+    reader = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if fmt == "csv":
+        df = (
+            reader.option("sep", sep)
+            .option("header", True)
+            .csv(path)
+        )
+    elif fmt == "json":
+        df = reader.json(path)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+    # cache is REQUIRED, not an optimization: Spark disallows queries
+    # that reference only the corrupt-record column of a raw file scan
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); materializing the parsed
+    # frame lifts the restriction and also makes the two filters share
+    # one parse, which is what you want at scale anyway
+    df = df.cache()
+    bad = F.col("_corrupt_record").isNotNull()
+    clean = df.filter(~bad).drop("_corrupt_record")
+    quarantined = df.filter(bad).select(F.col("_corrupt_record").alias("raw"))
+    return clean, quarantined

@@ -892,3 +892,73 @@ def test_split_s3_url_edge_cases(spark):
         ("s3://bucket", ""),
         ("s3://bucket", ""),
     ]
+
+
+def test_read_with_quarantine_csv(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.files import (
+        read_with_quarantine,
+    )
+
+    p = tmp_path / "in.tsv"
+    p.write_text(
+        "id\tname\tsize\n"
+        "1\talpha\t100\n"
+        "2\tbeta\tnot_a_number\n"  # type-corrupt
+        "3\tgamma\t300\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("size", LongType()),
+        ]
+    )
+    clean, quarantined = read_with_quarantine(spark, str(p), schema)
+    assert [r["id"] for r in clean.orderBy("id").collect()] == [1, 3]
+    qrows = quarantined.collect()
+    assert len(qrows) == 1
+    assert "not_a_number" in qrows[0]["raw"]
+
+
+def test_read_with_quarantine_json(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.files import (
+        read_with_quarantine,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a"}\n'
+        '{"id": 2, "name": "b"\n'  # truncated json
+        '{"id": 3, "name": "c"}\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    clean, quarantined = read_with_quarantine(spark, str(p), schema, fmt="json")
+    assert sorted(r["id"] for r in clean.collect()) == [1, 3]
+    assert quarantined.count() == 1
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Evolved parquet batches (added column) must read as one table
+    with mergeSchema, nulls backfilling the old batches."""
+    base = str(tmp_path / "evolving")
+    spark.range(0, 10).selectExpr("id", "id * 2 AS v").write.parquet(
+        f"{base}/batch=0"
+    )
+    spark.range(10, 20).selectExpr(
+        "id", "id * 2 AS v", "'en' AS lang"
+    ).write.parquet(f"{base}/batch=1")
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    assert set(merged.columns) == {"id", "v", "lang", "batch"}
+    assert merged.count() == 20
+    assert merged.filter("lang IS NULL").count() == 10
