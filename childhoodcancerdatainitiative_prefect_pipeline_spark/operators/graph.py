@@ -223,7 +223,7 @@ def connected_components_star(
     label_col: str = "cluster_id",
     src_col: str = "src",
     dst_col: str = "dst",
-    max_rounds: int = 12,
+    max_rounds: int = 30,
 ) -> DataFrame:
     """Large-star / small-star connected components — the scale path.
 
@@ -306,8 +306,16 @@ def connected_components_star(
             break
         prev = cur
 
-    # fixed point: e maps child → root; roots and isolated nodes → self
-    membership = e.select(F.col("a").alias("node"), F.col("b").alias("label"))
+    # fixed point: e maps child → root; roots and isolated nodes → self.
+    # The min-aggregate guarantees ONE row per node even if max_rounds
+    # ran out mid-convergence (a node can transiently hold several
+    # parents) — labels are then non-final but the one-row-per-node
+    # output contract still holds, matching connected_components.
+    membership = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("label"))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
     return (
         nodes.select(F.col(id_col).alias("node"))
         .join(membership, "node", "left")

@@ -125,8 +125,16 @@ def distributed_prefix_sum(
     float addition is order-sensitive by nature.
     """
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    d = df.repartitionByRange(n_partitions, *order_cols).withColumn(
-        "__pid__", F.spark_partition_id()
+    # localCheckpoint pins the (sampled, nondeterministic) range
+    # boundaries and partition ids ONCE: both consumers below — the
+    # row branch and the offsets branch — must see the same physical
+    # partitioning, and relying on exchange reuse for that is fragile
+    # (spark.sql.exchange.reuse=false, or any rule that clones the
+    # subtree, would let the two branches resample different bounds).
+    d = (
+        df.repartitionByRange(n_partitions, *order_cols)
+        .withColumn("__pid__", F.spark_partition_id())
+        .localCheckpoint()
     )
     local_w = (
         Window.partitionBy("__pid__")

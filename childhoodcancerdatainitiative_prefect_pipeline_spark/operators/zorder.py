@@ -87,10 +87,10 @@ def equi_depth_bucket(
     """
     out_col = out_col or f"{col}_bucket"
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    # functions-API percentile_approx: arbitrary column names work
+    # (an f-string into F.expr would break on names needing backticks)
     bounds = df.agg(
-        F.expr(
-            f"approx_percentile({col}, array({','.join(map(str, qs))}), 10000)"
-        ).alias("__bounds__")
+        F.percentile_approx(F.col(col), qs, 10000).alias("__bounds__")
     )
     return df.join(F.broadcast(bounds)).withColumn(
         out_col,

@@ -211,32 +211,48 @@ def compact_parquet_dir(
     ``repartition`` + one write:
 
     - the output partition count derives from the directory's actual
-      byte size (from the source files, not a row-count guess), so
-      output files land near the target regardless of row width;
+      byte size — listed through the HADOOP FILESYSTEM API, so any
+      path Spark can read (s3a://, hdfs://, file:/) sizes correctly,
+      and an empty/unreadable source raises instead of silently
+      collapsing to one partition;
     - ``repartition(n)`` (round-robin) balances bytes evenly —
       ``coalesce(n)`` would skip the shuffle but inherits input
       skew and, worse, caps upstream read parallelism to n tasks;
-    - with ``partition_by`` the repartition hashes on those columns
-      instead, one write task per directory partition.
+    - with ``partition_by`` the shuffle hashes on those columns (one
+      write task per directory partition) and ``maxRecordsPerFile``
+      — derived from the measured average row width — splits any
+      oversized partition value into target-sized files instead of
+      one giant file.
 
     The rewrite is atomic-per-directory only (write to ``dst_path``,
     swap in the caller) — intentionally not an in-place overwrite so
     a failed compaction never loses the source.
     """
     import math
-    import os
 
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     total = 0
-    for root, _dirs, names in os.walk(src_path):
-        for nm in names:
-            if nm.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, nm))
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total += st.getLen()
+    if total == 0:
+        raise ValueError(
+            f"no parquet bytes found under {src_path!r} — refusing to "
+            "compact (a zero estimate would repartition everything to 1)"
+        )
     n = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(src_path)
     if partition_by:
-        out = df.repartition(n, *partition_by)
+        n_rows = df.count()
+        rows_per_file = max(1, int(target_file_bytes / max(total / n_rows, 1)))
         (
-            out.write.mode("overwrite")
+            df.repartition(n, *partition_by)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", rows_per_file)
             .partitionBy(*partition_by)
             .parquet(dst_path)
         )
@@ -259,10 +275,13 @@ def read_with_quarantine(
     on row one; silent DROPMALFORMED loses data unaccountably.
     PERMISSIVE + ``columnNameOfCorruptRecord`` is the scale answer:
     well-formed rows parse to the typed schema, malformed rows land
-    whole in a quarantine column.  Returns ``(clean, quarantined)``
-    as two filters over ONE cached scan — the quarantine frame keeps
-    the raw line for re-processing/audit, the clean frame drops the
-    helper column.
+    whole in a quarantine column.  Returns ``(clean, quarantined,
+    parsed)``: two filters over ONE cached scan — the quarantine
+    frame keeps the raw line for re-processing/audit, the clean frame
+    drops the helper column — plus the cached parsed frame itself so
+    the caller can ``parsed.unpersist()`` once both outputs are
+    consumed (an ingest loop that never releases it would pin every
+    file's parse in executor storage).
 
     ``schema`` must NOT already contain ``_corrupt_record``; it is
     added here.
@@ -296,4 +315,4 @@ def read_with_quarantine(
     bad = F.col("_corrupt_record").isNotNull()
     clean = df.filter(~bad).drop("_corrupt_record")
     quarantined = df.filter(bad).select(F.col("_corrupt_record").alias("raw"))
-    return clean, quarantined
+    return clean, quarantined, df

@@ -920,11 +920,12 @@ def test_read_with_quarantine_csv(spark, tmp_path):
             StructField("size", LongType()),
         ]
     )
-    clean, quarantined = read_with_quarantine(spark, str(p), schema)
+    clean, quarantined, parsed = read_with_quarantine(spark, str(p), schema)
     assert [r["id"] for r in clean.orderBy("id").collect()] == [1, 3]
     qrows = quarantined.collect()
     assert len(qrows) == 1
     assert "not_a_number" in qrows[0]["raw"]
+    parsed.unpersist()
 
 
 def test_read_with_quarantine_json(spark, tmp_path):
@@ -943,9 +944,12 @@ def test_read_with_quarantine_json(spark, tmp_path):
     schema = StructType(
         [StructField("id", LongType()), StructField("name", StringType())]
     )
-    clean, quarantined = read_with_quarantine(spark, str(p), schema, fmt="json")
+    clean, quarantined, parsed = read_with_quarantine(
+        spark, str(p), schema, fmt="json"
+    )
     assert sorted(r["id"] for r in clean.collect()) == [1, 3]
     assert quarantined.count() == 1
+    parsed.unpersist()
 
 
 def test_schema_evolution_merge_read(spark, tmp_path):
