@@ -107,6 +107,7 @@ _CERTIFY_FIRST = [
     "corpus_chunk_sliding",
     "kf_transfer_groups",
     "orders_abc_pareto_scaled",
+    "dedup_substring_spans",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

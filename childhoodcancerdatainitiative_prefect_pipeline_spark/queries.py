@@ -8402,3 +8402,60 @@ def orders_abc_pareto_scaled(spark, sf_dir):
             .alias("pareto_class"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-duplication spans (LLM-data op): k-gram windows
+# occurring 2+ times anywhere in the corpus mark their token ranges;
+# overlapping/adjacent ranges merge per document (gaps-and-islands).
+# The passage-level complement of document-level dedup — the operator
+# behind "cut the duplicated span, keep the document".
+# ---------------------------------------------------------------------------
+
+_SUBSTR_SPANS_ORACLE = r"""WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CAST(i - 1 AS BIGINT) AS pos,
+         md5(array_to_string(toks[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)],
+                             ' ')) AS h
+  FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)
+  WHERE len(toks) >= 8),
+d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(
+                MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM p),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end
+FROM grp GROUP BY doc_id, island"""
+
+
+@register(
+    "dedup_substring_spans",
+    _SUBSTR_SPANS_ORACLE,
+    "exact substring-duplication spans (LLM-data op, Lee et al. "
+    "suffix-dedup in k-gram form): corpus-wide duplicated 8-gram "
+    "windows merged to maximal per-doc spans via gaps-and-islands — "
+    "cost tracks duplicated windows, never all pairs "
+    "(operators/dedup.py::duplicated_spans)",
+)
+def dedup_substring_spans(spark, sf_dir):
+    from .operators.dedup import duplicated_spans
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    docs = documents.select("doc_id", toks.alias("toks"))
+    return duplicated_spans(docs, tokens_col="toks", id_col="doc_id", k=8)

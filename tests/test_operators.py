@@ -1469,3 +1469,46 @@ def test_equi_depth_bucket_balances_skew(spark):
         ordered[i]["v_bucket"] <= ordered[i + 1]["v_bucket"]
         for i in range(len(ordered) - 1)
     )
+
+
+def test_duplicated_spans_planted_passages(spark):
+    """A shared 12-token passage produces exactly one maximal span per
+    doc covering the passage; unique text produces no spans; in-doc
+    repetition marks both occurrences."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    passage = "p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11"  # 12 tokens
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))  # noqa: E731
+    rows = [
+        # passage at offset 3
+        (1, uniq("a", 3) + " " + passage + " " + uniq("b", 4)),
+        # same passage at offset 0
+        (2, passage + " " + uniq("c", 5)),
+        # fully unique doc
+        (3, uniq("d", 20)),
+        # in-doc repetition: the same 9 tokens twice, separated
+        (4, uniq("e", 9) + " " + uniq("x", 4) + " " + uniq("e", 9)),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "").alias(
+            "toks"
+        ),
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(docs, k=8).collect()
+    }
+    by_doc = {}
+    for d, s, e in spans:
+        by_doc.setdefault(d, []).append((s, e))
+    # doc 1: tokens 3..15 are the passage → one span [3, 15)
+    assert by_doc[1] == [(3, 15)]
+    # doc 2: passage at [0, 12)
+    assert by_doc[2] == [(0, 12)]
+    # doc 3: nothing
+    assert 3 not in by_doc
+    # doc 4: e0..e8 at [0,9) and [13,22) both duplicated
+    assert sorted(by_doc[4]) == [(0, 9), (13, 22)]
