@@ -478,3 +478,47 @@ def duplicated_spans(
         F.min("pos").alias("span_start"),
         (F.max("pos") + k).alias("span_end"),
     ).drop("__island__")
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    tokens_col: str = "toks",
+    id_col: str = "doc_id",
+    out_col: str = "toks_clean",
+) -> DataFrame:
+    """Apply a :func:`duplicated_spans` report: drop marked tokens.
+
+    Spans collapse to one array per doc (small: spans are maximal and
+    disjoint by construction), broadcast-joined back, and each token
+    survives iff its position falls in no span — one row-local
+    ``filter`` over the token array, no explode.  Docs without spans
+    pass through unchanged.  This is the aggressive variant (every
+    marked occurrence cut); to keep one canonical occurrence, first
+    anti-join the spans you want to preserve out of the report.
+    """
+    packed = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans__")
+    )
+    toks = F.col(tokens_col)
+    kept = F.filter(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(0), F.greatest(F.size(toks), F.lit(1)) - 1),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda s: ~F.exists(
+            F.col("__spans__"),
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] < sp["span_end"]),
+        ),
+    )
+    return (
+        docs.join(packed, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("__spans__").isNull(), toks).otherwise(
+                F.transform(kept, lambda s: s["t"])
+            ),
+        )
+        .drop("__spans__")
+    )

@@ -1512,3 +1512,31 @@ def test_duplicated_spans_planted_passages(spark):
     assert 3 not in by_doc
     # doc 4: e0..e8 at [0,9) and [13,22) both duplicated
     assert sorted(by_doc[4]) == [(0, 9), (13, 22)]
+
+
+def test_cut_spans_removes_marked_tokens(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.dedup import (
+        cut_spans,
+        duplicated_spans,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(12))
+    rows = [
+        (1, "a0 a1 a2 " + passage + " b0 b1"),
+        (2, passage + " c0 c1 c2"),
+        (3, " ".join(f"d{i}" for i in range(15))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "").alias(
+            "toks"
+        ),
+    )
+    spans = duplicated_spans(docs, k=8)
+    out = {
+        r["doc_id"]: r["toks_clean"]
+        for r in cut_spans(docs, spans).collect()
+    }
+    assert out[1] == ["a0", "a1", "a2", "b0", "b1"]
+    assert out[2] == ["c0", "c1", "c2"]
+    assert out[3] == [f"d{i}" for i in range(15)]  # untouched
