@@ -966,3 +966,32 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "lang", "batch"}
     assert merged.count() == 20
     assert merged.filter("lang IS NULL").count() == 10
+
+
+def test_rest_json_datasource_distributed_fetch(spark, tmp_path):
+    """The Python DataSource fans one URL out per partition and
+    returns parseable JSON bodies; file:// URLs make it hermetic."""
+    import json as _json
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.rest import (
+        DATASOURCE_API_AVAILABLE,
+        RestJsonDataSource,
+    )
+
+    assert DATASOURCE_API_AVAILABLE
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text('{"id": 1, "name": "alpha"}')
+    b.write_text('{"id": 2, "name": "beta"}')
+    urls = f"file://{a};file://{b}"
+
+    spark.dataSource.register(RestJsonDataSource)
+    df = (
+        spark.read.format("rest_json")
+        .option("urls", urls)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # one partition per URL
+    rows = {r["url"]: _json.loads(r["response_json"]) for r in df.collect()}
+    assert rows[f"file://{a}"]["name"] == "alpha"
+    assert rows[f"file://{b}"]["id"] == 2
