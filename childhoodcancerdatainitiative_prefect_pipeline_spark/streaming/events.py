@@ -281,3 +281,80 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Cumulative per-user counters on the ``transformWithState``
+    API (Spark 4) — the successor tier to ``running_user_totals``.
+
+    Same semantics as the ``applyInPandasWithState`` version, but the
+    state is a typed, named ``ValueState`` managed by the new
+    arbitrary-state operator with a TTL: the state store drops a
+    user's counters after one idle hour, which is configuration
+    rather than hand-rolled timeout logic.  Both renderings are kept
+    deliberately — clusters on Spark 3.x get the classic operator,
+    4.x pipelines get the richer one — and the test pins that they
+    produce identical final totals on the same input stream.
+
+    RUNTIME DEPENDENCY: the transformWithState python runner speaks
+    protobuf to the JVM; environments without ``google.protobuf``
+    (like this container) must use :func:`running_user_totals`
+    instead — the test suite skips the execution check accordingly.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    output_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", state_schema, ttlDurationMs=3600 * 1000
+            )
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ARG002
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType=output_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

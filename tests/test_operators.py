@@ -1540,3 +1540,58 @@ def test_cut_spans_removes_marked_tokens(spark):
     assert out[1] == ["a0", "a1", "a2", "b0", "b1"]
     assert out[2] == ["c0", "c1", "c2"]
     assert out[3] == [f"d{i}" for i in range(15)]  # untouched
+
+
+def test_running_user_totals_tws_matches_classic(spark, tmp_path, sf_dir):
+    """The transformWithState rendering must produce the same final
+    per-user totals as the applyInPandasWithState classic on the same
+    input stream.  The operator's runtime needs protobuf (not in this
+    container — same gating convention as boto3/openpyxl/codecs), so
+    the execution check runs wherever the dep exists."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState runtime requires protobuf; "
+        "not installed in this container",
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.catalog import (
+        load_testdata,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.streaming.events import (
+        running_user_totals_tws,
+    )
+
+    events = load_testdata(
+        spark, sf_dir, tables=("events",), register_views=False
+    )["events"]
+    base = events.filter(F.col("user_id") < 5).select("user_id", "value", "ts")
+    sample = base.limit(20)
+    src = str(tmp_path / "tws_src")
+    sample.coalesce(1).write.parquet(src)
+
+    expected = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in sample.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    q = (
+        running_user_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                              ORDER BY n_events DESC) AS rn
+                 FROM user_totals_tws) WHERE rn = 1"""
+        ).collect()
+    }
+    assert got == expected
