@@ -81,6 +81,14 @@ _CERTIFY_FIRST = [
     "events_sessionize",
     # regressed in r02 (HUGEINT oracle formatting, fixed) — re-certify
     "w1_eav_pivot",
+    # round-4 pack 1 (added after the r03 cutoff; round-4 rotation)
+    "semdedup_prune",
+    "corpus_bloom_decontaminate",
+    "text_quality_classifier",
+    "text_bigram_logprob",
+    "corpus_temperature_mix",
+    "graph_triangle_count",
+    "events_cms_heavy_hitters",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",

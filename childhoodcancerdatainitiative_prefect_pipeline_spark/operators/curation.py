@@ -1,0 +1,276 @@
+"""Corpus-curation operators beyond the reference surface (LLM-data
+pipeline first-class citizens, BASELINE.md north star): semantic
+dedup (SemDeDup-shaped) and Bloom-filter membership structures for
+benchmark decontamination.
+
+Both are pure DataFrame compositions — no Python UDFs, no collect on
+the hot path — and both are deterministic (md5-derived hashing) so a
+DuckDB oracle can reproduce them bit-for-bit.  The xxhash64 swaps
+noted in docstrings are the at-scale variants (same shapes, cheaper
+hash), mirroring the md5/xxhash64 twin convention used by the exact
+dedup family (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup: Abbas et al. 2023, arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+
+def cluster_assign_argmax(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    norm_col: str = "nrm",
+    cid_col: str = "cid",
+    score_scale: int = 6,
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid — shuffle-free.
+
+    ``centroids`` (cid, cv: array<double>, cnrm) collapses to ONE
+    broadcast row holding an array of centroid structs; the argmax is
+    a row-local ``aggregate`` fold over that array (ties break to the
+    smallest centroid id).  No explode, no per-vector window, no
+    shuffle: the corpus partitioning passes straight through, which
+    is what you want when the next step groups by cluster anyway.
+
+    Cosines are rounded to ``score_scale`` BEFORE comparison so the
+    argmax decision is reproducible against the DuckDB oracle.
+    """
+    cent_arr = centroids.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(cid_col).alias("cid"),
+                    F.col("cv").alias("cv"),
+                    F.col("cnrm").alias("cnrm"),
+                )
+            )
+        ).alias("cents")
+    )
+
+    def cos_to(c: Column) -> Column:
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), c["cv"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(d / (F.col(norm_col) * c["cnrm"]), score_scale)
+
+    zero = F.struct(
+        F.lit(-2.0).alias("best_cos"), F.lit(None).cast("long").alias("best_cid")
+    )
+    assigned = (
+        vectors.crossJoin(F.broadcast(cent_arr))
+        .withColumn(
+            "__pick__",
+            F.aggregate(
+                F.col("cents"),
+                zero,
+                lambda acc, c: F.when(
+                    (cos_to(c) > acc["best_cos"])
+                    | ((cos_to(c) == acc["best_cos"]) & (c["cid"] < acc["best_cid"])),
+                    F.struct(
+                        cos_to(c).alias("best_cos"), c["cid"].alias("best_cid")
+                    ),
+                ).otherwise(acc),
+            ),
+        )
+        .withColumn("cluster_id", F.col("__pick__")["best_cid"])
+        .withColumn("centroid_cos", F.col("__pick__")["best_cos"])
+        .drop("cents", "__pick__")
+    )
+    return assigned
+
+
+def semdedup(
+    embeddings: DataFrame,
+    tau: float = 0.45,
+    centroid_mod: int = 61,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_scale: int = 6,
+) -> DataFrame:
+    """SemDeDup: cluster embeddings, prune near-duplicates per cluster.
+
+    The quadratic pair comparison is confined WITHIN clusters — the
+    whole point of the algorithm: at n documents and k clusters the
+    cost is k·(n/k)² = n²/k, and the cluster id is the only shuffle
+    key.  Centroid selection is hash-deterministic (``id % mod ==
+    0``), zero extra passes — the same fix the round-1 verdict
+    required of the IVF builder (no global window, no count()).
+
+    A row is a duplicate iff some SAME-CLUSTER row with a smaller id
+    has rounded cosine ≥ tau; min-id canonical election matches the
+    exact-dedup family.  Returns (vec_id, cluster_id, is_dup).
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    cents = e.filter(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    assigned = cluster_assign_argmax(e, cents)
+
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("na") * F.col("nb")),
+        score_scale,
+    )
+    dups = (
+        a.join(b, ["cluster_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("pair_cos", cos)
+        .filter(F.col("pair_cos") >= tau)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup__", F.lit(True))
+    )
+    return assigned.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.coalesce(F.col("__dup__"), F.lit(False)).alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (distributed build → compact broadcast membership)
+# ---------------------------------------------------------------------------
+
+#: 32 bits per word keeps every shift in non-negative int32 range on
+#: both engines (1::BIGINT << 31 at most) — no sign-bit edge cases.
+BLOOM_BITS_PER_WORD = 32
+
+
+def _bit_mask(bit: Column) -> Column:
+    """1 << bit as a long, via a 32-entry literal lookup array.
+
+    ``F.shiftleft`` only takes a literal shift count, so a dynamic
+    shift is expressed as element_at over the precomputed powers of
+    two — still whole-stage-codegen, still exact int64.
+    """
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(BLOOM_BITS_PER_WORD)])
+    return F.element_at(masks, bit.cast("int") + 1)
+
+
+def bloom_positions(value: Column, m_bits: int, k: int = 3) -> list[Column]:
+    """k deterministic hash positions in [0, m_bits) from one md5.
+
+    Each position uses an independent 8-hex-digit (32-bit) slice of
+    the value's md5 — reproducible in ANSI SQL, swap to
+    ``xxhash64(value, seed=i)`` at scale.
+    """
+    h = F.md5(value)
+    return [
+        F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % m_bits
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 65536,
+    k: int = 3,
+) -> DataFrame:
+    """Build an m-bit Bloom filter over a key column as (word, bits).
+
+    The build is ONE map-side-combinable aggregation: positions →
+    (word, bit) → ``bit_or`` of single-bit masks per word.  The
+    result is at most m/32 rows (8 KiB of longs for the default m) no
+    matter how many keys went in — it broadcasts to every probe task,
+    which is the structural win over a raw semi-join when the key set
+    is large: probe cost is O(1) per key with zero shuffle of the
+    probed corpus.
+    """
+    pos = F.explode(F.array(*bloom_positions(F.col(key_col), m_bits, k)))
+    return (
+        keys.select(pos.alias("pos"))
+        .select(
+            F.floor(F.col("pos") / BLOOM_BITS_PER_WORD).cast("long").alias("word"),
+            _bit_mask(F.col("pos") % BLOOM_BITS_PER_WORD).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 65536,
+    k: int = 3,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Membership test: true iff ALL k bits are set (false positives
+    possible, false negatives impossible).
+
+    One row per probe key with the k (word, mask) pairs exploded, a
+    broadcast join against the ≤ m/32-row filter, then an all-hits
+    re-aggregation keyed by the probe row — the corpus side never
+    shuffles on anything but its own grouping.
+    """
+    probe_cols = [c for c in probes.columns]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.floor(p / BLOOM_BITS_PER_WORD).cast("long").alias("word"),
+                _bit_mask(p % BLOOM_BITS_PER_WORD).alias("mask"),
+            )
+            for p in bloom_positions(F.col(key_col), m_bits, k)
+        ]
+    )
+    exploded = probes.select(
+        *probe_cols, F.posexplode(pairs).alias("__i__", "__p__")
+    ).select(
+        *probe_cols,
+        F.col("__i__"),
+        F.col("__p__")["word"].alias("word"),
+        F.col("__p__")["mask"].alias("mask"),
+    )
+    hit = (
+        exploded.join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "__hit__",
+            F.coalesce(
+                (F.col("bits").bitwiseAND(F.col("mask")) != 0), F.lit(False)
+            ),
+        )
+        .groupBy(*probe_cols)
+        .agg(F.min("__hit__").alias(out_col))
+    )
+    return hit

@@ -402,3 +402,58 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "u", dst: str = "w", out_id: str = "vertex"
+) -> DataFrame:
+    """Per-vertex triangle counts via the degree-ordered wedge join.
+
+    The classic distributed formulation (Schank–Wagner node-iterator
+    with degree orientation, the Cohen MapReduce shape): orient every
+    undirected edge from its (degree, id)-smaller endpoint to the
+    larger, so each triangle {a,b,c} materializes exactly one wedge
+    a→b→c closed by the edge a→c.  Orientation bounds every vertex's
+    out-degree by O(sqrt(m)), which bounds the wedge blow-up — THE
+    property that keeps this join viable when a celebrity vertex has
+    10^7 neighbors: its wedges are charged to its (few) higher-order
+    successors, never to itself.
+
+    Three shuffles at scale: degree agg, wedge join on the mid
+    vertex, closure join on the (a, c) pair.  Returns (vertex,
+    n_triangles) for vertices in at least one triangle.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+        .filter(F.col("u") != F.col("w"))
+        .distinct()
+    )
+    und = e.union(e.select(F.col("w").alias("u"), F.col("u").alias("w"))).distinct()
+    deg = und.groupBy("u").agg(F.count("*").alias("deg"))
+    oriented = (
+        und.join(deg, "u")
+        .join(
+            deg.select(F.col("u").alias("w"), F.col("deg").alias("deg_w")),
+            "w",
+        )
+        .filter(
+            (F.col("deg") < F.col("deg_w"))
+            | ((F.col("deg") == F.col("deg_w")) & (F.col("u") < F.col("w")))
+        )
+        .select(F.col("u").alias("a"), F.col("w").alias("b"))
+    )
+    wedges = oriented.join(
+        oriented.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )
+    closed = wedges.join(
+        oriented.select(F.col("a"), F.col("b").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    return (
+        closed.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(out_id)
+        )
+        .groupBy(out_id)
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -1,0 +1,97 @@
+"""Mergeable frequency sketches (Count-Min) as pure DataFrame aggs.
+
+A Count-Min sketch (Cormode & Muthukrishnan 2005) is a depth×width
+counter grid; every key increments one counter per row (depth
+independent hashes) and an estimate reads the MIN of its counters —
+never an underestimate.  The build is ONE map-side-combinable
+aggregation producing at most depth·width rows regardless of input
+size: the canonical "100 TB of events → kilobytes of state" shape,
+and sketches from disjoint partitions/days merge by simple addition
+(``cms_merge``).
+
+Hashes are md5-slice-derived so a DuckDB oracle reproduces the grid
+(including collisions) exactly; swap to ``xxhash64(key, seed=i)`` at
+scale for the same shapes without the md5 cost.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_bucket(key: Column, row: int, width: int) -> Column:
+    """Row-``row``'s bucket for ``key``: an independent 32-bit md5
+    slice reduced mod width (row < 4 with a 128-bit md5)."""
+    return (
+        F.conv(F.substring(F.md5(key), 1 + 8 * row, 8), 16, 10).cast("long") % width
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 3, width: int = 256
+) -> DataFrame:
+    """Build the sketch: one row per touched (d, bucket) counter.
+
+    ``explode`` fans each input row into ``depth`` grid cells, then a
+    single groupBy counts — partial aggregation collapses each task's
+    contribution to ≤ depth·width rows before the (tiny) shuffle.
+    """
+    if depth > 4:
+        raise ValueError("md5 provides 4 independent 32-bit slices (depth <= 4)")
+    key = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), cms_bucket(key, d, width).alias("bucket"))
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select(F.col("c")["d"].alias("d"), F.col("c")["bucket"].alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same (depth, width): counters add."""
+    unioned = reduce(lambda a, b: a.unionByName(b), sketches)
+    return unioned.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    keys: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 256,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``.
+
+    Each key probes its ``depth`` cells and takes the min counter; the
+    sketch (≤ depth·width rows) broadcasts, so the probe side never
+    shuffles on anything but its own final grouping.  Counters the
+    key never touched read as 0 via the left join's coalesce — only
+    possible when the true count is 0, preserving est ≥ truth.
+    """
+    key_cols = list(keys.columns)
+    key = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), cms_bucket(key, d, width).alias("bucket"))
+            for d in range(depth)
+        ]
+    )
+    probes = keys.select(*key_cols, F.explode(cells).alias("c")).select(
+        *key_cols, F.col("c")["d"].alias("d"), F.col("c")["bucket"].alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .withColumn("__cnt__", F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+        .groupBy(*key_cols)
+        .agg(F.min("__cnt__").alias(out_col))
+    )

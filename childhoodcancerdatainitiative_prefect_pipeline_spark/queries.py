@@ -8459,3 +8459,462 @@ def dedup_substring_spans(spark, sf_dir):
     toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
     docs = documents.select("doc_id", toks.alias("toks"))
     return duplicated_spans(docs, tokens_col="toks", id_col="doc_id", k=8)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 pack 1: semantic dedup, Bloom decontamination, quality
+# classifier, bigram LM, temperature-scaled mixing.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_ORACLE = """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 61 = 0),
+scored AS (
+  SELECT n.vec_id, c.cid,
+         ROUND(list_inner_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) AS cos
+  FROM n CROSS JOIN c),
+assigned AS (
+  SELECT vec_id, cid AS cluster_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cid) AS rn
+        FROM scored)
+  WHERE rn = 1),
+dups AS (
+  SELECT b.vec_id
+  FROM assigned a
+  JOIN assigned b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE ROUND(list_inner_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) >= 0.45
+  GROUP BY b.vec_id)
+SELECT s.vec_id, s.cluster_id, (p.vec_id IS NOT NULL) AS is_dup
+FROM assigned s LEFT JOIN dups p ON s.vec_id = p.vec_id"""
+
+
+@register(
+    "semdedup_prune",
+    _SEMDEDUP_ORACLE,
+    "SemDeDup semantic dedup (Abbas et al., arXiv:2303.09540): "
+    "hash-deterministic centroid pick (vec_id % 61 — no global "
+    "window, no extra pass), shuffle-free argmax cluster assignment "
+    "(one broadcast row of centroid structs, row-local fold), then "
+    "the quadratic cosine prune confined WITHIN clusters so cost is "
+    "n^2/k with cluster_id as the only shuffle key; min-id canonical "
+    "election matches the exact-dedup family",
+)
+def semdedup_prune(spark, sf_dir):
+    from .operators.curation import semdedup
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return semdedup(embeddings, tau=0.45, centroid_mod=61)
+
+
+_BLOOM_WORD = 32  # bits per word; masks stay in non-negative int32 range
+
+_BLOOM_DECON_ORACLE = rf"""WITH {_TOKS_CTE},
+grams AS (
+  SELECT a.doc_id,
+         a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS g
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  JOIN toks d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+  JOIN toks e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4),
+bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+pos AS (
+  SELECT (('0x' || substr(md5(g), 1, 8))::BIGINT) % 65536 AS p FROM bg
+  UNION ALL
+  SELECT (('0x' || substr(md5(g), 9, 8))::BIGINT) % 65536 FROM bg
+  UNION ALL
+  SELECT (('0x' || substr(md5(g), 17, 8))::BIGINT) % 65536 FROM bg),
+bloom AS (
+  SELECT p // {_BLOOM_WORD} AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % {_BLOOM_WORD} AS INT)) AS bits
+  FROM pos GROUP BY 1),
+probe AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0),
+ppos AS (
+  SELECT doc_id, g, (('0x' || substr(md5(g), 1, 8))::BIGINT) % 65536 AS p
+  FROM probe
+  UNION ALL
+  SELECT doc_id, g, (('0x' || substr(md5(g), 9, 8))::BIGINT) % 65536 FROM probe
+  UNION ALL
+  SELECT doc_id, g, (('0x' || substr(md5(g), 17, 8))::BIGINT) % 65536
+  FROM probe),
+hits AS (
+  SELECT doc_id, g,
+         MIN(COALESCE(
+           (b.bits & (CAST(1 AS BIGINT) << CAST(pp.p % {_BLOOM_WORD} AS INT)))
+             <> 0, FALSE)) AS hit
+  FROM ppos pp LEFT JOIN bloom b ON b.word = pp.p // {_BLOOM_WORD}
+  GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) FILTER (WHERE hit) AS BIGINT) AS n_bloom_hits,
+       COALESCE(bool_or(hit), FALSE) AS contaminated
+FROM hits GROUP BY doc_id"""
+
+
+@register(
+    "corpus_bloom_decontaminate",
+    _BLOOM_DECON_ORACLE,
+    "Bloom-filter benchmark decontamination (scale twin of "
+    "corpus_decontaminate): the benchmark 5-gram set compresses to a "
+    "65536-bit filter via ONE map-side-combinable bit_or aggregation "
+    "(<= 2048 rows regardless of shingle count), broadcast to every "
+    "probe task — O(1) membership per corpus shingle, zero corpus "
+    "shuffle on the probe.  md5-derived positions for oracle parity "
+    "(xxhash64(g, seed=i) at scale); false positives possible and "
+    "reproduced exactly, false negatives impossible "
+    "(operators/curation.py::bloom_build/bloom_probe)",
+)
+def corpus_bloom_decontaminate(spark, sf_dir):
+    from .operators.curation import bloom_build, bloom_probe
+    from .operators.dedup import normalized_tokens
+    from .operators.text import word_ngrams_expr
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    staged = documents.select(
+        "doc_id", normalized_tokens("text").alias("toks")
+    ).withColumn("g5", F.array_distinct(word_ngrams_expr("toks", 5)))
+    shing = staged.select("doc_id", F.explode("g5").alias("g"))
+    bench = shing.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    bloom = bloom_build(bench, "g", m_bits=65536, k=3)
+    probe = shing.filter(F.col("doc_id") % 97 != 0)
+    flagged = bloom_probe(probe, bloom, "g", m_bits=65536, k=3, out_col="hit")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.count(F.when(F.col("hit"), True)).alias("n_bloom_hits"),
+        F.coalesce(F.max("hit"), F.lit(False)).alias("contaminated"),
+    )
+
+
+_QCLS_ORACLE = r"""WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+weights AS (
+  SELECT CAST(b AS BIGINT) AS bucket,
+         (b * 2654435761) % 2001 - 1000 AS w_milli
+  FROM UNNEST(range(0, 4096)) AS t(b)),
+feat AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(w), 1, 8))::BIGINT) % 4096 AS bucket
+  FROM toks),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(w_milli) AS BIGINT) AS s_milli
+  FROM feat JOIN weights USING (bucket)
+  GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       ROUND(s_milli / (1000.0 * n_tokens), 6) AS quality_score,
+       (s_milli > 0) AS keep
+FROM scored"""
+
+
+@register(
+    "text_quality_classifier",
+    _QCLS_ORACLE,
+    "hashed-feature linear quality classifier (fasttext-shaped "
+    "inference): token -> md5 feature hash mod 4096 -> broadcast "
+    "weight-table lookup -> mean pool.  Weights live in a TABLE "
+    "(deterministic integer milli-weights), exactly how a trained "
+    "model ships; pooling is exact int64 so the keep decision is "
+    "order-independent — the score divides once at the end.  One "
+    "corpus scan, one broadcast join, one groupBy(doc_id)",
+)
+def text_quality_classifier(spark, sf_dir):
+    from .operators.dedup import normalized_tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    weights = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 2654435761) % 2001 - 1000).alias("w_milli"),
+    )
+    feat = documents.select(
+        "doc_id", F.explode(normalized_tokens("text")).alias("w")
+    ).select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % 4096).alias(
+            "bucket"
+        ),
+    )
+    return (
+        feat.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w_milli").alias("s_milli"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("s_milli") / (1000.0 * F.col("n_tokens")), 6).alias(
+                "quality_score"
+            ),
+            (F.col("s_milli") > 0).alias("keep"),
+        )
+    )
+
+
+_BIGRAM_LM_ORACLE = rf"""WITH {_TOKS_CTE},
+bt AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS bg, a.w AS w1
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cb FROM bt GROUP BY bg),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM toks GROUP BY w),
+v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vsz FROM toks)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(ln((cb + 1.0) / (cu + vsz))) / COUNT(*), 6) AS avg_logprob
+FROM bt JOIN bc USING (bg) JOIN uc ON uc.w = bt.w1 CROSS JOIN v
+GROUP BY doc_id"""
+
+
+@register(
+    "text_bigram_logprob",
+    _BIGRAM_LM_ORACLE,
+    "bigram LM scoring with Laplace smoothing (perplexity proxy one "
+    "notch above text_unigram_logprob): P(w2|w1) = (B+1)/(U(w1)+V).  "
+    "Spark builds bigrams ROW-LOCALLY (word_ngrams_expr HOF — no "
+    "positional self-join, unlike the oracle); both count tables "
+    "aggregate to vocab size BEFORE the join back, V broadcasts as "
+    "one row.  The standard LM-quality ranking signal for web "
+    "corpora at a cost of two shuffles (bigram key, doc_id)",
+)
+def text_bigram_logprob(spark, sf_dir):
+    from .operators.dedup import normalized_tokens
+    from .operators.text import word_ngrams_expr
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    staged = documents.select("doc_id", normalized_tokens("text").alias("toks"))
+    bt = staged.select(
+        "doc_id", F.explode(word_ngrams_expr("toks", 2)).alias("bg")
+    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+    toks = staged.select(F.explode("toks").alias("w"))
+    bc = bt.groupBy("bg").agg(F.count("*").alias("cb"))
+    uc = toks.groupBy("w").agg(F.count("*").alias("cu"))
+    v = toks.agg(F.count_distinct("w").alias("vsz"))
+    return (
+        bt.join(bc, "bg")
+        .join(uc.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("vsz"))))
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+_TEMP_MIX_ORACLE = r"""WITH dt AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents),
+s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+      FROM dt GROUP BY source),
+w AS (SELECT source, src_tokens,
+             CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS w_int
+      FROM s),
+tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS all_tokens,
+               CAST(SUM(w_int) AS BIGINT) AS z
+        FROM w),
+f AS (SELECT source, src_tokens,
+             LEAST(1.0, 0.5 * all_tokens * w_int / (z * src_tokens))
+               AS keep_frac
+      FROM w CROSS JOIN tot),
+kept AS (
+  SELECT d.source, d.n_tokens
+  FROM dt d JOIN f USING (source)
+  WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT)
+        < f.keep_frac * 1152921504606846976.0),
+ka AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+              CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+       FROM kept GROUP BY source)
+SELECT f.source, f.src_tokens, ROUND(f.keep_frac, 6) AS keep_frac,
+       COALESCE(ka.n_docs_kept, 0) AS n_docs_kept,
+       COALESCE(ka.kept_tokens, 0) AS kept_tokens
+FROM f LEFT JOIN ka USING (source)"""
+
+
+@register(
+    "corpus_temperature_mix",
+    _TEMP_MIX_ORACLE,
+    "temperature-scaled domain mixing (alpha = 0.5, the multilingual-"
+    "sampling rule): per-source weight proportional to sqrt(token "
+    "count), total budget = half the corpus, per-doc keep decided by "
+    "a deterministic md5 threshold.  The sqrt weight is FLOORED to "
+    "integer micro-units so every aggregate on the decision path is "
+    "exact int64 — order-independent under partial aggregation, "
+    "bit-identical to the oracle.  Two small shuffles (source aggs); "
+    "the per-doc filter is a broadcast join, no corpus shuffle",
+)
+def corpus_temperature_mix(spark, sf_dir):
+    from .operators.text import token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    dt = documents.select(
+        "doc_id", "source", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    s = dt.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    w = s.withColumn(
+        "w_int",
+        F.floor(F.sqrt(F.col("src_tokens").cast("double")) * 1000000.0).cast("long"),
+    )
+    tot = w.agg(
+        F.sum("src_tokens").alias("all_tokens"), F.sum("w_int").alias("z")
+    )
+    f = w.crossJoin(F.broadcast(tot)).withColumn(
+        "keep_frac",
+        F.least(
+            F.lit(1.0),
+            F.lit(0.5)
+            * F.col("all_tokens")
+            * F.col("w_int")
+            / (F.col("z") * F.col("src_tokens")),
+        ),
+    )
+    hash60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    kept = (
+        dt.join(F.broadcast(f.select("source", "keep_frac")), "source")
+        .filter(hash60 < F.col("keep_frac") * F.lit(1152921504606846976.0))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+    )
+    return (
+        f.join(kept, "source", "left")
+        .select(
+            "source",
+            "src_tokens",
+            F.round(F.col("keep_frac"), 6).alias("keep_frac"),
+            F.coalesce(F.col("n_docs_kept"), F.lit(0)).alias("n_docs_kept"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 pack 2: triangle counting + Count-Min sketch.
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+ed AS (
+  SELECT a.vec_id AS u, b.vec_id AS w
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3),
+tri AS (
+  SELECT e1.u AS a, e1.w AS b, e2.w AS c
+  FROM ed e1
+  JOIN ed e2 ON e2.u = e1.w
+  JOIN ed e3 ON e3.u = e1.u AND e3.w = e2.w),
+verts AS (SELECT unnest([a, b, c]) AS vertex FROM tri)
+SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM verts GROUP BY vertex"""
+
+
+@register(
+    "graph_triangle_count",
+    _TRIANGLE_ORACLE,
+    "per-vertex triangle counts over the embedding-similarity graph "
+    "(rounded cosine >= 0.3): degree-ordered wedge join (Schank-"
+    "Wagner orientation — out-degrees bounded O(sqrt(m)), so a "
+    "celebrity vertex's wedges are charged to its few higher-order "
+    "successors, not itself; operators/graph.py::triangle_counts).  "
+    "The oracle counts the same triangles with a naive a<b<c triple "
+    "join — same set, no orientation needed at oracle scale",
+)
+def graph_triangle_count(spark, sf_dir):
+    from .operators.graph import triangle_counts
+    from .operators.similarity import dot, l2_norm
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    n_slices = spark.sparkContext.defaultParallelism * 2
+    a = e.repartition(n_slices).select(
+        F.col("vec_id").alias("u"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("w"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    edges = (
+        a.join(b, F.col("u") < F.col("w"))
+        .filter(
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+            >= 0.3
+        )
+        .select("u", "w")
+    )
+    return triangle_counts(edges, "u", "w", out_id="vertex")
+
+
+_CMS_ORACLE = """WITH cells AS (
+  SELECT d,
+         (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1 + 8 * d, 8))::BIGINT)
+           % 256 AS bucket
+  FROM events CROSS JOIN UNNEST([0, 1, 2]) AS t(d)),
+sketch AS (
+  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY d, bucket),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY user_id),
+probes AS (
+  SELECT e.user_id, e.exact_n, s.cnt
+  FROM exact e
+  CROSS JOIN UNNEST([0, 1, 2]) AS t(d)
+  LEFT JOIN sketch s
+    ON s.d = t.d
+   AND s.bucket = (('0x' || substr(md5(CAST(e.user_id AS VARCHAR)),
+                                   1 + 8 * t.d, 8))::BIGINT) % 256),
+est AS (
+  SELECT user_id, exact_n, MIN(COALESCE(cnt, 0)) AS cms_est
+  FROM probes GROUP BY user_id, exact_n)
+SELECT user_id, exact_n, cms_est, cms_est - exact_n AS overestimate
+FROM est
+ORDER BY exact_n DESC, user_id
+LIMIT 20"""
+
+
+@register(
+    "events_cms_heavy_hitters",
+    _CMS_ORACLE,
+    "Count-Min heavy hitters on the event stream: the 3x256 counter "
+    "grid builds in ONE map-side-combinable aggregation (<= 768 rows "
+    "from any number of events — the 100 TB -> kilobytes shape; "
+    "disjoint-partition sketches merge by addition, "
+    "operators/sketches.py::cms_merge), broadcasts to the probe, and "
+    "every estimate is >= truth by construction.  Estimates shown "
+    "against exact counts for the top-20 users; md5 buckets for "
+    "oracle parity (xxhash64 at scale)",
+)
+def events_cms_heavy_hitters(spark, sf_dir):
+    from .operators.sketches import cms_build, cms_estimate
+
+    (events,) = _t(spark, sf_dir, "events")
+    sketch = cms_build(events.select("user_id"), "user_id", depth=3, width=256)
+    exact = events.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    est = cms_estimate(exact, sketch, "user_id", depth=3, width=256)
+    return (
+        est.select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+    )

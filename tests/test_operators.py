@@ -1595,3 +1595,96 @@ def test_running_user_totals_tws_matches_classic(spark, tmp_path, sf_dir):
         ).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Round-4 curation operators: Bloom filter + SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_low_fp_rate(spark):
+    """Every inserted key must probe true; disjoint keys must almost
+    always probe false (m=65536 bits, k=3, few hundred keys)."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.curation import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.range(300).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("g")
+    )
+    others = spark.range(300, 1300).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("g")
+    )
+    bloom = bloom_build(members, "g", m_bits=65536, k=3)
+    assert bloom.count() <= 65536 // 32  # compact regardless of key count
+
+    hit_members = bloom_probe(members, bloom, "g", m_bits=65536, k=3)
+    assert hit_members.filter(~F.col("maybe_member")).count() == 0  # no FN
+
+    hit_others = bloom_probe(others, bloom, "g", m_bits=65536, k=3)
+    fp = hit_others.filter(F.col("maybe_member")).count()
+    # 300 keys * 3 bits in 65536 -> per-probe FP ~ (900/65536)^3 ~ 2.6e-6
+    assert fp <= 10
+
+
+def test_semdedup_flags_subset_of_exact_cosine_pairs(spark, sf_dir):
+    """A SemDeDup duplicate needs a smaller-id SAME-CLUSTER neighbor
+    above tau, so the flagged set is a subset of the exact all-pairs
+    id_b set at the same threshold — and deterministic."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.queries import REGISTRY
+
+    sem = REGISTRY["semdedup_prune"].fn(spark, sf_dir)
+    flagged = {r.vec_id for r in sem.filter("is_dup").collect()}
+    exact = REGISTRY["dedup_embedding_cosine"].fn(spark, sf_dir)
+    exact_b = {r.id_b for r in exact.collect()}
+    assert flagged <= exact_b
+
+    again = {
+        r.vec_id
+        for r in REGISTRY["semdedup_prune"].fn(spark, sf_dir).filter("is_dup").collect()
+    }
+    assert flagged == again
+
+    # every vector is assigned to exactly one cluster
+    assert sem.count() == sem.select("vec_id").distinct().count()
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    """CMS guarantee: estimate >= truth for every key; sketches of
+    disjoint halves merged == sketch of the whole."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    df = spark.range(5000).select((F.col("id") % 97).alias("k"))
+    sketch = cms_build(df, "k", depth=3, width=64)
+    exact = df.groupBy("k").agg(F.count("*").alias("exact_n"))
+    est = cms_estimate(exact, sketch, "k", depth=3, width=64)
+    assert est.filter(F.col("cms_est") < F.col("exact_n")).count() == 0
+
+    lo = cms_build(df.filter("id < 2500").select("k"), "k", depth=3, width=64)
+    hi = cms_build(df.filter("id >= 2500").select("k"), "k", depth=3, width=64)
+    merged = cms_merge(lo, hi)
+    whole = {(r.d, r.bucket): r.cnt for r in sketch.collect()}
+    two = {(r.d, r.bucket): r.cnt for r in merged.collect()}
+    assert whole == two
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 has 4 triangles (every vertex in 3); a path has none;
+    direction/duplicate edges don't change the answer."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    # reversed + duplicated edges must not inflate counts
+    edges = spark.createDataFrame(k4 + [(b, a) for a, b in k4] + k4, ["u", "w"])
+    got = {r.vertex: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["u", "w"])
+    assert triangle_counts(path).count() == 0

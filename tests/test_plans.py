@@ -339,3 +339,36 @@ def test_chunk_sliding_is_shuffle_free(spark, sf_dir):
     plan = _plan(REGISTRY["corpus_chunk_sliding"].fn(spark, sf_dir))
     tree = plan.split("(1)")[0]
     assert "Exchange" not in tree
+
+
+def test_semdedup_assignment_is_window_free(spark, sf_dir):
+    """Cluster assignment is a row-local argmax fold over one
+    broadcast centroid row — a per-vector Window (the naive plan)
+    would shuffle the whole corpus before the cluster join."""
+    plan = _plan(REGISTRY["semdedup_prune"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_probe_broadcasts_the_filter(spark, sf_dir):
+    """The Bloom filter is <= 2048 rows by construction; the probe
+    join must broadcast it — a sort-merge join would shuffle every
+    corpus shingle on the word key."""
+    plan = _plan(REGISTRY["corpus_bloom_decontaminate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_classifier_broadcasts_weight_table(spark, sf_dir):
+    plan = _plan(REGISTRY["text_quality_classifier"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_probe_broadcasts_sketch(spark, sf_dir):
+    """The sketch is <= depth*width rows by construction — the probe
+    join must broadcast it, never shuffle the key side on (d, bucket)."""
+    plan = _plan(REGISTRY["events_cms_heavy_hitters"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
