@@ -89,6 +89,10 @@ _CERTIFY_FIRST = [
     "corpus_temperature_mix",
     "graph_triangle_count",
     "events_cms_heavy_hitters",
+    "profile_hll_distinct",
+    "events_concurrency_peak",
+    "lineitem_weighted_median",
+    "orders_cube_stats",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",

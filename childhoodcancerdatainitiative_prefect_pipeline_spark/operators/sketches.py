@@ -95,3 +95,70 @@ def cms_estimate(
         .groupBy(*key_cols)
         .agg(F.min("__cnt__").alias(out_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with an EXACT integer harmonic sum (oracle-reproducible)
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # registers (b = 8 bucket bits)
+_HLL_HASH_BITS = 60  # 15 md5 hex chars -> non-negative int64
+_HLL_VALUE_BITS = _HLL_HASH_BITS - 8  # 52 bits feed the rank
+
+
+def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """(bucket, M) register table for one column — ≤ 256 rows.
+
+    Rank uses ``length(bin(r))`` — an exact integer log2 both here
+    and in ANSI SQL — so no floating log ever touches the sketch.
+    Registers merge across partitions/days/columns by MAX, and the
+    build is one map-side-combinable groupBy: the fixed-size-state
+    distinct-count shape for 100 TB inputs (Spark's native
+    approx_count_distinct is the production twin; this one is
+    bit-reproducible against the oracle).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    r = F.floor(h / HLL_M).cast("long")
+    rank = F.when(r == 0, F.lit(_HLL_VALUE_BITS + 1)).otherwise(
+        F.lit(_HLL_VALUE_BITS) - F.length(F.bin(r)) + 1
+    )
+    return (
+        df.select((h % HLL_M).alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("M"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Cardinality estimate from (grouped) register tables.
+
+    The harmonic sum is computed as Σ 2^(53−M) in EXACT int64 (every
+    term a power of two ≤ 2^52, ≤ 256 terms → ≤ 2^60), so partial
+    aggregation order cannot perturb the estimate — the same
+    integer-exactness trick the decimal-routed sums use.  Standard
+    small-range correction: linear counting when E ≤ 2.5m and empty
+    registers exist.
+    """
+    g = list(group_cols or [])
+    powers = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(_HLL_VALUE_BITS + 1)]
+    )
+    term = F.element_at(powers, (F.lit(_HLL_VALUE_BITS + 2) - F.col("M")).cast("int"))
+    agg = registers.groupBy(*g).agg(
+        F.count("*").alias("n_present"),
+        F.sum(term).alias("s_present"),
+    )
+    v = F.lit(HLL_M) - F.col("n_present")  # empty registers
+    s_total = F.col("s_present") + v * F.lit(1 << _HLL_VALUE_BITS).cast("long") * 2
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    e_raw = (
+        F.lit(alpha * HLL_M * HLL_M)
+        * F.lit(float(1 << (_HLL_VALUE_BITS + 1)))
+        / s_total
+    )
+    est = F.when(
+        (e_raw <= 2.5 * HLL_M) & (v > 0), F.lit(float(HLL_M)) * F.log(HLL_M / v)
+    ).otherwise(e_raw)
+    return agg.select(*g, F.round(est, 4).alias("hll_est"))

@@ -8918,3 +8918,211 @@ def events_cms_heavy_hitters(spark, sf_dir):
         .orderBy(F.desc("exact_n"), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 pack 3: reproducible HLL profiling + interval concurrency.
+# ---------------------------------------------------------------------------
+
+_HLL_ORACLE = """WITH keys AS (
+  SELECT 'user_id' AS column_name, CAST(user_id AS VARCHAR) AS k FROM events
+  UNION ALL SELECT 'event_type', event_type FROM events
+  UNION ALL SELECT 'event_id', CAST(event_id AS VARCHAR) FROM events),
+h AS (SELECT column_name, ('0x' || substr(md5(k), 1, 15))::BIGINT AS h
+      FROM keys),
+rk AS (SELECT column_name, h % 256 AS bucket,
+              CASE WHEN h // 256 = 0 THEN 53
+                   ELSE 52 - length(bin(h // 256)) + 1 END AS rank
+       FROM h),
+regs AS (SELECT column_name, bucket, MAX(rank) AS M
+         FROM rk GROUP BY 1, 2),
+agg AS (SELECT column_name, COUNT(*) AS n_present,
+               SUM(CAST(1 AS BIGINT) << CAST(53 - M AS INT)) AS s_present
+        FROM regs GROUP BY 1),
+e AS (SELECT column_name, 256 - n_present AS v,
+             0.7213 / (1.0 + 1.079 / 256.0) * 256 * 256
+               * 9007199254740992.0
+               / (s_present + (256 - n_present)
+                              * (CAST(1 AS BIGINT) << 53)) AS e_raw
+      FROM agg),
+fin AS (SELECT column_name,
+               ROUND(CASE WHEN e_raw <= 2.5 * 256 AND v > 0
+                          THEN 256.0 * ln(256 / v) ELSE e_raw END, 4)
+                 AS hll_est
+        FROM e),
+ex AS (
+  SELECT 'user_id' AS column_name,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events
+  UNION ALL SELECT 'event_type', COUNT(DISTINCT event_type) FROM events
+  UNION ALL SELECT 'event_id', COUNT(DISTINCT event_id) FROM events)
+SELECT f.column_name, ex.exact_distinct, f.hll_est,
+       ROUND((f.hll_est - ex.exact_distinct) / ex.exact_distinct, 6)
+         AS rel_err
+FROM fin f JOIN ex USING (column_name)"""
+
+
+@register(
+    "profile_hll_distinct",
+    _HLL_ORACLE,
+    "bit-reproducible HyperLogLog distinct-count profiling over three "
+    "event columns: rank via length(bin(r)) — exact integer log2 — "
+    "and the harmonic sum as EXACT int64 powers of two, so partial-"
+    "aggregation order cannot perturb the estimate (the failure mode "
+    "that makes naive float HLLs unhashable).  Registers merge by "
+    "MAX across partitions/columns; linear-counting small-range "
+    "correction; estimates shown against exact distinct counts "
+    "(operators/sketches.py::hll_registers/hll_estimate; Spark's "
+    "approx_count_distinct is the production twin — "
+    "profile_columns_approx)",
+)
+def profile_hll_distinct(spark, sf_dir):
+    from .operators.sketches import hll_estimate, hll_registers
+
+    (events,) = _t(spark, sf_dir, "events")
+    regs = None
+    for c in ("user_id", "event_type", "event_id"):
+        r = hll_registers(events.select(c), c).withColumn("column_name", F.lit(c))
+        regs = r if regs is None else regs.unionByName(r)
+    est = hll_estimate(regs, ["column_name"])
+    exact = None
+    for c in ("user_id", "event_type", "event_id"):
+        x = events.agg(
+            F.lit(c).alias("column_name"),
+            F.count_distinct(F.col(c)).alias("exact_distinct"),
+        )
+        exact = x if exact is None else exact.unionByName(x)
+    return est.join(exact, "column_name").select(
+        "column_name",
+        "exact_distinct",
+        "hll_est",
+        F.round(
+            (F.col("hll_est") - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+        ).alias("rel_err"),
+    )
+
+
+_CONCURRENCY_ORACLE = """WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + 300000000, -1 FROM events),
+run AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta) AS c
+  FROM pts)
+SELECT event_type, CAST(MAX(c) AS BIGINT) AS peak_concurrency
+FROM run GROUP BY event_type"""
+
+
+@register(
+    "events_concurrency_peak",
+    _CONCURRENCY_ORACLE,
+    "sweep-line interval concurrency: each event holds a 5-minute "
+    "lease; peak simultaneous leases per event_type via +1/-1 "
+    "boundary points and a running sum.  The default RANGE frame "
+    "makes tied timestamps deterministic (all ties included before "
+    "the max is read), and -1 sorts before +1 at the same instant so "
+    "half-open intervals never self-overlap.  Per-type partitioned "
+    "window — at 100 TB with few types swap the running sum for "
+    "operators/windows.py::distributed_prefix_sum (the "
+    "orders_abc_pareto_scaled shape)",
+)
+def events_concurrency_peak(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    starts = events.select(
+        "event_type", us.alias("t"), F.lit(1).alias("delta")
+    )
+    ends = events.select(
+        "event_type", (us + 300_000_000).alias("t"), F.lit(-1).alias("delta")
+    )
+    pts = starts.unionByName(ends)
+    w = Window.partitionBy("event_type").orderBy("t", "delta")
+    run = pts.withColumn("c", F.sum("delta").over(w))
+    return run.groupBy("event_type").agg(
+        F.max("c").alias("peak_concurrency")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 pack 4: weighted median + cube grouping.
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """WITH base AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         CAST(l_quantity AS DECIMAL(18,4)) AS wd
+  FROM lineitem),
+cum AS (
+  SELECT l_returnflag, price,
+         SUM(wd) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw,
+         SUM(wd) OVER (PARTITION BY l_returnflag) AS t
+  FROM base)
+SELECT l_returnflag, MIN(price) AS weighted_median_price
+FROM cum WHERE 2 * cw >= t
+GROUP BY l_returnflag"""
+
+
+@register(
+    "lineitem_weighted_median",
+    _WMEDIAN_ORACLE,
+    "exact weighted median (weight = quantity) per return flag: "
+    "cumulative decimal weights over a price-ordered RANGE window — "
+    "tied prices share one cumulative value on both engines, so the "
+    "first row crossing half the total is deterministic.  Decimal "
+    "weights keep every comparison exact (no float cumsum drift).  "
+    "One shuffle (the group key); the global-order variant at 100 TB "
+    "swaps the window for distributed_prefix_sum",
+)
+def lineitem_weighted_median(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    base = lineitem.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("decimal(18,4)").alias("wd"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("price")
+    wt = Window.partitionBy("l_returnflag")
+    cum = base.select(
+        "l_returnflag",
+        "price",
+        F.sum("wd").over(w).alias("cw"),
+        F.sum("wd").over(wt).alias("t"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("cw") >= F.col("t"))
+        .groupBy("l_returnflag")
+        .agg(F.min("price").alias("weighted_median_price"))
+    )
+
+
+_CUBE_ORACLE = """SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)"""
+
+
+@register(
+    "orders_cube_stats",
+    _CUBE_ORACLE,
+    "CUBE grouping over (priority, status): all four grouping sets — "
+    "detail, both one-dim margins, grand total — in one pass with "
+    "partial aggregation (Spark expands the sets map-side; no "
+    "re-scan per margin).  Decimal-exact sums keep every cell "
+    "order-independent.  Completes the rollup family "
+    "(orders_rollup_stats)",
+)
+def orders_cube_stats(spark, sf_dir):
+    from .operators.aggregates import exact_sum
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n"),
+        exact_sum("o_totalprice", "sum_price"),
+    )

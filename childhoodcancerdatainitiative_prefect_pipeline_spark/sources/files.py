@@ -150,6 +150,30 @@ def write_partitioned_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    compression: str = "zstd",
+) -> None:
+    """ORC sink (Spark-native, no extra packages): columnar with
+    min/max/bloom stripe statistics — the interchange format when a
+    downstream consumer is Hive/Trino-flavored rather than parquet.
+    Same partitioning contract as ``write_partitioned_parquet``.
+    """
+    writer = df.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan; predicate pushdown and partition pruning apply as
+    with parquet (``spark.sql.orc.filterPushdown`` is on by default).
+    """
+    return spark.read.orc(path)
+
+
 __all__ = [
     "NA_BANK",
     "read_tsv",
@@ -163,6 +187,8 @@ __all__ = [
     "write_bucketed_table",
     "compact_parquet_dir",
     "read_with_quarantine",
+    "write_orc",
+    "read_orc",
 ]
 
 

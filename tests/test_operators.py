@@ -1688,3 +1688,70 @@ def test_triangle_counts_known_graphs(spark):
 
     path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["u", "w"])
     assert triangle_counts(path).count() == 0
+
+
+def test_hll_registers_merge_and_estimate_accuracy(spark):
+    """Register tables max-merge across disjoint halves to the whole;
+    the estimate lands within HLL's expected error (~1.04/sqrt(256)
+    ≈ 6.5%) of a 970-key truth."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(5000).select((F.col("id") % 970).alias("k"))
+    whole = hll_registers(df, "k")
+    lo = hll_registers(df.filter("id < 2500").select("k"), "k")
+    hi = hll_registers(df.filter("id >= 2500").select("k"), "k")
+    merged = (
+        lo.unionByName(hi).groupBy("bucket").agg(F.max("M").alias("M"))
+    )
+    assert {(r.bucket, r.M) for r in whole.collect()} == {
+        (r.bucket, r.M) for r in merged.collect()
+    }
+    est = hll_estimate(whole).collect()[0].hll_est
+    assert abs(est - 970) / 970 < 0.2
+
+
+def test_minhash_signature_estimates_jaccard(spark, sf_dir):
+    """The fraction of agreeing MinHash positions is an unbiased
+    Jaccard estimator; with 64 hashes the mean absolute error over
+    real document pairs must be small."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.catalog import load_testdata
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.dedup import (
+        minhash_signature,
+        with_shingles,
+    )
+
+    docs = load_testdata(
+        spark, sf_dir, tables=("documents",), register_views=False
+    )["documents"].filter("doc_id % 11 = 0")
+    staged = with_shingles(docs, "text", "shg", 3).select(
+        "doc_id", "shg", minhash_signature("shg", 64).alias("sig")
+    )
+    a = staged.select(
+        F.col("doc_id").alias("ida"), F.col("shg").alias("sa"), F.col("sig").alias("ga")
+    )
+    b = staged.select(
+        F.col("doc_id").alias("idb"), F.col("shg").alias("sb"), F.col("sig").alias("gb")
+    )
+    pairs = a.join(b, F.col("ida") < F.col("idb")).select(
+        (
+            F.size(F.array_intersect("sa", "sb"))
+            / F.size(F.array_union("sa", "sb"))
+        ).alias("exact"),
+        (
+            F.size(
+                F.filter(
+                    F.zip_with("ga", "gb", lambda x, y: x == y), lambda t: t
+                )
+            )
+            / F.lit(64.0)
+        ).alias("est"),
+    )
+    stats = pairs.agg(
+        F.avg(F.abs(F.col("exact") - F.col("est"))).alias("mae"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert stats.n > 100
+    assert stats.mae < 0.1

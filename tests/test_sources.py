@@ -995,3 +995,31 @@ def test_rest_json_datasource_distributed_fetch(spark, tmp_path):
     rows = {r["url"]: _json.loads(r["response_json"]) for r in df.collect()}
     assert rows[f"file://{a}"]["name"] == "alpha"
     assert rows[f"file://{b}"]["id"] == 2
+
+
+def test_orc_round_trip_and_partition_pruning(spark, sf_dir, tmp_path):
+    """ORC sink/scan: values survive the round trip (timestamps,
+    doubles, strings) and partition filters prune at the scan."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.catalog import load_testdata
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    events = load_testdata(spark, sf_dir, tables=("events",), register_views=False)[
+        "events"
+    ]
+    path = str(tmp_path / "events_orc")
+    write_orc(events, path, partition_by=("event_type",))
+    back = read_orc(spark, path)
+    assert back.count() == events.count()
+    a = {tuple(r) for r in events.select("event_id", "user_id", "value").collect()}
+    b = {tuple(r) for r in back.select("event_id", "user_id", "value").collect()}
+    assert a == b
+
+    pruned = back.filter("event_type = 'click'")
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    assert pruned.count() == events.filter("event_type = 'click'").count()
