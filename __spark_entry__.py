@@ -93,6 +93,8 @@ _CERTIFY_FIRST = [
     "events_concurrency_peak",
     "lineitem_weighted_median",
     "orders_cube_stats",
+    "dedup_setsim_prefix_join",
+    "lineitem_median_twopass",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",
@@ -133,6 +135,8 @@ _CERTIFY_FIRST = [
     # as slots free up in later rotations)
     "corpus_pack_sequences",
     "corpus_stratified_sample",
+    "corpus_weighted_sample",
+    "graph_kcore_membership",
     "dedup_minhash_clusters",
     "stream_sliding_rollup",
     "graph_pagerank_topk",

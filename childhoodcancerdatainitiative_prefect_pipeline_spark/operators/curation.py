@@ -274,3 +274,45 @@ def bloom_probe(
         .agg(F.min("__hit__").alias(out_col))
     )
     return hit
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis 2006)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k weighted sample without replacement, deterministic.
+
+    Efraimidis–Spirakis: draw u ~ U(0,1) per row, rank by u^(1/w) —
+    equivalently by ln(u)/w descending — and keep the k best.  The
+    uniform comes from md5(id), so the sample is reproducible across
+    runs and engines; inclusion probabilities follow the weights
+    exactly as in the paper.  Selection is a single TakeOrdered
+    (distributed per-partition heaps of k, merged once) — no global
+    sort, no shuffle of the corpus.
+
+    Rank keys are floating logs, so this is a rows-only operator by
+    the engine's conventions (a 1-ulp log difference could flip two
+    adjacent ranks); determinism and weight-proportionality are
+    pinned in unit tests instead of a SQL oracle.
+    """
+    u01 = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+        ).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    # ln(u)/w: monotone transform of u^(1/w); larger is better.
+    key = F.log(u01) / F.col(weight_col)
+    return (
+        df.withColumn("__es_key__", key)
+        .orderBy(F.col("__es_key__").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__es_key__")
+    )

@@ -522,3 +522,70 @@ def cut_spans(
         )
         .drop("__spans__")
     )
+
+
+def setsim_prefix_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    set_col: str = "__sh__",
+    threshold: float = 0.3,
+    score_scale: int = 6,
+) -> DataFrame:
+    """Exact set-similarity join via prefix filtering (the AllPairs/
+    PPJoin candidate scheme, Bayardo et al. WWW'07).
+
+    Sort every set by GLOBAL token rarity (document frequency asc,
+    token asc); two sets with Jaccard ≥ t MUST share a token inside
+    their first ``|s| − ⌈t·|s|⌉ + 1`` elements under that common
+    order — so joining only on prefix tokens is a LOSSLESS blocking:
+    output equals the naive all-pairs join, at the cost of an
+    inverted index over prefixes instead of n².  Rare-first ordering
+    is what makes prefixes selective: the most frequent tokens
+    (worst join keys) are pushed out of every prefix.
+
+    Shuffles: token df agg, the df join-back + per-set re-group, the
+    prefix-token candidate join, and the verify join on ids — every
+    one keyed, none quadratic.  Candidate verification computes real
+    Jaccard, so false positives from blocking are filtered exactly.
+    """
+    toks = df.select(F.col(id_col).alias("id"), F.explode(set_col).alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    ordered = (
+        toks.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks_sorted")
+        )
+        .withColumn("n", F.size("toks_sorted"))
+    )
+    plen = (
+        F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).cast("int")
+    pref = ordered.select(
+        "id", F.explode(F.slice(F.col("toks_sorted"), F.lit(1), plen)).alias("ptok")
+    )
+    cand = (
+        pref.select(F.col("id").alias("id_a"), "ptok")
+        .join(pref.select(F.col("id").alias("id_b"), "ptok"), "ptok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = ordered.select(
+        F.col("id").alias("id_a"), F.col("toks_sorted").alias("sa"), F.col("n").alias("na")
+    )
+    sb = ordered.select(
+        F.col("id").alias("id_b"), F.col("toks_sorted").alias("sb"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = F.round(inter / (F.col("na") + F.col("nb") - inter), score_scale)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a"), F.col("id_b"), "jaccard")
+    )

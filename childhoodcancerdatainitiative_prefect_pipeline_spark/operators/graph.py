@@ -457,3 +457,50 @@ def triangle_counts(
         .groupBy(out_id)
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "u",
+    dst: str = "w",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Vertices of the k-core: iteratively peel degree < k vertices.
+
+    Each round is one degree aggregation + two anti joins removing
+    edges touching under-degree vertices; the surviving edge list is
+    eagerly ``localCheckpoint``-ed so round r never replays rounds
+    1..r-1 (the pagerank/transitive_children lineage rule).  The
+    empty-check per round is a driver round-trip on an ALREADY
+    REDUCED frame (the under-degree vertex list), bounded by
+    ``max_iter`` — the same bounded-iteration contract as
+    ``iterative_resolve``.  Peeling converges in at most the
+    degeneracy ordering's round count; real graphs finish in a
+    handful of rounds.
+
+    Returns (vertex, degree) — degrees WITHIN the k-core.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+        .filter(F.col("u") != F.col("w"))
+        .distinct()
+    )
+    und = und.unionByName(
+        und.select(F.col("w").alias("u"), F.col("u").alias("w"))
+    ).distinct().localCheckpoint()
+    for _ in range(max_iter):
+        deg = und.groupBy("u").agg(F.count("*").alias("deg"))
+        low = deg.filter(F.col("deg") < k).select("u").localCheckpoint()
+        if low.isEmpty():
+            break
+        und = (
+            und.join(low, "u", "left_anti")
+            .join(low.select(F.col("u").alias("w")), "w", "left_anti")
+            .localCheckpoint()
+        )
+    return (
+        und.groupBy("u")
+        .agg(F.count("*").alias("degree"))
+        .select(F.col("u").alias("vertex"), "degree")
+    )

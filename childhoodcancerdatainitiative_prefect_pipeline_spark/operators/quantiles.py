@@ -1,0 +1,80 @@
+"""Exact order statistics without a global sort.
+
+``approx_percentile`` (profile_columns_approx) is the default at
+100 TB; this module is for when the answer must be EXACT and the
+column is too big to total-sort: histogram-prune to the one bin that
+contains the k-th element, then finish with a distributed top-k over
+that bin only — two scans and a TakeOrdered over ~N/bins rows instead
+of a full-column sort.  (The same prune recurses if N/bins is still
+too large; one level suffices for any realistic bins setting.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_kth_smallest_twopass(
+    df: DataFrame, col: str, k: int | None = None, bins: int = 1024
+) -> float:
+    """The k-th smallest value (1-indexed; default: lower median).
+
+    Pass 1 aggregates (min, max, count) and a ``bins``-bucket
+    histogram — both map-side-combinable, together one extra scan.
+    The histogram is a FIXED-SIZE summary (≤ bins rows), so
+    collecting it to the driver is bounded state, not a data-volume
+    collect (same class as a broadcast threshold).  Bucket membership
+    uses one shared expression in both passes, so float rounding at
+    bin edges cannot desynchronize the counts from the final filter —
+    and the result is the exact order statistic regardless of how the
+    binning splits ties.
+
+    Pass 2 filters to the single bucket holding rank k (predicate
+    reaches the scan) and runs sort→limit — Spark compiles that to
+    TakeOrderedAndProject, a distributed heap top-k, NOT a global
+    sort: per-partition heaps of (k − below) elements, merged once.
+    """
+    stats = df.agg(
+        F.min(col).alias("lo"),
+        F.max(col).alias("hi"),
+        F.count(col).alias("n"),
+    ).collect()[0]
+    if stats.n == 0:
+        raise ValueError(f"no non-null rows in {col!r}")
+    if k is None:
+        k = (stats.n + 1) // 2
+    if not 1 <= k <= stats.n:
+        raise ValueError(f"k={k} outside [1, {stats.n}]")
+    if stats.lo == stats.hi:
+        return float(stats.lo)
+
+    width = (float(stats.hi) - float(stats.lo)) / bins
+    bucket = F.least(
+        F.floor((F.col(col) - F.lit(float(stats.lo))) / F.lit(width)),
+        F.lit(bins - 1),
+    ).cast("int")
+    hist = {
+        r.b: r.cnt
+        for r in df.select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    below = 0
+    target = None
+    for b in sorted(hist):
+        if below + hist[b] >= k:
+            target = b
+            break
+        below += hist[b]
+    assert target is not None  # k <= n guarantees a bucket crosses
+
+    row = (
+        df.filter(bucket == target)
+        .orderBy(F.col(col).asc())
+        .limit(k - below)
+        .agg(F.max(col).alias("v"))
+        .collect()[0]
+    )
+    return float(row.v)

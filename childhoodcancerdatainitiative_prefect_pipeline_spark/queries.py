@@ -9126,3 +9126,143 @@ def orders_cube_stats(spark, sf_dir):
         F.count("*").alias("n"),
         exact_sum("o_totalprice", "sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 pack 5: PPJoin set-similarity + two-pass exact median.
+# ---------------------------------------------------------------------------
+
+_SETSIM_ORACLE = rf"""WITH {_TOKS_CTE},
+g AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+ds AS (SELECT DISTINCT doc_id, g FROM g),
+sets AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+  FROM ds x JOIN ds y USING (g)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(inter / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sets sa ON sa.doc_id = id_a
+JOIN sets sb ON sb.doc_id = id_b
+WHERE ROUND(inter / (sa.n + sb.n - inter), 6) >= 0.3"""
+
+
+@register(
+    "dedup_setsim_prefix_join",
+    _SETSIM_ORACLE,
+    "exact set-similarity self-join via prefix filtering (AllPairs/"
+    "PPJoin, Bayardo et al. WWW'07) on 3-gram shingle sets at "
+    "Jaccard >= 0.3: sets sorted by global rarity, candidates only "
+    "from the first |s|-ceil(t|s|)+1 tokens — a LOSSLESS blocking, "
+    "so the hash against the naive all-pairs oracle IS the proof of "
+    "the no-false-negative guarantee.  Inverted-index cost instead "
+    "of n^2; every shuffle keyed (operators/dedup.py::"
+    "setsim_prefix_join)",
+)
+def dedup_setsim_prefix_join(spark, sf_dir):
+    from .operators.dedup import setsim_prefix_join, with_shingles
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    staged = with_shingles(documents, "text", "__sh__", 3).select(
+        "doc_id", "__sh__"
+    )
+    return setsim_prefix_join(
+        staged, id_col="doc_id", set_col="__sh__", threshold=0.3
+    ).select(
+        F.col("id_a"), F.col("id_b"), F.col("jaccard")
+    )
+
+
+_MEDIAN2P_ORACLE = """WITH o AS (
+  SELECT l_extendedprice AS v,
+         ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lineitem)
+SELECT v AS median_price FROM o WHERE rn = (n + 1) // 2"""
+
+
+@register(
+    "lineitem_median_twopass",
+    _MEDIAN2P_ORACLE,
+    "EXACT global median without a global sort: histogram-prune to "
+    "the one bucket holding the median rank (the histogram is a "
+    "fixed-size <=1024-row summary — bounded driver state, not a "
+    "data collect), then TakeOrderedAndProject over ~N/1024 rows.  "
+    "Two scans + a distributed heap top-k vs the oracle's full-"
+    "column ROW_NUMBER sort — the shape that stays exact at 100 TB "
+    "(operators/quantiles.py::exact_kth_smallest_twopass; "
+    "approx_percentile remains the cheap path, profile_quantiles the "
+    "reduced-frame exact path)",
+)
+def lineitem_median_twopass(spark, sf_dir):
+    from .operators.quantiles import exact_kth_smallest_twopass
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    v = exact_kth_smallest_twopass(lineitem, "l_extendedprice")
+    return spark.createDataFrame([(v,)], "median_price double")
+
+
+@register(
+    "corpus_weighted_sample",
+    None,  # rank keys are floating logs → rows-only by convention;
+    # determinism + weight-proportionality pinned in unit tests
+    "weighted sampling without replacement (Efraimidis-Spirakis): "
+    "rank by ln(u)/w with u = md5-uniform per doc, keep the top-50 "
+    "by token-count weight via ONE TakeOrdered (per-partition heaps, "
+    "no global sort, no corpus shuffle).  Reproducible across runs "
+    "and engines; the building block for importance-weighted corpus "
+    "subsetting (operators/curation.py::weighted_sample_k)",
+)
+def corpus_weighted_sample(spark, sf_dir):
+    from .operators.curation import weighted_sample_k
+    from .operators.text import token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sized = documents.select(
+        "doc_id", "source", token_count(F.col("text")).cast("double").alias("w")
+    )
+    return weighted_sample_k(sized, "w", k=50, id_col="doc_id")
+
+
+@register(
+    "graph_kcore_membership",
+    None,  # peeling is a removal fixpoint — not expressible as a
+    # monotone recursive CTE; K5/tree/python-reference unit pins
+    # carry the correctness (test_k_core_peels_to_the_dense_subgraph)
+    "3-core of the embedding-similarity graph (cosine >= 0.3): "
+    "iterative peeling, one degree agg + two anti joins per round, "
+    "localCheckpoint per iteration so round r never replays rounds "
+    "1..r-1; converges in a handful of rounds on real graphs "
+    "(operators/graph.py::k_core).  The community-scaffold extractor "
+    "that pairs with dedup_cluster_* and graph_triangle_count",
+)
+def graph_kcore_membership(spark, sf_dir):
+    from .operators.graph import k_core
+    from .operators.similarity import dot, l2_norm
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    n_slices = spark.sparkContext.defaultParallelism * 2
+    a = e.repartition(n_slices).select(
+        F.col("vec_id").alias("u"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("w"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    edges = (
+        a.join(b, F.col("u") < F.col("w"))
+        .filter(
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+            >= 0.3
+        )
+        .select("u", "w")
+    )
+    return k_core(edges, k=3)

@@ -96,6 +96,18 @@ def main():
         "q18_large_volume_customers", "q21_waiting_suppliers",
         "corpus_chunk_sliding", "corpus_group_sample_k",
         "dedup_cluster_star", "kf_transfer_groups",
+        # round-4 ops (semdedup/triangles/kcore excluded: their exact
+        # cosine EDGE BUILD is O(n^2) by design at probe scale — the
+        # operators themselves are keyed; feed them LSH/IVF edges at
+        # 100 TB.  setsim excluded: the synthetic corpus's uniform
+        # 30-word vocabulary defeats rarity-based prefix pruning —
+        # Zipfian corpora are the operator's habitat)
+        "corpus_bloom_decontaminate", "text_quality_classifier",
+        "text_bigram_logprob", "corpus_temperature_mix",
+        "events_cms_heavy_hitters", "profile_hll_distinct",
+        "events_concurrency_peak", "lineitem_weighted_median",
+        "orders_cube_stats", "lineitem_median_twopass",
+        "corpus_weighted_sample",
     )
     timings = {}
     for name in queries:

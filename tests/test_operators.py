@@ -1755,3 +1755,97 @@ def test_minhash_signature_estimates_jaccard(spark, sf_dir):
     ).collect()[0]
     assert stats.n > 100
     assert stats.mae < 0.1
+
+
+def test_exact_kth_twopass_matches_full_sort(spark):
+    """Two-pass order statistic == the sorted multiset's k-th element
+    for edge and middle ranks, with duplicates present."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.quantiles import (
+        exact_kth_smallest_twopass,
+    )
+
+    df = spark.range(3001).select(
+        ((F.xxhash64("id") % 500) * F.lit(0.25)).alias("v")
+    )
+    vals = sorted(r.v for r in df.collect())
+    n = len(vals)
+    for k in (1, 2, n // 3, (n + 1) // 2, n - 1, n):
+        assert exact_kth_smallest_twopass(df, "v", k=k) == vals[k - 1], k
+    # constant column short-circuit
+    const = spark.range(10).select(F.lit(7.5).alias("v"))
+    assert exact_kth_smallest_twopass(const, "v") == 7.5
+
+
+def test_weighted_sample_matches_python_reference_and_tracks_weights(spark):
+    """E-S top-k == a pure-Python computation of the same keys, and
+    high-weight rows are sampled far more often than low-weight ones
+    (inclusion tracks weight)."""
+    import hashlib
+    import math
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.curation import (
+        weighted_sample_k,
+    )
+
+    rows = [(i, 100.0 if i % 10 == 0 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = sorted(r.doc_id for r in weighted_sample_k(df, "w", k=100).collect())
+
+    def key(i, w):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) / float(1 << 52)
+        return math.log(u) / w
+
+    want = sorted(
+        i for i, _ in sorted(rows, key=lambda t: (-key(*t), t[0]))[:100]
+    )
+    assert got == want
+
+    heavy = sum(1 for i in got if i % 10 == 0)  # 100 heavy rows of 1000
+    assert heavy >= 60  # weight 100x => heavy rows dominate the sample
+    # determinism across runs
+    again = sorted(r.doc_id for r in weighted_sample_k(df, "w", k=100).collect())
+    assert got == again
+
+
+def test_k_core_peels_to_the_dense_subgraph(spark):
+    """K5 with pendant tails: the 3-core is exactly the K5; a tree
+    has no 2-core; matches a pure-Python peeling reference on a
+    hashed random graph."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.graph import k_core
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    tails = [(0, 10), (10, 11), (1, 12)]
+    g = spark.createDataFrame(k5 + tails, ["u", "w"])
+    core = {r.vertex: r.degree for r in k_core(g, 3).collect()}
+    assert core == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+
+    tree = spark.createDataFrame([(0, 1), (1, 2), (1, 3), (3, 4)], ["u", "w"])
+    assert k_core(tree, 2).count() == 0
+
+    # python peeling reference on a deterministic pseudo-random graph
+    import hashlib
+
+    edges = []
+    for i in range(300):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        a, b = h % 40, (h // 40) % 40
+        if a != b:
+            edges.append((a, b))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj.get(v, ())) < 3:
+                for n in adj.pop(v, ()):  # remove v everywhere
+                    adj[n].discard(v)
+                changed = True
+    want = {v: len(ns) for v, ns in adj.items()}
+    got = {
+        r.vertex: r.degree
+        for r in k_core(spark.createDataFrame(edges, ["u", "w"]), 3).collect()
+    }
+    assert got == want

@@ -372,3 +372,12 @@ def test_cms_probe_broadcasts_sketch(spark, sf_dir):
     plan = _plan(REGISTRY["events_cms_heavy_hitters"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_setsim_prefix_join_has_no_nested_loop(spark, sf_dir):
+    """Prefix filtering exists to avoid the quadratic pair join: the
+    plan must contain only keyed joins — no cartesian/nested-loop
+    node anywhere (the naive id_a < id_b formulation would)."""
+    plan = _plan(REGISTRY["dedup_setsim_prefix_join"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
