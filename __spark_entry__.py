@@ -95,6 +95,11 @@ _CERTIFY_FIRST = [
     "orders_cube_stats",
     "dedup_setsim_prefix_join",
     "lineitem_median_twopass",
+    "corpus_shard_balance",
+    "profile_hll_by_source",
+    "join_size_estimate_cms",
+    "dedup_containment_pairs",
+    "events_sliding_hll_uniques",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",

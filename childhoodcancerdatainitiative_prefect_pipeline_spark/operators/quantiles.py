@@ -78,3 +78,79 @@ def exact_kth_smallest_twopass(
         .collect()[0]
     )
     return float(row.v)
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    bins: int = 1024,
+) -> DataFrame:
+    """Weighted median per group without a per-group global window.
+
+    The naive formulation (cumulative weights over a value-ordered
+    window partitioned by the group) serializes each group through
+    ONE task — with 3 groups and 6M rows that is 3 single-threaded
+    sorts (7.4 s at the 10× probe).  This version histogram-prunes
+    per group, fully declaratively: (1) per-group (lo, hi, total) in
+    one agg; (2) per-(group, bucket) weight sums — windows then run
+    over ≤ bins rows per group to find the bucket whose cumulative
+    weight crosses half; (3) the value-ordered window runs only over
+    that one bucket's rows (~N/bins per group).  All weights stay
+    DECIMAL end-to-end, so the crossing decision is exact and
+    order-independent; value ties share a bucket, preserving the
+    RANGE-frame tie semantics of the direct window.
+
+    Returns (group_col, weighted_median).  Use the direct window when
+    groups are many and small; this shape is for FEW, HUGE groups.
+    """
+    from pyspark.sql import Window
+
+    g, v, wd = group_col, value_col, weight_col
+    stats = df.groupBy(g).agg(
+        F.min(v).alias("__lo__"),
+        F.max(v).alias("__hi__"),
+        F.sum(wd).alias("__T__"),
+    )
+    staged = df.join(F.broadcast(stats), g)
+    width = (F.col("__hi__") - F.col("__lo__")) / bins
+    bucket = F.when(F.col("__hi__") == F.col("__lo__"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(v) - F.col("__lo__")) / width), F.lit(bins - 1)
+        )
+    ).cast("int")
+    binned = staged.withColumn("__b__", bucket)
+    hist = binned.groupBy(g, "__b__").agg(
+        F.sum(wd).alias("__wsum__"), F.max("__T__").alias("__T__")
+    )
+    wb = (
+        Window.partitionBy(g)
+        .orderBy("__b__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum__", F.sum("__wsum__").over(wb))
+    pick = (
+        cum.filter(2 * F.col("__cum__") >= F.col("__T__"))
+        .groupBy(g)
+        .agg(F.min("__b__").alias("__bstar__"))
+    )
+    below = (
+        cum.join(pick, g)
+        .filter(F.col("__b__") == F.col("__bstar__"))
+        .select(
+            g,
+            "__bstar__",
+            (F.col("__cum__") - F.col("__wsum__")).alias("__below__"),
+        )
+    )
+    subset = binned.join(F.broadcast(below), g).filter(
+        F.col("__b__") == F.col("__bstar__")
+    )
+    wv = Window.partitionBy(g).orderBy(v)  # RANGE default: ties share cum
+    return (
+        subset.withColumn("__cumv__", F.sum(wd).over(wv))
+        .filter(2 * (F.col("__below__") + F.col("__cumv__")) >= F.col("__T__"))
+        .groupBy(g)
+        .agg(F.min(v).alias("weighted_median"))
+    )

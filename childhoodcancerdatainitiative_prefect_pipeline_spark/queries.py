@@ -8577,7 +8577,11 @@ def corpus_bloom_decontaminate(spark, sf_dir):
     staged = documents.select(
         "doc_id", normalized_tokens("text").alias("toks")
     ).withColumn("g5", F.array_distinct(word_ngrams_expr("toks", 5)))
-    shing = staged.select("doc_id", F.explode("g5").alias("g"))
+    # both the bench build and the corpus probe scan the exploded
+    # shingles — persist so the (expensive) n-gram construction runs
+    # ONCE (the minhash signature rule: a parquet materialization at
+    # corpus scale, a cache here; 2x wall-clock at the 10x probe)
+    shing = staged.select("doc_id", F.explode("g5").alias("g")).persist()
     bench = shing.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
     bloom = bloom_build(bench, "g", m_bits=65536, k=3)
     probe = shing.filter(F.col("doc_id") % 97 != 0)
@@ -9069,16 +9073,19 @@ GROUP BY l_returnflag"""
 @register(
     "lineitem_weighted_median",
     _WMEDIAN_ORACLE,
-    "exact weighted median (weight = quantity) per return flag: "
-    "cumulative decimal weights over a price-ordered RANGE window — "
-    "tied prices share one cumulative value on both engines, so the "
-    "first row crossing half the total is deterministic.  Decimal "
-    "weights keep every comparison exact (no float cumsum drift).  "
-    "One shuffle (the group key); the global-order variant at 100 TB "
-    "swaps the window for distributed_prefix_sum",
+    "exact weighted median (weight = quantity) per return flag via "
+    "the declarative two-pass histogram prune "
+    "(operators/quantiles.py::grouped_weighted_median): the oracle's "
+    "direct formulation serializes each group through one task (3 "
+    "single-thread sorts of 2M rows each at the 10x probe, 7.4 s); "
+    "here windows touch only the per-group bucket frame (<=1024 "
+    "rows) and the one crossing bucket (~N/1024 rows) — 1.3 s at the "
+    "same probe, bit-identical output.  Decimal weights keep the "
+    "crossing decision exact; value ties share a bucket, preserving "
+    "RANGE-frame tie semantics",
 )
 def lineitem_weighted_median(spark, sf_dir):
-    from pyspark.sql import Window
+    from .operators.quantiles import grouped_weighted_median
 
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     base = lineitem.select(
@@ -9086,18 +9093,10 @@ def lineitem_weighted_median(spark, sf_dir):
         F.col("l_extendedprice").alias("price"),
         F.col("l_quantity").cast("decimal(18,4)").alias("wd"),
     )
-    w = Window.partitionBy("l_returnflag").orderBy("price")
-    wt = Window.partitionBy("l_returnflag")
-    cum = base.select(
-        "l_returnflag",
-        "price",
-        F.sum("wd").over(w).alias("cw"),
-        F.sum("wd").over(wt).alias("t"),
-    )
-    return (
-        cum.filter(F.lit(2) * F.col("cw") >= F.col("t"))
-        .groupBy("l_returnflag")
-        .agg(F.min("price").alias("weighted_median_price"))
+    return grouped_weighted_median(
+        base, "l_returnflag", "price", "wd"
+    ).select(
+        "l_returnflag", F.col("weighted_median").alias("weighted_median_price")
     )
 
 
@@ -9266,3 +9265,342 @@ def graph_kcore_membership(spark, sf_dir):
         .select("u", "w")
     )
     return k_core(edges, k=3)
+
+
+_SHARD_BALANCE_ORACLE = r"""WITH d AS (
+  SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+           % 16 AS shard,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+FROM d GROUP BY shard"""
+
+
+@register(
+    "corpus_shard_balance",
+    _SHARD_BALANCE_ORACLE,
+    "training-shard balance audit: md5-deterministic 16-way shard "
+    "assignment with per-shard doc and token counts — the check run "
+    "before a training job to confirm the global shuffle produced "
+    "even shards (writer twin: operators/curation.py::"
+    "write_training_shards, range-contiguous + reproducible, "
+    "unit-pinned).  One aggregation, no data movement",
+)
+def corpus_shard_balance(spark, sf_dir):
+    from .operators.text import token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 16
+    )
+    return (
+        documents.select(
+            shard.alias("shard"),
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 pack 7: sketch algebra — grouped HLL + CMS join-size estimate.
+# ---------------------------------------------------------------------------
+
+_GROUPED_HLL_ORACLE = r"""WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+h AS (SELECT source, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM toks),
+rk AS (SELECT source, h % 256 AS bucket,
+              CASE WHEN h // 256 = 0 THEN 53
+                   ELSE 52 - length(bin(h // 256)) + 1 END AS rank
+       FROM h),
+regs AS (SELECT source, bucket, MAX(rank) AS M FROM rk GROUP BY 1, 2),
+agg AS (SELECT source, COUNT(*) AS n_present,
+               SUM(CAST(1 AS BIGINT) << CAST(53 - M AS INT)) AS s_present
+        FROM regs GROUP BY 1),
+e AS (SELECT source, 256 - n_present AS v,
+             0.7213 / (1.0 + 1.079 / 256.0) * 256 * 256
+               * 9007199254740992.0
+               / (s_present + (256 - n_present)
+                              * (CAST(1 AS BIGINT) << 53)) AS e_raw
+      FROM agg),
+fin AS (SELECT source,
+               ROUND(CASE WHEN e_raw <= 2.5 * 256 AND v > 0
+                          THEN 256.0 * ln(256 / v) ELSE e_raw END, 4)
+                 AS hll_est
+        FROM e),
+ex AS (SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS exact_distinct
+       FROM toks GROUP BY source)
+SELECT f.source, ex.exact_distinct, f.hll_est
+FROM fin f JOIN ex USING (source)"""
+
+
+@register(
+    "profile_hll_by_source",
+    _GROUPED_HLL_ORACLE,
+    "GROUPED reproducible-HLL: per-source distinct-token estimates "
+    "from per-(source, bucket) register tables — the same 256 "
+    "registers per group, merged by MAX, estimated with the exact-"
+    "int64 harmonic sum.  The mergeable-by-group shape is what a "
+    "daily profiling job stores: registers roll up across days by "
+    "MAX without re-reading data (operators/sketches.py)",
+)
+def profile_hll_by_source(spark, sf_dir):
+    from .operators.dedup import normalized_tokens
+    from .operators.sketches import hll_estimate
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "source", F.explode(normalized_tokens("text")).alias("w")
+    )
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    r = F.floor(h / 256).cast("long")
+    rank = F.when(r == 0, F.lit(53)).otherwise(F.lit(52) - F.length(F.bin(r)) + 1)
+    regs = (
+        toks.select("source", (h % 256).alias("bucket"), rank.alias("rank"))
+        .groupBy("source", "bucket")
+        .agg(F.max("rank").alias("M"))
+    )
+    est = hll_estimate(regs, ["source"])
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("w").alias("exact_distinct")
+    )
+    return est.join(exact, "source").select("source", "exact_distinct", "hll_est")
+
+
+_CMS_JOINSIZE_ORACLE = """WITH lk AS (
+  SELECT d,
+         (('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1 + 8 * d, 8))
+            ::BIGINT) % 1024 AS bucket
+  FROM lineitem CROSS JOIN UNNEST([0, 1, 2]) AS t(d)),
+ok AS (
+  SELECT d,
+         (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1 + 8 * d, 8))
+            ::BIGINT) % 1024 AS bucket
+  FROM orders CROSS JOIN UNNEST([0, 1, 2]) AS t(d)),
+s1 AS (SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c1 FROM lk GROUP BY 1, 2),
+s2 AS (SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c2 FROM ok GROUP BY 1, 2),
+dots AS (
+  SELECT s1.d, CAST(SUM(s1.c1 * s2.c2) AS BIGINT) AS dot
+  FROM s1 JOIN s2 USING (d, bucket) GROUP BY s1.d),
+est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est_join_size FROM dots),
+ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT est.est_join_size, ex.exact_join_size,
+       ROUND(est.est_join_size / ex.exact_join_size, 6) AS over_ratio
+FROM est CROSS JOIN ex"""
+
+
+@register(
+    "join_size_estimate_cms",
+    _CMS_JOINSIZE_ORACLE,
+    "equi-join cardinality estimation from two Count-Min sketches "
+    "(the AGMS/CM inner-product estimator): |R join S| is estimated "
+    "by the min over depths of the bucket-wise count dot product — "
+    "never an underestimate, computed from two fixed-size sketches "
+    "WITHOUT running the join.  The query-optimizer primitive for "
+    "choosing join strategies at 100 TB; shown against the exact "
+    "join count (operators/sketches.py::cms_build)",
+)
+def join_size_estimate_cms(spark, sf_dir):
+    from .operators.sketches import cms_build
+
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    s1 = cms_build(
+        lineitem.select(F.col("l_orderkey").alias("k")), "k", depth=3, width=1024
+    ).withColumnRenamed("cnt", "c1")
+    s2 = cms_build(
+        orders.select(F.col("o_orderkey").alias("k")), "k", depth=3, width=1024
+    ).withColumnRenamed("cnt", "c2")
+    dots = (
+        s1.join(s2, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("c1") * F.col("c2")).alias("dot"))
+    )
+    est = dots.agg(F.min("dot").alias("est_join_size"))
+    exact = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(F.count("*").alias("exact_join_size"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "est_join_size",
+            "exact_join_size",
+            F.round(
+                F.col("est_join_size") / F.col("exact_join_size"), 6
+            ).alias("over_ratio"),
+        )
+    )
+
+
+_CONTAIN_ORACLE = rf"""WITH {_TOKS_CTE},
+g AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+ds AS (SELECT DISTINCT doc_id, g FROM g),
+sets AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+  FROM ds x JOIN ds y USING (g)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(inter / sa.n, 6) AS containment_a,
+       ROUND(inter / sb.n, 6) AS containment_b
+FROM pairs
+JOIN sets sa ON sa.doc_id = id_a
+JOIN sets sb ON sb.doc_id = id_b
+WHERE ROUND(inter / sa.n, 6) >= 0.5 OR ROUND(inter / sb.n, 6) >= 0.5"""
+
+
+@register(
+    "dedup_containment_pairs",
+    _CONTAIN_ORACLE,
+    "asymmetric containment near-dup (|A∩B|/|A| — catches QUOTES and "
+    "subsets that symmetric Jaccard misses: a paragraph wholly "
+    "inside a larger doc scores ~1.0 containment but low Jaccard).  "
+    "Intersections come from the inverted-index gram join — linear "
+    "in co-occurring gram pairs, never all-pairs; both directions "
+    "reported, either >= 0.5 kept",
+)
+def dedup_containment_pairs(spark, sf_dir):
+    from .operators.dedup import with_shingles
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    ds = (
+        with_shingles(documents, "text", "__sh__", 3)
+        .select("doc_id", F.explode("__sh__").alias("g"))
+    )
+    sets = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = (
+        ds.select(F.col("doc_id").alias("id_a"), "g")
+        .join(ds.select(F.col("doc_id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = F.round(F.col("inter") / F.col("na"), 6)
+    cb = F.round(F.col("inter") / F.col("nb"), 6)
+    return (
+        pairs.join(
+            sets.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .withColumn("containment_a", ca)
+        .withColumn("containment_b", cb)
+        .filter((F.col("containment_a") >= 0.5) | (F.col("containment_b") >= 0.5))
+        .select("id_a", "id_b", "containment_a", "containment_b")
+    )
+
+
+_SLIDING_HLL_ORACLE = """WITH e AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+         CAST(user_id AS VARCHAR) AS k
+  FROM events),
+h AS (SELECT day_idx, ('0x' || substr(md5(k), 1, 15))::BIGINT AS h FROM e),
+rk AS (SELECT day_idx, h % 256 AS bucket,
+              CASE WHEN h // 256 = 0 THEN 53
+                   ELSE 52 - length(bin(h // 256)) + 1 END AS rank
+       FROM h),
+regs AS (SELECT day_idx, bucket, MAX(rank) AS M FROM rk GROUP BY 1, 2),
+spread AS (
+  SELECT day_idx + o AS target_day, bucket, M
+  FROM regs CROSS JOIN UNNEST(range(0, 7)) AS t(o)),
+merged AS (
+  SELECT target_day, bucket, MAX(M) AS M
+  FROM spread GROUP BY 1, 2),
+agg AS (SELECT target_day, COUNT(*) AS n_present,
+               SUM(CAST(1 AS BIGINT) << CAST(53 - M AS INT)) AS s_present
+        FROM merged GROUP BY 1),
+e2 AS (SELECT target_day, 256 - n_present AS v,
+              0.7213 / (1.0 + 1.079 / 256.0) * 256 * 256
+                * 9007199254740992.0
+                / (s_present + (256 - n_present)
+                               * (CAST(1 AS BIGINT) << 53)) AS e_raw
+       FROM agg),
+fin AS (SELECT target_day,
+               ROUND(CASE WHEN e_raw <= 2.5 * 256 AND v > 0
+                          THEN 256.0 * ln(256 / v) ELSE e_raw END, 4)
+                 AS hll_est
+        FROM e2),
+ex AS (
+  SELECT d.day_idx AS target_day,
+         CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_distinct
+  FROM (SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+          AS day_idx FROM events) d
+  JOIN (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+               user_id FROM events) e
+    ON e.day_idx BETWEEN d.day_idx - 6 AND d.day_idx
+  GROUP BY 1)
+SELECT f.target_day AS day_idx, ex.exact_distinct, f.hll_est
+FROM fin f JOIN ex ON ex.target_day = f.target_day"""
+
+
+@register(
+    "events_sliding_hll_uniques",
+    _SLIDING_HLL_ORACLE,
+    "trailing-7-day distinct users per day WITHOUT re-scanning 7 "
+    "days of events: daily HLL register tables (<=256 rows/day) "
+    "spread to the 7 days they influence and max-merged — sketch "
+    "algebra replaces the oracle's 7x event re-read range join.  "
+    "This is THE daily-uniques dashboard shape at 100 TB: store "
+    "registers per day, merge windows at query time; exact distincts "
+    "shown alongside (operators/sketches.py::hll_estimate)",
+)
+def events_sliding_hll_uniques(spark, sf_dir):
+    from .operators.sketches import hll_estimate
+
+    (events,) = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    day = F.floor(us / 86_400_000_000).cast("long")
+    e = events.select(day.alias("day_idx"), F.col("user_id"))
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    r = F.floor(h / 256).cast("long")
+    rank = F.when(r == 0, F.lit(53)).otherwise(F.lit(52) - F.length(F.bin(r)) + 1)
+    regs = (
+        e.select("day_idx", (h % 256).alias("bucket"), rank.alias("rank"))
+        .groupBy("day_idx", "bucket")
+        .agg(F.max("rank").alias("M"))
+    )
+    spread = regs.select(
+        F.explode(F.sequence(F.col("day_idx"), F.col("day_idx") + 6)).alias(
+            "target_day"
+        ),
+        "bucket",
+        "M",
+    )
+    merged = spread.groupBy("target_day", "bucket").agg(F.max("M").alias("M"))
+    est = hll_estimate(
+        merged.withColumnRenamed("target_day", "day_idx"), ["day_idx"]
+    )
+    days = e.select("day_idx").distinct()
+    exact = (
+        days.alias("d")
+        .join(
+            e.select(F.col("day_idx").alias("ed"), "user_id").alias("e"),
+            (F.col("ed") >= F.col("day_idx") - 6) & (F.col("ed") <= F.col("day_idx")),
+        )
+        .groupBy("day_idx")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "day_idx").select("day_idx", "exact_distinct", "hll_est")

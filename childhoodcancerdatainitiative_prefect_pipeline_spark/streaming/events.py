@@ -358,3 +358,34 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def cms_batch_sketcher(base_path: str, key_col: str, depth: int = 3, width: int = 256):
+    """foreachBatch sink that maintains a running Count-Min sketch.
+
+    Each micro-batch writes ITS OWN ≤ depth·width-row sketch under a
+    ``batch_id=N`` directory (mode=overwrite → crash-replay of a
+    batch is idempotent, the same exactly-once contract as
+    ``idempotent_batch_writer``).  Because CMS merges by addition,
+    the running sketch is just the per-batch sketches re-aggregated
+    at READ time (``read_running_cms``) — no read-modify-write race,
+    no state store, bounded storage: sketch_rows × batches.
+    """
+    from ..operators.sketches import cms_build
+
+    def write(batch_df, batch_id: int) -> None:
+        sketch = cms_build(batch_df.select(key_col), key_col, depth, width)
+        sketch.write.mode("overwrite").parquet(f"{base_path}/batch_id={batch_id}")
+
+    return write
+
+
+def read_running_cms(spark, base_path: str):
+    """Merge all per-batch sketches into the current running sketch."""
+    from pyspark.sql import functions as SF
+
+    return (
+        spark.read.parquet(base_path)
+        .groupBy("d", "bucket")
+        .agg(SF.sum("cnt").alias("cnt"))
+    )

@@ -1849,3 +1849,100 @@ def test_k_core_peels_to_the_dense_subgraph(spark):
         for r in k_core(spark.createDataFrame(edges, ["u", "w"]), 3).collect()
     }
     assert got == want
+
+
+def test_training_shards_are_contiguous_and_reproducible(spark, sf_dir, tmp_path):
+    """Range shards: hash ranges don't overlap across files, the
+    union is the corpus, and a second write is byte-identical in
+    content terms (same doc->file assignment)."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.catalog import load_testdata
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.curation import (
+        write_training_shards,
+    )
+
+    docs = load_testdata(spark, sf_dir, tables=("documents",), register_views=False)[
+        "documents"
+    ]
+    p1 = str(tmp_path / "shards1")
+    write_training_shards(docs, p1, n_shards=8)
+    back = spark.read.parquet(p1).withColumn(
+        "f", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    ).withColumn("h", F.md5(F.col("doc_id").cast("string")))
+    assert back.count() == docs.count()
+    ranges = {
+        r.f: (r.lo, r.hi)
+        for r in back.groupBy("f").agg(
+            F.min("h").alias("lo"), F.max("h").alias("hi")
+        ).collect()
+    }
+    spans = sorted(ranges.values())
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next  # contiguous, non-overlapping hash space
+
+    p2 = str(tmp_path / "shards2")
+    write_training_shards(docs, p2, n_shards=8)
+    a1 = {
+        (r.doc_id, r.f)
+        for r in back.select("doc_id", "f").collect()
+    }
+    b2 = spark.read.parquet(p2).withColumn(
+        "f", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    # same shard CONTENTS (file names may differ by task attempt ids):
+    by_lo_1 = {ranges[f][0]: {d for d, ff in a1 if ff == f} for f in ranges}
+    r2 = {
+        r.f: (r.lo, {x.doc_id for x in b2.filter(F.col("f") == r.f).collect()})
+        for r in b2.withColumn("h", F.md5(F.col("doc_id").cast("string")))
+        .groupBy("f")
+        .agg(F.min("h").alias("lo"))
+        .collect()
+    }
+    by_lo_2 = {lo: ids for (lo, ids) in r2.values()}
+    assert by_lo_1 == by_lo_2
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """A real stream through the per-batch CMS sink merges to exactly
+    the sketch of the whole input; replaying a batch id changes
+    nothing (idempotent overwrite)."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.sketches import (
+        cms_build,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.streaming.events import (
+        cms_batch_sketcher,
+        read_running_cms,
+    )
+
+    data = spark.range(2000).select((F.col("id") % 131).alias("k"))
+    src = str(tmp_path / "src")
+    data.write.mode("overwrite").parquet(src)
+
+    sink = str(tmp_path / "sketches")
+    stream = spark.readStream.schema(data.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(cms_batch_sketcher(sink, "k"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    running = {
+        (r.d, r.bucket): r.cnt for r in read_running_cms(spark, sink).collect()
+    }
+    whole = {(r.d, r.bucket): r.cnt for r in cms_build(data, "k").collect()}
+    assert running == whole
+
+    # crash-replay of batch 0: same rows, overwritten in place
+    cms_batch_sketcher(sink, "k")(data, 0)
+    cms_batch_sketcher(sink, "k")(data, 0)
+    replay = {
+        (r.d, r.bucket): r.cnt
+        for r in spark.read.parquet(f"{sink}/batch_id=0")
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert replay == whole

@@ -79,3 +79,19 @@ def test_all_queries_return_rows_or_valid_empty(spark, sf_dir):
         df = q.fn(spark, sf_dir)
         assert df.columns, f"{name}: no columns"
         df.limit(5).collect()  # must execute without error
+
+
+def test_sql_facade_runs_ansi_oracles_via_spark_sql(spark, sf_dir):
+    """The engine's tables register as temp views and ANSI-subset
+    oracle strings run unchanged through spark.sql — the SQL facade a
+    reference user gets alongside the DataFrame registry.  Results
+    must equal the DataFrame plans' output."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.catalog import load_testdata
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.queries import REGISTRY
+
+    load_testdata(spark, sf_dir, register_views=True)
+    for name in ("a1_group_count", "a3_duplicates", "a2_two_level_distinct"):
+        q = REGISTRY[name]
+        via_sql = {tuple(r) for r in spark.sql(q.oracle).collect()}
+        via_df = {tuple(r) for r in q.fn(spark, sf_dir).collect()}
+        assert via_sql == via_df, name
