@@ -100,6 +100,8 @@ _CERTIFY_FIRST = [
     "join_size_estimate_cms",
     "dedup_containment_pairs",
     "events_sliding_hll_uniques",
+    "text_token_entropy",
+    "events_time_weighted_avg",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",

@@ -235,3 +235,43 @@ def max_element_run(arr: Column) -> Column:
         ),
         lambda acc: acc["best"],
     )
+
+
+def token_entropy(toks: Column) -> Column:
+    """Shannon entropy of a token multiset — row-local, shuffle-free.
+
+    entropy = ln(n) − (Σ c_i·ln c_i)/n over per-token counts c_i.
+    One sort + one fold per row (the ``max_element_run`` pattern):
+    runs of equal tokens in the sorted array contribute run·ln(run)
+    when they close.  The naive explode→groupBy→agg pays a corpus
+    shuffle for what is a per-row statistic; this never leaves the
+    row.  Accumulation follows sorted-token order, so an oracle
+    summing an ORDER BY token list reproduces the double bit-for-bit.
+    """
+    s = F.sort_array(toks)
+    n = F.size(toks)
+    run = lambda acc, x: (  # noqa: E731 — shared subexpression
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+    )
+    close = lambda acc, x: (  # noqa: E731 — add closed run's c·ln c
+        F.when(
+            (x != acc["prev"]) & (acc["run"] > 0),
+            acc["acc"] + acc["run"] * F.log(acc["run"].cast("double")),
+        ).otherwise(acc["acc"])
+    )
+    folded = F.aggregate(
+        s,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("acc"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"), run(acc, x).alias("run"), close(acc, x).alias("acc")
+        ),
+        lambda acc: acc["acc"]
+        + F.when(
+            acc["run"] > 0, acc["run"] * F.log(acc["run"].cast("double"))
+        ).otherwise(F.lit(0.0)),
+    )
+    return F.when(n > 0, F.log(n.cast("double")) - folded / n).otherwise(F.lit(0.0))

@@ -7162,7 +7162,9 @@ def corpus_decontaminate(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
     staged = documents.select(
         "doc_id", normalized_tokens("text").alias("toks")
-    ).withColumn("g5", word_ngrams_expr("toks", 5))
+    ).withColumn("g5", word_ngrams_expr("toks", 5)).persist()
+    # persist: the bench filter and the corpus probe both scan the
+    # staged 5-grams (the bloom twin's fix — 2x at the 10x probe)
     bench_grams = (
         staged.filter(F.col("doc_id") % 97 == 0)
         .select(F.explode("g5").alias("g"))
@@ -9604,3 +9606,103 @@ def events_sliding_hll_uniques(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("exact_distinct"))
     )
     return est.join(exact, "day_idx").select("day_idx", "exact_distinct", "hll_est")
+
+
+_ENTROPY_ORACLE = r"""WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+c AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM toks GROUP BY doc_id, w),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         list_sum(list_transform(list(c ORDER BY w), x -> x * ln(x))) AS s
+  FROM c GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       ROUND(ln(n_tokens) - s / n_tokens, 6) AS token_entropy
+FROM per_doc"""
+
+
+@register(
+    "text_token_entropy",
+    _ENTROPY_ORACLE,
+    "Shannon token entropy per doc — the gibberish/boilerplate "
+    "signal (low entropy = repeated tokens, high = diverse) — "
+    "computed ROW-LOCALLY: sort + one fold accumulating c*ln(c) as "
+    "runs close (operators/text.py::token_entropy), zero shuffle "
+    "where the oracle pays explode + two groupBys.  Sorted-run "
+    "accumulation order matches the oracle's ORDER BY token list "
+    "sum, so the doubles agree bit-for-bit",
+)
+def text_token_entropy(spark, sf_dir):
+    from .operators.dedup import normalized_tokens
+    from .operators.text import token_count, token_entropy
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    staged = documents.select("doc_id", normalized_tokens("text").alias("toks"))
+    return staged.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.round(token_entropy(F.col("toks")), 6).alias("token_entropy"),
+    )
+
+
+_TWA_ORACLE = """WITH pts AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(value AS DECIMAL(18,4)) AS v
+  FROM events),
+seg AS (
+  SELECT user_id, v,
+         LEAD(t) OVER (PARTITION BY user_id ORDER BY t, v) - t AS dur
+  FROM pts),
+agg AS (
+  SELECT user_id,
+         CAST(SUM(v * dur) AS DOUBLE) AS weighted,
+         CAST(SUM(dur) AS BIGINT) AS total_us
+  FROM seg WHERE dur IS NOT NULL
+  GROUP BY user_id)
+SELECT user_id, total_us,
+       ROUND(weighted / total_us, 6) AS time_weighted_value
+FROM agg WHERE total_us > 0"""
+
+
+@register(
+    "events_time_weighted_avg",
+    _TWA_ORACLE,
+    "time-weighted average value per user (each reading holds until "
+    "the next — the sensor/price TWA): segment durations from one "
+    "LEAD window, weights as DECIMAL x integer-microsecond products "
+    "so the sum is exact and order-independent under partial "
+    "aggregation.  One user_id shuffle; ties ordered (t, v) "
+    "identically on both engines",
+)
+def events_time_weighted_avg(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    pts = events.select(
+        "user_id", us.alias("t"), F.col("value").cast("decimal(18,4)").alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "v")
+    seg = pts.withColumn("dur", F.lead("t").over(w) - F.col("t")).filter(
+        F.col("dur").isNotNull()
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum(F.col("v") * F.col("dur")).cast("double").alias("weighted"),
+            F.sum("dur").alias("total_us"),
+        )
+        .filter(F.col("total_us") > 0)
+        .select(
+            "user_id",
+            "total_us",
+            F.round(F.col("weighted") / F.col("total_us"), 6).alias(
+                "time_weighted_value"
+            ),
+        )
+    )

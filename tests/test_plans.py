@@ -381,3 +381,11 @@ def test_setsim_prefix_join_has_no_nested_loop(spark, sf_dir):
     plan = _plan(REGISTRY["dedup_setsim_prefix_join"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_entropy_is_shuffle_free(spark, sf_dir):
+    """Entropy is a per-row statistic: the fold formulation must not
+    exchange (the naive explode+groupBy pays a corpus shuffle)."""
+    plan = _plan(REGISTRY["text_token_entropy"].fn(spark, sf_dir))
+    tree = plan.split("(1)")[0]
+    assert "Exchange" not in tree
