@@ -102,6 +102,8 @@ _CERTIFY_FIRST = [
     "events_sliding_hll_uniques",
     "text_token_entropy",
     "events_time_weighted_avg",
+    "search_hybrid_rrf",
+    "dedup_minhash_pairs_md5",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",

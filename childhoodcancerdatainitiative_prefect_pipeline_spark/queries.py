@@ -9706,3 +9706,221 @@ def events_time_weighted_avg(spark, sf_dir):
             ),
         )
     )
+
+
+_HYBRID_RRF_ORACLE = rf"""WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf FROM toks
+       WHERE w IN ('spark','table','window') GROUP BY doc_id, w),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT tf.doc_id,
+         SUM(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75
+                               + 0.75 * dl.dl / stats.avgdl))) AS bm25
+  FROM tf JOIN dfreq USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+  GROUP BY tf.doc_id),
+sparse AS (
+  SELECT doc_id AS id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rs
+  FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+               (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_inner_product(q.qv, q.qv))), 6) AS cos
+  FROM embeddings e CROSS JOIN q),
+dense AS (
+  SELECT query_id, vec_id AS id, rd FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, vec_id) AS rd
+    FROM scored) WHERE rd <= 20),
+sp2 AS (SELECT query_id, id, rs
+        FROM (SELECT DISTINCT query_id FROM dense) CROSS JOIN sparse),
+merged AS (
+  SELECT COALESCE(d.query_id, s.query_id) AS query_id,
+         COALESCE(d.id, s.id) AS id,
+         COALESCE(1.0 / (60 + d.rd), 0.0)
+           + COALESCE(1.0 / (60 + s.rs), 0.0) AS rrf
+  FROM dense d FULL JOIN sp2 s
+    ON d.query_id = s.query_id AND d.id = s.id),
+ranked AS (
+  SELECT query_id, id, ROUND(rrf, 6) AS rrf_score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, id) AS rn
+  FROM merged)
+SELECT query_id, id, rrf_score FROM ranked WHERE rn <= 10"""
+
+
+@register(
+    "search_hybrid_rrf",
+    _HYBRID_RRF_ORACLE,
+    "hybrid retrieval via reciprocal-rank fusion: BM25 top-20 "
+    "(sparse) and per-query cosine top-20 (dense) fused with "
+    "1/(60+rank) — the standard RRF that needs NO score "
+    "normalization between incomparable ranking scales.  Both "
+    "rankers' heavy stages are the already-pinned shapes (term-"
+    "filtered explode; broadcast-query corpus scan); the fusion "
+    "itself joins two <=20-row-per-query frames.  The modern "
+    "retrieval-stack shape (sparse + dense + fuse) end-to-end",
+)
+def search_hybrid_rrf(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.dedup import normalized_tokens
+    from .operators.similarity import brute_force_top_k
+
+    documents, embeddings = _t(spark, sf_dir, "documents", "embeddings")
+    staged = documents.select("doc_id", normalized_tokens("text").alias("toks"))
+    dl = staged.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        staged.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin("spark", "table", "window"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    bm_term = idf * F.col("tf") * (1.2 + 1) / (
+        F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    bm = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(bm_term).alias("bm25"))
+    )
+    sparse = (
+        bm.orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+        .withColumn(
+            "rs", F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        )
+        .select(F.col("doc_id").alias("id"), "rs")
+    )
+    query = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    dense = (
+        brute_force_top_k(embeddings, query, k=20)
+        .withColumn(
+            "rd",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine_sim"), "vec_id"
+                )
+            ),
+        )
+        .select("query_id", F.col("vec_id").alias("id"), "rd")
+    )
+    sp2 = dense.select("query_id").distinct().crossJoin(F.broadcast(sparse))
+    merged = dense.join(sp2, ["query_id", "id"], "full").select(
+        "query_id",
+        "id",
+        (
+            F.coalesce(1.0 / (60 + F.col("rd")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rs")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    ranked = merged.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("rrf"), "id")
+        ),
+    )
+    return ranked.filter(F.col("rn") <= 10).select(
+        "query_id", "id", F.round("rrf", 6).alias("rrf_score")
+    )
+
+
+_MINHASH_MD5_ORACLE = rf"""WITH {_TOKS_CTE},
+g AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+ds AS (SELECT DISTINCT doc_id, g FROM g),
+hashes AS (
+  SELECT doc_id, i,
+         MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || g), 1, 15))
+               ::BIGINT) AS mh
+  FROM ds CROSS JOIN UNNEST(range(0, 64)) AS t(i)
+  GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
+  FROM hashes GROUP BY doc_id, i // 4)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+
+
+@register(
+    "dedup_minhash_pairs_md5",
+    _MINHASH_MD5_ORACLE,
+    "ORACLE-CHECKED MinHash-LSH banding (md5 twin of the xxhash64 "
+    "scale path dedup_minhash_pairs): 64 md5-seeded min-hashes as "
+    "one row-local nested HOF — no explode, no per-hash shuffle — "
+    "16 bands of 4 rows, candidate pairs from the banded self-join.  "
+    "The hash against DuckDB certifies the full signature/banding "
+    "pipeline bit-for-bit; the production variant only swaps the "
+    "hash function",
+)
+def dedup_minhash_pairs_md5(spark, sf_dir):
+    from .operators.dedup import with_shingles
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    staged = with_shingles(documents, "text", "__sh__", 3).select(
+        "doc_id", "__sh__"
+    )
+    minh = lambda i: F.array_min(  # noqa: E731
+        F.transform(
+            F.col("__sh__"),
+            lambda gr: F.conv(
+                F.substring(
+                    F.md5(F.concat(i.cast("string"), F.lit("|"), gr)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+    sig = staged.withColumn(
+        "sig", F.transform(F.sequence(F.lit(0), F.lit(63)), minh)
+    )
+    band_key = F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(F.col("sig"), F.col("band") * 4 + 1, 4),
+            lambda m: m.cast("string"),
+        ),
+    )
+    bands = (
+        sig.select(
+            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("band"), "sig"
+        )
+        .withColumn("key", band_key)
+        .select("doc_id", "band", "key")
+    )
+    a = bands.select(F.col("doc_id").alias("id_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
