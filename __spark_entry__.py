@@ -104,6 +104,7 @@ _CERTIFY_FIRST = [
     "events_time_weighted_avg",
     "search_hybrid_rrf",
     "dedup_minhash_pairs_md5",
+    "dedup_simhash_pairs_md5",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",

@@ -9924,3 +9924,111 @@ def dedup_minhash_pairs_md5(spark, sf_dir):
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+_SIMHASH_MD5_ORACLE = r"""WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM toks),
+votes AS (
+  SELECT doc_id, j,
+         SUM(((h >> CAST(j AS INT)) & 1) * 2 - 1) AS v
+  FROM h CROSS JOIN UNNEST(range(0, 60)) AS t(j)
+  GROUP BY doc_id, j),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b, (sig >> CAST(15 * b AS INT)) & 32767 AS bv
+  FROM sig CROSS JOIN UNNEST(range(0, 4)) AS t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+                            AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+WHERE bit_count(xor(sa.sig, sb.sig)) <= 3"""
+
+
+@register(
+    "dedup_simhash_pairs_md5",
+    _SIMHASH_MD5_ORACLE,
+    "ORACLE-CHECKED SimHash (md5 twin of the xxhash64 scale path "
+    "dedup_simhash_pairs): 60-bit signature from ONE fold over the "
+    "token-hash array — each step zip_with-adds a 60-vote delta "
+    "(the single-pass formulation the round-1 verdict suggested "
+    "over 64 separate folds) — 4x15-bit pigeonhole bands, exact "
+    "Hamming <= 3 verify via bit_count(xor).  Certifies the whole "
+    "signature/banding/verify pipeline bit-for-bit against DuckDB",
+)
+def dedup_simhash_pairs_md5(spark, sf_dir):
+    from .operators.dedup import normalized_tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.array_distinct(normalized_tokens("text")).alias("tk")
+    )
+    md5int = lambda t: F.conv(  # noqa: E731
+        F.substring(F.md5(t), 1, 15), 16, 10
+    ).cast("long")
+    harr = toks.select("doc_id", F.transform("tk", md5int).alias("hs"))
+    delta = lambda h: F.array(  # noqa: E731 — 60 literal shifts
+        *[
+            (
+                F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+            )
+            for j in range(60)
+        ]
+    )
+    votes = F.aggregate(
+        F.col("hs"),
+        F.array(*[F.lit(0) for _ in range(60)]),
+        lambda acc, h: F.zip_with(acc, delta(h), lambda a, d: a + d),
+    )
+    sigv = harr.select("doc_id", votes.alias("v"))
+    sig_expr = None
+    for j in range(60):
+        term = F.when(
+            F.element_at(F.col("v"), j + 1) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sig = sigv.select("doc_id", sig_expr.alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("sig"), 15 * b)
+                        .bitwiseAND(F.lit(32767))
+                        .alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk")["b"].alias("b"), F.col("bk")["bv"].alias("bv"))
+    cand = (
+        bands.select(F.col("doc_id").alias("id_a"), "b", "bv")
+        .join(bands.select(F.col("doc_id").alias("id_b"), "b", "bv"), ["b", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.join(sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa")), "id_a")
+        .join(sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb")), "id_b")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
