@@ -105,6 +105,8 @@ _CERTIFY_FIRST = [
     "search_hybrid_rrf",
     "dedup_minhash_pairs_md5",
     "dedup_simhash_pairs_md5",
+    "sim_ivf_topk_det",
+    "events_decayed_score",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",

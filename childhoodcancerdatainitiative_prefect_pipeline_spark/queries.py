@@ -10032,3 +10032,178 @@ def dedup_simhash_pairs_md5(spark, sf_dir):
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )
+
+
+_IVF_DET_ORACLE = """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 61 = 0),
+assigned AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT n.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY ROUND(list_inner_product(n.v, c.cv)
+                            / (n.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+    FROM n CROSS JOIN c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+      FROM n WHERE vec_id < 3),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(list_inner_product(q.qv, c.cv)
+                            / (q.qnrm * c.cnrm), 6) DESC, c.cid) AS rn
+    FROM q CROSS JOIN c) WHERE rn <= 3),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probe p JOIN assigned a ON a.cluster_id = p.cid),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         ROUND(list_inner_product(n.v, q.qv) / (n.nrm * q.qnrm), 6)
+           AS cosine_sim
+  FROM cand
+  JOIN n ON n.vec_id = cand.vec_id
+  JOIN q ON q.query_id = cand.query_id)
+SELECT query_id, vec_id, cosine_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id) AS rn
+  FROM scored) WHERE rn <= 10"""
+
+
+@register(
+    "sim_ivf_topk_det",
+    _IVF_DET_ORACLE,
+    "ORACLE-CHECKED IVF ANN (deterministic twin of sim_ivf_topk): "
+    "hash-mod centroids (vec_id % 61 — zero extra passes), "
+    "shuffle-free argmax cell assignment (the semdedup broadcast-"
+    "fold), top-3 probed cells per query, exact re-rank within "
+    "candidates.  Pruning is part of the SPEC here — the hash "
+    "certifies cells, probes, and final ranking bit-for-bit, "
+    "closing the we-cant-oracle-approximate-search gap: fix the "
+    "randomness, and approximate search is just another "
+    "deterministic plan",
+)
+def sim_ivf_topk_det(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.curation import cluster_assign_argmax
+    from .operators.similarity import dot
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    cents = e.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    assigned = cluster_assign_argmax(e, cents).select("vec_id", "cluster_id")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    qcos = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm")), 6
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("qc", qcos)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("qc"), "cid")
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("query_id", F.col("cid").alias("cluster_id"))
+    )
+    cand = probe.join(assigned, "cluster_id").select("query_id", "vec_id")
+    scored = (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6
+            ),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine_sim"), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id", "cosine_sim")
+    )
+
+
+_DECAY_ORACLE = """WITH pts AS (
+  SELECT user_id, epoch_us(ts) AS t, value AS v FROM events),
+tm AS (SELECT MAX(t) AS tmax FROM pts),
+terms AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         list_sum(list(v * exp(-((tmax - t) / 86400000000.0))
+                       ORDER BY t, v)) AS s
+  FROM pts CROSS JOIN tm
+  GROUP BY user_id)
+SELECT user_id, n_events, ROUND(s, 6) AS decayed_score
+FROM terms"""
+
+
+@register(
+    "events_decayed_score",
+    _DECAY_ORACLE,
+    "exponentially-decayed engagement score per user (1-day "
+    "half-life-ish lambda=1/day): sum of value*exp(-age_days) "
+    "accumulated in (t, v)-SORTED order via a row-local fold over "
+    "the collected per-user series — the same ordered-summation "
+    "trick as text_token_entropy, so the float sum is reproducible "
+    "against the oracle's ORDER BY list.  The recency-weighted "
+    "lifetime-value shape; one user_id shuffle, reference time "
+    "broadcast from one aggregate",
+)
+def events_decayed_score(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    pts = events.select("user_id", us.alias("t"), F.col("value").alias("v"))
+    tm = pts.agg(F.max("t").alias("tmax"))
+    grouped = (
+        pts.crossJoin(F.broadcast(tm))
+        .groupBy("user_id", "tmax")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("t"), F.col("v")))
+            ).alias("series"),
+        )
+    )
+    term = lambda acc, e: acc + e["v"] * F.exp(  # noqa: E731
+        -((F.col("tmax") - e["t"]) / 86_400_000_000.0)
+    )
+    return grouped.select(
+        "user_id",
+        "n_events",
+        F.round(
+            F.aggregate(F.col("series"), F.lit(0.0), term), 6
+        ).alias("decayed_score"),
+    )
