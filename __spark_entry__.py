@@ -107,6 +107,8 @@ _CERTIFY_FIRST = [
     "dedup_simhash_pairs_md5",
     "sim_ivf_topk_det",
     "events_decayed_score",
+    "events_trend_ols",
+    "lineitem_corr_grouped",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",

@@ -10207,3 +10207,120 @@ def events_decayed_score(spark, sf_dir):
             F.aggregate(F.col("series"), F.lit(0.0), term), 6
         ).alias("decayed_score"),
     )
+
+
+_TREND_OLS_ORACLE = """WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+sums AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY 1)
+SELECT event_type, n AS n_days,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (n * sxx - sx * sx), 6) AS slope_per_day,
+       ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+FROM sums WHERE n * sxx - sx * sx <> 0"""
+
+
+@register(
+    "events_trend_ols",
+    _TREND_OLS_ORACLE,
+    "per-group linear trend (OLS on daily counts): closed-form slope "
+    "from EXACT int64 moment sums (n, Σx, Σy, Σxy, Σx²) — every "
+    "aggregate is an integer, so partial-aggregation order cannot "
+    "move the fit; one double division at the end.  The grouped-"
+    "regression shape (trend detection per segment) in two "
+    "aggregations, no ML library",
+)
+def events_trend_ols(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    daily = (
+        events.select("event_type", F.floor(us / 86_400_000_000).cast("long").alias("x"))
+        .groupBy("event_type", "x")
+        .agg(F.count("*").alias("y"))
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return (
+        sums.filter(den != 0)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.round(slope, 6).alias("slope_per_day"),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+                "intercept"
+            ),
+        )
+    )
+
+
+_CORR_ORACLE = """WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                  * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                  * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                  * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS corr_qty_price
+FROM m"""
+
+
+@register(
+    "lineitem_corr_grouped",
+    _CORR_ORACLE,
+    "stable grouped Pearson correlation: the five moment sums "
+    "(Σx, Σy, Σxy, Σx², Σy²) computed in EXACT decimal, cast to "
+    "double ONCE, combined in a fixed expression order — unlike "
+    "streaming-covariance implementations (Welford in float), the "
+    "result cannot move with partial-aggregation order.  Two "
+    "aggregations worth of stats from one scan",
+)
+def lineitem_corr_grouped(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    # DECIMAL(19,4): wide enough to force int128 storage in the
+    # oracle (DuckDB 1.0 multiplies <=18-digit decimals in int64 and
+    # overflows), products exact at (38,8) on both engines
+    dx = F.col("l_quantity").cast("decimal(19,4)")
+    dy = F.col("l_extendedprice").cast("decimal(19,4)")
+    m = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
+    )
