@@ -109,6 +109,8 @@ _CERTIFY_FIRST = [
     "events_decayed_score",
     "events_trend_ols",
     "lineitem_corr_grouped",
+    "profile_expectations",
+    "events_gap_stats",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",

@@ -10324,3 +10324,143 @@ def lineitem_corr_grouped(spark, sf_dir):
     return m.select(
         "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
     )
+
+
+_EXPECT_ORACLE = """WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+         CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT)
+           AS null_price,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+         CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+              AS BIGINT) AS bad_status
+  FROM orders)
+SELECT * FROM (
+  SELECT 'row_count_at_least_1000' AS constraint_name,
+         CAST(row_count AS DOUBLE) AS observed,
+         row_count >= 1000 AS passed FROM m
+  UNION ALL SELECT 'price_null_ratio_is_zero',
+         CAST(null_price AS DOUBLE) / row_count,
+         null_price = 0 FROM m
+  UNION ALL SELECT 'priority_cardinality_at_most_10',
+         CAST(n_priorities AS DOUBLE), n_priorities <= 10 FROM m
+  UNION ALL SELECT 'price_is_positive', min_price, min_price > 0 FROM m
+  UNION ALL SELECT 'price_below_1e7', max_price, max_price < 10000000
+    FROM m
+  UNION ALL SELECT 'status_in_domain',
+         CAST(bad_status AS DOUBLE), bad_status = 0 FROM m)"""
+
+
+@register(
+    "profile_expectations",
+    _EXPECT_ORACLE,
+    "Deequ-shaped data-quality expectations: six constraints "
+    "(row count, null ratio, cardinality bound, value bounds, "
+    "enum domain) evaluated from ONE aggregation pass — the metrics "
+    "compute once and every constraint reads the same 1-row metric "
+    "frame, the analyzer/verifier split that keeps a 100-constraint "
+    "suite at one scan.  Complements the reference-schema rule "
+    "engine (rules_validate) with the generic numeric-profile tier",
+)
+def profile_expectations(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    m = orders.agg(
+        F.count("*").alias("row_count"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("null_price"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("bad_status"),
+    )
+    checks = [
+        ("row_count_at_least_1000", F.col("row_count").cast("double"),
+         F.col("row_count") >= 1000),
+        ("price_null_ratio_is_zero",
+         F.col("null_price").cast("double") / F.col("row_count"),
+         F.col("null_price") == 0),
+        ("priority_cardinality_at_most_10",
+         F.col("n_priorities").cast("double"), F.col("n_priorities") <= 10),
+        ("price_is_positive", F.col("min_price"), F.col("min_price") > 0),
+        ("price_below_1e7", F.col("max_price"),
+         F.col("max_price") < 10_000_000),
+        ("status_in_domain", F.col("bad_status").cast("double"),
+         F.col("bad_status") == 0),
+    ]
+    out = None
+    for name, observed, passed in checks:
+        row = m.select(
+            F.lit(name).alias("constraint_name"),
+            observed.alias("observed"),
+            passed.alias("passed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_GAP_ORACLE = """WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t FROM events),
+gaps AS (
+  SELECT event_type,
+         LEAD(t) OVER (PARTITION BY event_type ORDER BY t) - t AS gap
+  FROM pts),
+g AS (SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL),
+rk AS (
+  SELECT event_type, gap,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM g)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS BIGINT)
+         AS median_gap_us,
+       CAST(MAX(CASE WHEN rn = n - (n // 10) THEN gap END) AS BIGINT)
+         AS p90_gap_us
+FROM rk GROUP BY event_type"""
+
+
+@register(
+    "events_gap_stats",
+    _GAP_ORACLE,
+    "inter-arrival gap statistics per event type (exact median and "
+    "p90 of consecutive-event gaps): one LEAD window for the gaps, "
+    "one rank window for the order statistics — integer-µs exact, "
+    "rank positions chosen as explicit row numbers so both engines "
+    "pick the identical element.  The burstiness profile behind "
+    "rate-limit and capacity decisions; approx_percentile is the "
+    "100 TB swap (profile_columns_approx pattern)",
+)
+def events_gap_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    pts = events.select("event_type", us.alias("t"))
+    wl = Window.partitionBy("event_type").orderBy("t")
+    g = (
+        pts.withColumn("gap", F.lead("t").over(wl) - F.col("t"))
+        .filter(F.col("gap").isNotNull())
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap")
+    wn = Window.partitionBy("event_type")
+    rk = g.select(
+        "event_type",
+        "gap",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return rk.groupBy("event_type").agg(
+        F.max("n").alias("n_gaps"),
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("gap"))
+        ).alias("median_gap_us"),
+        F.max(
+            F.when(
+                F.col("rn") == F.col("n") - F.floor(F.col("n") / 10), F.col("gap")
+            )
+        ).alias("p90_gap_us"),
+    )
