@@ -111,6 +111,7 @@ _CERTIFY_FIRST = [
     "lineitem_corr_grouped",
     "profile_expectations",
     "events_gap_stats",
+    "events_trend_outliers",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",

@@ -10464,3 +10464,91 @@ def events_gap_stats(spark, sf_dir):
             )
         ).alias("p90_gap_us"),
     )
+
+
+_TREND_OUTLIER_ORACLE = """WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM daily GROUP BY 1),
+fit AS (
+  SELECT event_type, n, sx, sy,
+         CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS b,
+         (sy - CAST(n * sxy - sx * sy AS DOUBLE)
+               / (n * sxx - sx * sx) * sx) / n AS a,
+         sqrt(((syy - CAST(sy AS DOUBLE) * sy / n)
+               - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+                 * (sxy - CAST(sx AS DOUBLE) * sy / n)) / (n - 2)) AS sigma
+  FROM m WHERE n > 2 AND n * sxx - sx * sx <> 0)
+SELECT d.event_type, d.x AS day_idx, d.y AS n_events,
+       ROUND(d.y - (f.a + f.b * d.x), 6) AS residual,
+       ABS(d.y - (f.a + f.b * d.x)) > 2 * f.sigma AS is_outlier
+FROM daily d JOIN fit f USING (event_type)"""
+
+
+@register(
+    "events_trend_outliers",
+    _TREND_OUTLIER_ORACLE,
+    "model-based anomaly detection: fit the per-type OLS trend from "
+    "exact int64 moments (incl. Σy² for the residual variance), flag "
+    "days whose residual exceeds 2σ — catches level anomalies z-"
+    "scores miss when the series TRENDS (a growing series makes "
+    "every late day a z-score 'anomaly'; residuals de-trend first).  "
+    "Two aggs + one broadcast join of per-type fits; every moment "
+    "exact, every double derived in fixed expression order",
+)
+def events_trend_outliers(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    daily = (
+        events.select(
+            "event_type", F.floor(us / 86_400_000_000).cast("long").alias("x")
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count("*").alias("y"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    b = num / den
+    a = (F.col("sy") - b * F.col("sx")) / F.col("n")
+    sigma = F.sqrt(
+        (
+            (F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n"))
+            - b
+            * (F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n"))
+        )
+        / (F.col("n") - 2)
+    )
+    fit = (
+        m.filter((F.col("n") > 2) & (den != 0))
+        .select("event_type", b.alias("b"), a.alias("a"), sigma.alias("sigma"))
+    )
+    resid = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+    return (
+        daily.join(F.broadcast(fit), "event_type")
+        .select(
+            "event_type",
+            F.col("x").alias("day_idx"),
+            F.col("y").alias("n_events"),
+            F.round(resid, 6).alias("residual"),
+            (F.abs(resid) > 2 * F.col("sigma")).alias("is_outlier"),
+        )
+    )

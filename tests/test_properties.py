@@ -237,3 +237,48 @@ def test_star_cc_matches_union_find_property(spark, edges):
         for r in connected_components_star(edf, ndf, id_col="id").collect()
     }
     assert got == expected
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+            min_size=2,
+            max_size=6,
+        ),
+        min_size=3,
+        max_size=8,
+    )
+)
+def test_setsim_prefix_join_is_lossless_on_random_sets(spark, docs):
+    """Prefix filtering must return EXACTLY the naive all-pairs
+    Jaccard join on arbitrary token sets — the no-false-negative
+    guarantee holds structurally, not just on the synthetic corpus
+    the oracle checks."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.dedup import (
+        setsim_prefix_join,
+    )
+
+    sets = [sorted(set(d)) for d in docs]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sets)], ["doc_id", "toks"]
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in setsim_prefix_join(
+            df, id_col="doc_id", set_col="toks", threshold=0.3
+        ).collect()
+    }
+    want = {}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = set(sets[i]), set(sets[j])
+            jac = round(len(a & b) / len(a | b), 6)
+            if jac >= 0.3:
+                want[(i, j)] = jac
+    assert got == want
