@@ -112,6 +112,8 @@ _CERTIFY_FIRST = [
     "profile_expectations",
     "events_gap_stats",
     "events_trend_outliers",
+    "lineitem_scd2_enrich",
+    "customer_rfm_segments",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",

@@ -10552,3 +10552,153 @@ def events_trend_outliers(spark, sf_dir):
             (F.abs(resid) > 2 * F.col("sigma")).alias("is_outlier"),
         )
     )
+
+
+_SCD2_ENRICH_ORACLE = """WITH dim AS (
+  SELECT o_custkey, o_orderdate AS valid_from, o_orderpriority AS prio
+  FROM (
+    SELECT o_custkey, o_orderdate, o_orderpriority,
+           LAG(o_orderpriority) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS prev_prio
+    FROM orders)
+  WHERE prev_prio IS NULL OR prio <> prev_prio),
+fact AS (
+  SELECT o.o_custkey, l.l_shipdate, l.l_extendedprice
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT d.prio AS priority_at_ship,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM fact f
+ASOF JOIN dim d
+  ON f.o_custkey = d.o_custkey AND f.l_shipdate >= d.valid_from
+GROUP BY d.prio"""
+
+
+@register(
+    "lineitem_scd2_enrich",
+    _SCD2_ENRICH_ORACLE,
+    "SCD2 dimension enrichment: the customer's priority HISTORY "
+    "(change-detected via LAG over order dates) joined as-of to each "
+    "shipped item — 'what tier was this customer in when the item "
+    "shipped', the versioned-dimension lookup every warehouse fact "
+    "load runs.  Spark side uses the union+single-sort asof_join "
+    "(one shuffle on the customer key, O((|L|+|R|) log) per "
+    "partition); the oracle uses DuckDB's native ASOF JOIN — two "
+    "engines, two physical strategies, identical decimal-exact "
+    "revenue per tier",
+)
+def lineitem_scd2_enrich(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.joins import asof_join
+
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = (
+        orders.select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.lag("o_orderpriority").over(w).alias("prev_prio"),
+        )
+        .filter(
+            F.col("prev_prio").isNull()
+            | (F.col("o_orderpriority") != F.col("prev_prio"))
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+    )
+    fact = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem["l_orderkey"] == orders["o_orderkey"],
+    ).select("o_custkey", F.col("l_shipdate").alias("ts"), "l_extendedprice")
+    enriched = asof_join(
+        fact, dim, partition_col="o_custkey", ts_col="ts", value_cols=["prio"]
+    )
+    return (
+        enriched.filter(F.col("asof_prio").isNotNull())
+        .groupBy(F.col("asof_prio").alias("priority_at_ship"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+_RFM_ORACLE = """WITH mx AS (SELECT MAX(o_orderdate) AS ref FROM orders),
+base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(o_orderdate), MAX(mx.ref)) AS BIGINT)
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS monetary
+  FROM orders CROSS JOIN mx
+  GROUP BY o_custkey),
+scored AS (
+  SELECT *,
+         NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+  FROM base)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(monetary AS DECIMAL(18,4))) AS DOUBLE) AS segment_value
+FROM scored GROUP BY r_score, f_score, m_score"""
+
+
+@register(
+    "customer_rfm_segments",
+    _RFM_ORACLE,
+    "RFM segmentation: recency/frequency/monetary per customer in "
+    "one aggregation, quintile scores via NTILE with explicit "
+    "custkey tie-breaks (deterministic on both engines), segment "
+    "rollup.  The NTILEs rank the REDUCED per-customer frame, not "
+    "the fact table — the global windows are |customers|-sized; at "
+    "100 TB swap them for distributed_prefix_sum over the customer "
+    "frame (orders_abc_pareto_scaled shape).  Decimal-exact "
+    "monetary end-to-end",
+)
+def customer_rfm_segments(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("ref"))
+    base = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("ref"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    scored = (
+        base.withColumn(
+            "r_score",
+            F.ntile(5).over(Window.orderBy(F.desc("recency_days"), "o_custkey")),
+        )
+        .withColumn(
+            "f_score", F.ntile(5).over(Window.orderBy("frequency", "o_custkey"))
+        )
+        .withColumn(
+            "m_score", F.ntile(5).over(Window.orderBy("monetary", "o_custkey"))
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("monetary").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("segment_value"),
+    )
