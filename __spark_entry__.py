@@ -114,6 +114,8 @@ _CERTIFY_FIRST = [
     "events_trend_outliers",
     "lineitem_scd2_enrich",
     "customer_rfm_segments",
+    # upgraded from rows-only to oracle in round 4 (md5 thresholds)
+    "corpus_stratified_sample",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",
@@ -153,7 +155,6 @@ _CERTIFY_FIRST = [
     # rows-only entries (weaker driver check by design; certified
     # as slots free up in later rotations)
     "corpus_pack_sequences",
-    "corpus_stratified_sample",
     "corpus_weighted_sample",
     "graph_kcore_membership",
     "dedup_minhash_clusters",

@@ -5014,10 +5014,20 @@ def profile_columns(spark, sf_dir):
 
 @register(
     "corpus_stratified_sample",
-    None,  # sampleBy draw is engine-specific → rows-only;
-    # per-stratum fractions + determinism unit-tested
+    """SELECT doc_id, lang, source FROM documents
+       WHERE CASE lang WHEN 'en' THEN 0.5
+                       WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.25
+                       WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.25 END
+             IS NOT NULL
+         AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             < CASE lang WHEN 'en' THEN 0.5
+                         WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.25
+                         WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.25 END
+               * 1152921504606846976.0""",
     "stratified subsampling (LLM-data op): per-language fractions via "
-    "hash-threshold sampling — deterministic, no RNG state",
+    "md5-threshold sampling — deterministic, no RNG state, and (since "
+    "round 4) oracle-checked with the corpus_temperature_mix integer-"
+    "threshold parity trick (xxhash64 is the drop-in at scale)",
 )
 def corpus_stratified_sample(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
@@ -5027,10 +5037,15 @@ def corpus_stratified_sample(spark, sf_dir):
     frac = F.lit(None).cast("double")
     for lang, p in fractions.items():
         frac = F.when(F.col("lang") == lang, F.lit(p)).otherwise(frac)
-    u = (F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000)) / 1_000_000.0)
+    hash60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
     return (
         documents.withColumn("__p__", frac)
-        .filter(F.col("__p__").isNotNull() & (u < F.col("__p__")))
+        .filter(
+            F.col("__p__").isNotNull()
+            & (hash60 < F.col("__p__") * F.lit(1152921504606846976.0))
+        )
         .select("doc_id", "lang", "source")
     )
 
