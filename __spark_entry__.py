@@ -116,6 +116,7 @@ _CERTIFY_FIRST = [
     "customer_rfm_segments",
     # upgraded from rows-only to oracle in round 4 (md5 thresholds)
     "corpus_stratified_sample",
+    "dedup_minhash_clusters_md5",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",

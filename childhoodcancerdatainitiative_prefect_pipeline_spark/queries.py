@@ -10717,3 +10717,61 @@ def customer_rfm_segments(spark, sf_dir):
         .cast("double")
         .alias("segment_value"),
     )
+
+
+_MINHASH_CLUSTERS_MD5_ORACLE = rf"""WITH RECURSIVE {_TOKS_CTE},
+g AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+ds AS (SELECT DISTINCT doc_id, g FROM g),
+hashes AS (
+  SELECT doc_id, i,
+         MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || g), 1, 15))
+               ::BIGINT) AS mh
+  FROM ds CROSS JOIN UNNEST(range(0, 64)) AS t(i)
+  GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
+  FROM hashes GROUP BY doc_id, i // 4),
+p AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key
+              AND a.doc_id < b.doc_id),
+edges AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id AS a, doc_id AS b FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a"""
+
+
+@register(
+    "dedup_minhash_clusters_md5",
+    _MINHASH_CLUSTERS_MD5_ORACLE,
+    "ORACLE-CHECKED composed near-dup clustering: md5-seeded "
+    "MinHash-LSH candidate pairs (dedup_minhash_pairs_md5's "
+    "pipeline) fed into min-label-propagation connected components — "
+    "the END-TO-END signature→banding→pairs→clusters pipeline hash-"
+    "matches a recursive-CTE oracle.  The xxhash composition "
+    "(dedup_minhash_clusters) is the same plan at scale",
+)
+def dedup_minhash_clusters_md5(spark, sf_dir):
+    from .operators.graph import connected_components
+
+    pairs = REGISTRY["dedup_minhash_pairs_md5"].fn(spark, sf_dir)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("doc_id"))
+        .unionByName(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    return connected_components(
+        edges, nodes, id_col="doc_id", label_col="cluster_id"
+    )
