@@ -1946,3 +1946,70 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
         .collect()
     }
     assert replay == whole
+
+
+def test_observation_metrics_piggyback_on_action(spark, sf_dir):
+    """Spark's Observation API: row counts / sums collected DURING a
+    real action with zero extra passes — the audit counters a
+    pipeline emits without re-scanning (the reference logs these
+    from pandas; here they ride the job)."""
+    from pyspark.sql import Observation
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.catalog import load_testdata
+
+    orders = load_testdata(spark, sf_dir, tables=("orders",), register_views=False)[
+        "orders"
+    ]
+    obs = Observation("audit")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    n = observed.count()  # one action; metrics piggyback on it
+    got = obs.get
+    assert got["n_rows"] == n
+    exact = orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+    ).collect()[0][0]
+    assert got["total_value"] == exact
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Kill a stream, add new source files, restart with the SAME
+    checkpoint: the sink ends with every input row exactly once —
+    offsets resume, nothing replays, nothing is lost."""
+    import pyspark.sql.functions as SF
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = spark.range(0, 300).withColumn("v", SF.col("id") % 5)
+    b1.write.mode("overwrite").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(b1.schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 300
+
+    b2 = spark.range(300, 450).withColumn("v", SF.col("id") % 5)
+    b2.write.mode("append").parquet(src)
+    run_once()  # restart from the same checkpoint
+
+    out = spark.read.parquet(sink)
+    assert out.count() == 450
+    assert out.select("id").distinct().count() == 450  # exactly once
