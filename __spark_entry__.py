@@ -117,6 +117,8 @@ _CERTIFY_FIRST = [
     # upgraded from rows-only to oracle in round 4 (md5 thresholds)
     "corpus_stratified_sample",
     "dedup_minhash_clusters_md5",
+    "text_ngram_novelty",
+    "embedding_quantize_int8",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",

@@ -10775,3 +10775,119 @@ def dedup_minhash_clusters_md5(spark, sf_dir):
     return connected_components(
         edges, nodes, id_col="doc_id", label_col="cluster_id"
     )
+
+
+_NOVELTY_ORACLE = rf"""WITH {_TOKS_CTE},
+g AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+ds AS (SELECT DISTINCT doc_id, g FROM g),
+firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM ds GROUP BY g)
+SELECT ds.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) FILTER (WHERE f.first_doc = ds.doc_id) AS BIGINT)
+         AS n_novel,
+       ROUND(COUNT(*) FILTER (WHERE f.first_doc = ds.doc_id)
+             / COUNT(*), 6) AS novelty
+FROM ds JOIN firsts f USING (g)
+GROUP BY ds.doc_id"""
+
+
+@register(
+    "text_ngram_novelty",
+    _NOVELTY_ORACLE,
+    "corpus novelty curve: per doc, the fraction of its 3-gram "
+    "shingles never seen in any LOWER-id doc (first-occurrence "
+    "attribution via one min-per-gram agg + join back) — the "
+    "diminishing-returns signal for corpus growth: when novelty "
+    "flattens, new data is re-treading old data.  Shuffles on the "
+    "gram key and the doc re-group; never pairwise",
+)
+def text_ngram_novelty(spark, sf_dir):
+    from .operators.dedup import with_shingles
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    ds = with_shingles(documents, "text", "__sh__", 3).select(
+        "doc_id", F.explode("__sh__").alias("g")
+    )
+    firsts = ds.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ds.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )
+
+
+_QUANT_ORACLE = """WITH dims AS (
+  SELECT vec_id, i - 1 AS dim, CAST(v AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)),
+rng AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM dims GROUP BY dim),
+coded AS (
+  SELECT d.dim, d.x,
+         CASE WHEN r.hi = r.lo THEN 0
+              ELSE CAST(round((d.x - r.lo) / (r.hi - r.lo) * 254 - 127)
+                        AS INT) END AS code,
+         r.lo, r.hi
+  FROM dims d JOIN rng r USING (dim)),
+err AS (
+  SELECT dim,
+         ABS(x - (lo + (code + 127) * (hi - lo) / 254)) AS e
+  FROM coded)
+SELECT dim, ROUND(MAX(e), 6) AS max_abs_err,
+       CAST(COUNT(*) AS BIGINT) AS n_values
+FROM err GROUP BY dim"""
+
+
+@register(
+    "embedding_quantize_int8",
+    _QUANT_ORACLE,
+    "int8 scalar quantization of the embedding table (per-dimension "
+    "min/max ranges -> 255-level codes) with per-dim MAX "
+    "reconstruction error — max, not mean, because max is order-"
+    "independent over doubles.  The memory-4x step before ANN "
+    "serving; ranges are a 64-row broadcast, codes are row-local",
+)
+def embedding_quantize_int8(spark, sf_dir):
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    dims = embeddings.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    rng = dims.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    coded = dims.join(F.broadcast(rng), "dim").withColumn(
+        "code",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.round(
+                (F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 254
+                - 127
+            ).cast("int")
+        ),
+    )
+    err = coded.select(
+        "dim",
+        F.abs(
+            F.col("x")
+            - (
+                F.col("lo")
+                + (F.col("code") + 127) * (F.col("hi") - F.col("lo")) / 254
+            )
+        ).alias("e"),
+    )
+    return err.groupBy("dim").agg(
+        F.round(F.max("e"), 6).alias("max_abs_err"),
+        F.count("*").alias("n_values"),
+    )
