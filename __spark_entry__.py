@@ -119,6 +119,8 @@ _CERTIFY_FIRST = [
     "dedup_minhash_clusters_md5",
     "text_ngram_novelty",
     "embedding_quantize_int8",
+    # upgraded rows-only -> oracle in round 4 (literal plane matrix)
+    "dedup_embedding_lsh",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",

@@ -6590,14 +6590,62 @@ def events_anomaly_zscore(spark, sf_dir):
     )
 
 
+def _hyperplane_lsh_oracle() -> str:
+    """DuckDB twin of hyperplane_lsh_pairs, generated from the SAME
+    literal plane matrix the Spark plan compiles in — determinism is
+    what makes a 'probabilistic' LSH candidate set hash-checkable."""
+    from .operators.similarity import _hyperplane_signs
+
+    planes = _hyperplane_signs(16, 64, 7)
+    lits = [
+        "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in pl) + "]"
+        for pl in planes
+    ]
+    sig = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {lits[p]}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(16)
+    )
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm,
+             {sig} AS sig
+      FROM e),
+bands AS (
+  SELECT vec_id, b, (sig >> CAST(2 * b AS INT)) & 3 AS key
+  FROM s CROSS JOIN UNNEST(range(0, 8)) AS t(b)),
+capped AS (
+  SELECT * FROM (
+    SELECT vec_id, b, key, COUNT(*) OVER (PARTITION BY b, key) AS bn
+    FROM bands) WHERE bn <= 200),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM capped x
+  JOIN capped y ON x.b = y.b AND x.key = y.key AND x.vec_id < y.vec_id)
+SELECT c.id_a, c.id_b,
+       ROUND(list_inner_product(sa.v, sb.v) / (sa.nrm * sb.nrm), 6)
+         AS cosine_sim
+FROM cand c
+JOIN s sa ON sa.vec_id = c.id_a
+JOIN s sb ON sb.vec_id = c.id_b
+WHERE ROUND(list_inner_product(sa.v, sb.v) / (sa.nrm * sb.nrm), 6)
+      >= 0.45"""
+
+
 @register(
     "dedup_embedding_lsh",
-    None,  # LSH candidate set is probabilistic → rows-only; the exact
-    # twin dedup_embedding_cosine is the oracle, recall unit-tested
+    # The Rademacher planes are md5-derived LITERALS, so the whole
+    # "probabilistic" pipeline is deterministic — the oracle is
+    # GENERATED from the same plane matrix (round-4 upgrade from
+    # rows-only): signature signs, 8x2-bit bands, the 200-cap, the
+    # candidate join, and the exact-cosine verify all hash-match.
+    _hyperplane_lsh_oracle(),
     "cosine near-dup via banded hyperplane LSH — the 100 TB scale "
     "path for dedup_embedding_cosine: 16 deterministic Rademacher "
     "planes → 8×2-bit band buckets → equi-join candidates → exact "
-    "cosine verify on candidates only.  Never all-pairs",
+    "cosine verify on candidates only.  Never all-pairs.  Oracle-"
+    "checked since round 4: the plane matrix is literal, so DuckDB "
+    "reproduces even the 'probabilistic' candidate set bit-for-bit",
 )
 def dedup_embedding_lsh(spark, sf_dir):
     from .operators.similarity import hyperplane_lsh_pairs
