@@ -121,6 +121,7 @@ _CERTIFY_FIRST = [
     "embedding_quantize_int8",
     # upgraded rows-only -> oracle in round 4 (literal plane matrix)
     "dedup_embedding_lsh",
+    "corpus_source_scorecard",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",

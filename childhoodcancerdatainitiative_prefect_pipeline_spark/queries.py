@@ -10939,3 +10939,88 @@ def embedding_quantize_int8(spark, sf_dir):
         F.round(F.max("e"), 6).alias("max_abs_err"),
         F.count("*").alias("n_values"),
     )
+
+
+_SOURCE_SCORECARD_ORACLE = r"""WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS nh
+  FROM documents),
+base AS (
+  SELECT doc_id, source, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','in','is','that','it','for'], x)))
+             AS DOUBLE) / len(toks) ELSE 0.0 END AS sw_ratio,
+         nh
+  FROM t),
+dups AS (SELECT nh FROM base GROUP BY nh HAVING COUNT(*) > 1)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) FILTER (WHERE b.nh IN (SELECT nh FROM dups))
+            AS BIGINT) AS n_exact_dups,
+       CAST(COUNT(*) FILTER (WHERE n_tokens BETWEEN 50 AND 200
+                               AND sw_ratio >= 0.05) AS BIGINT)
+         AS n_quality_pass,
+       ROUND(COUNT(*) FILTER (WHERE n_tokens BETWEEN 50 AND 200
+                                AND sw_ratio >= 0.05)
+             / COUNT(*), 6) AS quality_rate
+FROM base b GROUP BY source"""
+
+
+@register(
+    "corpus_source_scorecard",
+    _SOURCE_SCORECARD_ORACLE,
+    "per-source data-vendor scorecard: doc/token volumes, exact-dup "
+    "incidence (normalized-md5 groups >1), and a quality pass rate "
+    "(token-count bounds + stopword presence) — ONE scan of the "
+    "corpus feeding every column, one dup-group semi-join.  The "
+    "table a curation team reviews before accepting a crawl "
+    "delivery; composes the dedup + Gopher-filter primitives "
+    "already oracle-certified individually",
+)
+def corpus_source_scorecard(spark, sf_dir):
+    from .operators.dedup import normalized_tokens
+    from .operators.text import stopword_ratio_of
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    base = documents.select(
+        "doc_id",
+        "source",
+        normalized_tokens("text").alias("toks"),
+        F.md5(
+            F.encode(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                "UTF-8",
+            )
+        ).alias("nh"),
+    ).select(
+        "doc_id",
+        "source",
+        F.size("toks").alias("n_tokens"),
+        stopword_ratio_of(F.col("toks")).alias("sw_ratio"),
+        "nh",
+    )
+    dups = (
+        base.groupBy("nh")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("nh")
+        .withColumn("__dup__", F.lit(True))
+    )
+    passed = (F.col("n_tokens").between(50, 200)) & (F.col("sw_ratio") >= 0.05)
+    return (
+        base.join(F.broadcast(dups), "nh", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.count(F.when(F.col("__dup__"), 1)).alias("n_exact_dups"),
+            F.count(F.when(passed, 1)).alias("n_quality_pass"),
+            F.round(
+                F.count(F.when(passed, 1)) / F.count("*"), 6
+            ).alias("quality_rate"),
+        )
+    )
