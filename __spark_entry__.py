@@ -122,6 +122,8 @@ _CERTIFY_FIRST = [
     # upgraded rows-only -> oracle in round 4 (literal plane matrix)
     "dedup_embedding_lsh",
     "corpus_source_scorecard",
+    "text_zipf_fit",
+    "orders_dow_seasonality",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",

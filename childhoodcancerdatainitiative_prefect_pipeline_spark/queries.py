@@ -11024,3 +11024,101 @@ def corpus_source_scorecard(spark, sf_dir):
             ).alias("quality_rate"),
         )
     )
+
+
+_ZIPF_ORACLE = r"""WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY w),
+rk AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r,
+         ln(ROW_NUMBER() OVER (ORDER BY f DESC, w)) AS x,
+         ln(f) AS y
+  FROM vocab),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             list_sum(list(x ORDER BY r)) AS sx,
+             list_sum(list(y ORDER BY r)) AS sy,
+             list_sum(list(x * y ORDER BY r)) AS sxy,
+             list_sum(list(x * x ORDER BY r)) AS sxx
+      FROM rk)
+SELECT n AS vocab_size,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+FROM s"""
+
+
+@register(
+    "text_zipf_fit",
+    _ZIPF_ORACLE,
+    "Zipf-law fit over the corpus vocabulary: OLS slope of ln(freq) "
+    "on ln(rank) — natural text sits near −1; synthetic/templated "
+    "corpora drift toward 0 (this uniform-vocab fixture measurably "
+    "does).  The log moments are summed in RANK ORDER via a sorted "
+    "fold (the entropy rule), so the float sums reproduce against "
+    "the oracle's ORDER BY lists; vocab ranking happens on the "
+    "REDUCED vocab frame, never the token stream",
+)
+def text_zipf_fit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.dedup import normalized_tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    vocab = (
+        documents.select(F.explode(normalized_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    r = F.row_number().over(Window.orderBy(F.desc("f"), "w"))
+    rk = vocab.select(
+        r.alias("r"), F.log(r.cast("double")).alias("x"), F.log("f").alias("y")
+    )
+    series = rk.agg(
+        F.count("*").alias("n"),
+        F.sort_array(
+            F.collect_list(F.struct("r", "x", "y"))
+        ).alias("pts"),
+    )
+    fold = lambda field_expr: F.aggregate(  # noqa: E731
+        F.col("pts"), F.lit(0.0), lambda acc, p: acc + field_expr(p)
+    )
+    sums = series.select(
+        "n",
+        fold(lambda p: p["x"]).alias("sx"),
+        fold(lambda p: p["y"]).alias("sy"),
+        fold(lambda p: p["x"] * p["y"]).alias("sxy"),
+        fold(lambda p: p["x"] * p["x"]).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").alias("vocab_size"), F.round(slope, 6).alias("zipf_slope")
+    )
+
+
+_DOW_ORACLE = """SELECT dayofweek(o_orderdate) + 1 AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1"""
+
+
+@register(
+    "orders_dow_seasonality",
+    _DOW_ORACLE,
+    "day-of-week seasonality profile: order counts + decimal-exact "
+    "revenue per weekday (engines disagree on week numbering — "
+    "DuckDB Sunday=0, Spark Sunday=1 — aligned explicitly in the "
+    "oracle).  The ops-review staple; one aggregation",
+)
+def orders_dow_seasonality(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.dayofweek("o_orderdate").alias("dow"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
