@@ -124,6 +124,7 @@ _CERTIFY_FIRST = [
     "corpus_source_scorecard",
     "text_zipf_fit",
     "orders_dow_seasonality",
+    "text_langid_confusion",
     # round-3 TPC-H shapes (low-risk oracles; round-4 rotation)
     "q4_priority_exists",
     "q7_nation_volume",

@@ -11122,3 +11122,63 @@ def orders_dow_seasonality(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+_LANGID_EVAL_ORACLE = r"""WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> list_contains(
+      ['der','die','das','und','ist','von','mit','für','ein','nicht'], x))) AS h_de,
+    len(list_filter(toks, x -> list_contains(
+      ['the','a','of','and','to','in','is','that','it','for'], x))) AS h_en,
+    len(list_filter(toks, x -> list_contains(
+      ['el','la','los','de','y','es','un','una','por','para'], x))) AS h_es,
+    len(list_filter(toks, x -> list_contains(
+      ['le','la','les','de','et','est','un','une','pour','dans'], x))) AS h_fr,
+    len(list_filter(toks, x -> list_contains(
+      ['的','是','在','了','和','有','我','不','这','他'], x))) AS h_zh
+  FROM t),
+pred AS (
+  SELECT lang,
+         CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) <= 0 THEN 'und'
+              WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+              WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+              WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+              WHEN h_fr = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+              ELSE 'zh' END AS lang_pred
+  FROM h)
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY lang), 6)
+         AS row_rate
+FROM pred GROUP BY lang, lang_pred"""
+
+
+@register(
+    "text_langid_confusion",
+    _LANGID_EVAL_ORACLE,
+    "classifier evaluation as a query: the lang-id confusion matrix "
+    "(labeled lang x predicted lang, counts + per-label rates) — "
+    "the eval harness every heuristic classifier needs, computed in "
+    "the engine over the full corpus instead of a sampled notebook.  "
+    "Reuses the oracle-certified scoring; rates via a window over "
+    "the (tiny) grouped frame",
+)
+def text_langid_confusion(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.text import language_id
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pred = language_id(documents).select("lang", "lang_pred")
+    counts = pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("row_rate"),
+    )
