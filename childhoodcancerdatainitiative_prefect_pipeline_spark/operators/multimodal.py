@@ -160,3 +160,56 @@ def resize_images(
     return media.filter(F.col("modality") == "image").mapInPandas(
         kernel, schema=MEDIA_SCHEMA
     )
+
+
+def chunk_audio(
+    media: DataFrame, chunk_ms: int = 30_000, stride_ms: int = 20_000
+) -> DataFrame:
+    """Audio chunking plan + payload slicing — media table in/out.
+
+    Speech pipelines window long recordings into overlapping chunks
+    (e.g. 30 s windows at 20 s stride for ASR).  The chunk PLAN is
+    row-local ``sequence``+``explode`` (like ``frame_sample_plan`` —
+    a 3-hour recording fans out on executors, never one task), and
+    the byte slicing runs in the Arrow kernel.  Stub decode: duration
+    inferred as 1 ms per payload byte, slice boundaries proportional;
+    a real kernel swaps in soundfile/librosa offsets and nothing
+    else changes.  Output keeps MEDIA_SCHEMA with chunked payloads
+    and ``media_id`` shifted to (id * 10000 + chunk_no) so chunk ids
+    stay unique and traceable.
+    """
+    dur_ms = F.col("n_bytes")  # stub: 1 ms per byte
+    n_chunks = F.greatest(
+        F.ceil((dur_ms - chunk_ms) / stride_ms) + 1, F.lit(1)
+    ).cast("long")
+    plan = media.filter(F.col("modality") == "audio").select(
+        "media_id",
+        "modality",
+        "mime",
+        "payload",
+        "n_bytes",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if DECODERS_AVAILABLE:  # pragma: no cover - no codecs here
+                raise NotImplementedError("wire soundfile block reads here")
+            start = pdf["chunk_no"] * stride_ms  # stub: ms == bytes
+            sliced = [
+                (b or b"")[s : s + chunk_ms]
+                for b, s in zip(pdf["payload"], start)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"] * 10000 + pdf["chunk_no"],
+                    "modality": pdf["modality"],
+                    "mime": "audio/x-chunk",
+                    "payload": sliced,
+                    "n_bytes": pd.Series(
+                        [len(x) for x in sliced], dtype="int64"
+                    ),
+                }
+            )
+
+    return plan.mapInPandas(kernel, schema=MEDIA_SCHEMA)

@@ -2013,3 +2013,32 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 450
     assert out.select("id").distinct().count() == 450  # exactly once
+
+
+def test_audio_chunking_covers_payload_with_overlap(spark):
+    """Audio chunk plan: every byte of the source payload appears in
+    at least one chunk, consecutive chunks overlap by (chunk -
+    stride), and chunk ids remain unique and traceable."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.multimodal import (
+        chunk_audio,
+        synthesize_media,
+    )
+
+    base = spark.range(5).select(F.col("id").alias("media_id"))
+    media = synthesize_media(base, "media_id", modality="audio")
+    chunks = chunk_audio(media, chunk_ms=6, stride_ms=4).collect()
+    assert len(chunks) > len(media.collect())  # fan-out happened
+    assert len({c.media_id for c in chunks}) == len(chunks)  # unique ids
+
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for orig_id, payload in src.items():
+        own = sorted(
+            (c for c in chunks if c.media_id // 10000 == orig_id),
+            key=lambda c: c.media_id,
+        )
+        covered = sum(len(bytes(c.payload)) for c in own)
+        # overlapping windows cover >= the whole payload
+        assert covered >= len(payload)
+        # stride < chunk => first two chunks share bytes
+        if len(own) > 1:
+            assert bytes(own[0].payload)[4:6] == bytes(own[1].payload)[:2]
