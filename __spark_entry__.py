@@ -152,6 +152,10 @@ _CERTIFY_FIRST = [
     "kf_transfer_groups",
     "orders_abc_pareto_scaled",
     "dedup_substring_spans",
+    # round-3 session additions (locally hash-verified; next rotation)
+    "ccdi_to_tabbreaker",
+    "indexd_guid_validation",
+    "indexd_ghost_records",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

@@ -132,3 +132,79 @@ def guid_fill_from_index(
         F.lit(""),
     )
     return matched.withColumn(guid_col, filled).drop("__did__")
+
+
+GUID_CHECK_FIELDS = (
+    ("acl", "indexd_acl", "acl_check"),
+    ("authz", "indexd_authz", "authz_check"),
+    ("md5sum", "indexd_md5sum", "md5sum_check"),
+    ("url", "indexd_url", "url_check"),
+    ("file_size", "indexd_size", "size_check"),
+)
+
+
+def guid_meta_check(meta: DataFrame, index_records: DataFrame) -> DataFrame:
+    """Sandbox guid metadata vs indexd record battery
+    (src/sandbox_indexd_guid_validation.py:82-142).
+
+    The reference issues one indexd API GET per guid and appends six
+    python lists; here ``index_records`` is the staged index extract
+    ``(guid, acl, authz, url, md5sum, file_size)`` and the whole
+    battery is ONE left join on guid plus a codegen projection:
+    ``indexd_guid_exist`` Yes/No from the join hit, and per-field
+    Pass/Fail where a missing record compares against the reference's
+    empty-string defaults (:102-108).  At 100 TB this is a single
+    guid-keyed exchange (broadcast when the study extract is small);
+    no API loop, no driver state.
+    """
+    idx = index_records.select(
+        F.col("guid"),
+        F.col("acl").alias("indexd_acl"),
+        F.col("authz").alias("indexd_authz"),
+        F.col("md5sum").alias("indexd_md5sum"),
+        F.col("url").alias("indexd_url"),
+        F.col("file_size").alias("indexd_size"),
+    )
+    joined = meta.join(idx, "guid", "left")
+    exist = F.col("indexd_acl").isNotNull() | F.col("indexd_md5sum").isNotNull()
+    out = joined.withColumn(
+        "indexd_guid_exist", F.when(exist, F.lit("Yes")).otherwise(F.lit("No"))
+    )
+    # a guid absent from indexd keeps the reference's "" defaults
+    # (sandbox_indexd_guid_validation.py:102-108) — fill BEFORE the
+    # comparisons so every check reads Fail, not null, exactly like
+    # np.where on the "" columns; indexd_size stays numeric (null).
+    for c in ("indexd_acl", "indexd_authz", "indexd_md5sum", "indexd_url"):
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit("")))
+    for left, right, flag in GUID_CHECK_FIELDS:
+        eq = F.col(left) == F.col(right)
+        out = out.withColumn(
+            flag, F.when(eq, F.lit("Pass")).otherwise(F.lit("Fail"))
+        )
+    return out
+
+
+def ghost_index_records(
+    index_records: DataFrame, meta: DataFrame, phs_accession: str
+) -> DataFrame:
+    """Indexd records carrying the study's acl but absent from the
+    sandbox pull (src/sandbox_indexd_guid_validation.py:146-200).
+
+    The reference pages the index API 100 records at a time and probes
+    a driver-side ``in`` list; here it is one filter (acl contains the
+    accession — pushed to the index-extract scan) plus a left-anti
+    join against the study's guid set.  The anti join broadcasts the
+    guid side when small; nothing is collected.
+    """
+    scoped = index_records.filter(
+        F.col("acl").contains(phs_accession)
+    )
+    ghosts = scoped.join(meta.select("guid"), "guid", "left_anti")
+    return ghosts.select(
+        F.col("guid"),
+        F.col("md5sum").alias("md5"),
+        F.col("file_size").alias("size"),
+        "acl",
+        "authz",
+        F.col("url").alias("urls"),
+    )

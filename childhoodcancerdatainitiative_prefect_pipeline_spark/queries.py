@@ -11182,3 +11182,305 @@ def text_langid_confusion(spark, sf_dir):
         "n",
         F.round(F.col("n") / F.sum("n").over(w), 6).alias("row_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TabBreaker (src/s3_ccdi_to_tabbreakery.py:45-142) — the workbook →
+# loader-TSV splitter, composed over two synthetic node sheets with a
+# study-scoped surrogate-id mint.  The registry entry certifies the
+# md5-twin surrogate (DuckDB has no sha1); the production uuid5 path
+# shares every line except the hash primitive and is golden-tested
+# against uuid.uuid5 in tests/test_operators.py.
+# ---------------------------------------------------------------------------
+
+_TB_SURGERY = (
+    "substr(h,1,8) || '-' || substr(h,9,4) || '-3' || substr(h,14,3) || '-' || "
+    "translate(substr(h,17,1), '0123456789abcdef', '89ab89ab89ab89ab') || "
+    "substr(h,18,3) || '-' || substr(h,21,12)"
+)
+
+_TABBREAKER_ORACLE = f"""WITH p AS (
+  SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL
+              ELSE 'PCT_' || CAST(c_custkey AS VARCHAR) END AS participant_id,
+         CASE c_custkey % 3 WHEN 0 THEN 'Male' WHEN 1 THEN 'Female'
+              ELSE 'Not Reported' END AS sex_at_birth
+  FROM customer),
+pid AS (
+  SELECT participant_id, sex_at_birth,
+         CASE WHEN participant_id IS NOT NULL THEN {_TB_SURGERY} END AS id
+  FROM (SELECT *,
+          md5('ccdi::phs-TB::participant::' || participant_id) AS h
+        FROM p)),
+s AS (
+  SELECT 'SMP_' || CAST(o_orderkey AS VARCHAR) AS sample_id,
+         CASE WHEN o_orderkey % 89 = 0 THEN NULL
+              ELSE 'PCT_' || CAST(o_custkey AS VARCHAR) END AS plink,
+         o_orderstatus AS sample_type
+  FROM orders),
+sid AS (
+  SELECT sample_id, sample_type,
+         CASE WHEN sample_id IS NOT NULL THEN {_TB_SURGERY} END AS id,
+         pid2 AS "participant.id"
+  FROM (SELECT *,
+          md5('ccdi::phs-TB::sample::' || sample_id) AS h,
+          CASE WHEN plink IS NOT NULL THEN
+            substr(h2,1,8) || '-' || substr(h2,9,4) || '-3' || substr(h2,14,3)
+            || '-' ||
+            translate(substr(h2,17,1), '0123456789abcdef', '89ab89ab89ab89ab')
+            || substr(h2,18,3) || '-' || substr(h2,21,12) END AS pid2
+        FROM (SELECT *,
+                md5('ccdi::phs-TB::participant::' || plink) AS h2
+              FROM s)))
+SELECT 'participant' AS type, participant_id, id, sex_at_birth,
+       CAST(NULL AS VARCHAR) AS sample_id,
+       CAST(NULL AS VARCHAR) AS sample_type,
+       CAST(NULL AS VARCHAR) AS "participant.id"
+FROM pid
+UNION ALL
+SELECT 'sample', NULL, id, NULL, sample_id, sample_type, "participant.id"
+FROM sid"""
+
+
+def _tabbreaker_sheets(spark, sf_dir):
+    """Three synthetic manifest sheets: participant (null-key rows),
+    sample (redundant ``participant.participant_id`` link + null-link
+    rows), and an all-null diagnosis sheet the pruning must drop."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    ck = F.col("c_custkey")
+    participant = customer.select(
+        F.when(ck % 97 != 0, F.concat(F.lit("PCT_"), ck.cast("string")))
+        .alias("participant_id"),
+        F.when(ck % 3 == 0, F.lit("Male"))
+        .when(ck % 3 == 1, F.lit("Female"))
+        .otherwise(F.lit("Not Reported"))
+        .alias("sex_at_birth"),
+    )
+    ok = F.col("o_orderkey")
+    sample = orders.select(
+        F.concat(F.lit("SMP_"), ok.cast("string")).alias("sample_id"),
+        F.when(
+            ok % 89 != 0,
+            F.concat(F.lit("PCT_"), F.col("o_custkey").cast("string")),
+        ).alias("participant.participant_id"),
+        F.col("o_orderstatus").alias("sample_type"),
+    )
+    diagnosis = customer.limit(5).select(
+        F.lit(None).cast("string").alias("diagnosis_id"),
+        F.lit(None).cast("string").alias("diagnosis"),
+    )
+    return {"participant": participant, "sample": sample, "diagnosis": diagnosis}
+
+
+@register(
+    "ccdi_to_tabbreaker",
+    _TABBREAKER_ORACLE,
+    "composed CCDI→TabBreaker workbook break "
+    "(src/s3_ccdi_to_tabbreakery.py:45-142): per-node type stamp + "
+    "study-scoped surrogate-id mint on keys and parent links, redundant "
+    "link-column drop, empty/link-only sheet pruning — all shuffle-free "
+    "codegen projections (plans/tabbreaker.py)",
+)
+def ccdi_to_tabbreaker_query(spark, sf_dir):
+    from .plans.tabbreaker import tabbreaker
+
+    broken = tabbreaker(
+        _tabbreaker_sheets(spark, sf_dir),
+        study_id="phs-TB",
+        keys={
+            "participant": "participant_id",
+            "sample": "sample_id",
+            "diagnosis": "diagnosis_id",
+        },
+        surrogate="md5",
+    )
+    assert "diagnosis" not in broken  # all-null sheet pruned
+    out = broken["participant"].unionByName(
+        broken["sample"], allowMissingColumns=True
+    )
+    return out.select(
+        "type",
+        "participant_id",
+        "id",
+        "sex_at_birth",
+        "sample_id",
+        "sample_type",
+        F.col("`participant.id`"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Indexd guid validation (src/sandbox_indexd_guid_validation.py) — the
+# sandbox-vs-indexd reconciliation pair: the per-guid field-check
+# battery and the ghost-record sweep.  The indexd side is a staged
+# index extract derived from the same fact table with planted
+# perturbations (missing records, corrupted md5s, drifted sizes,
+# changed acls, ghost rows) so every check fires both ways.
+# ---------------------------------------------------------------------------
+
+_IDX_META_K_SQL = """
+  SELECT l_orderkey AS okey,
+         'dg.4DFC/' || md5(CAST(l_orderkey AS VARCHAR) || '-'
+                           || CAST(l_linenumber AS VARCHAR)) AS guid,
+         '["phs' || CAST(l_orderkey % 4 AS VARCHAR) || '"]' AS acl,
+         '["/programs/phs' || CAST(l_orderkey % 4 AS VARCHAR) || '"]' AS authz,
+         's3://sandbox/' || CAST(l_orderkey AS VARCHAR) || '/f_'
+           || CAST(l_linenumber AS VARCHAR) || '.bam' AS url,
+         md5('m' || CAST(l_orderkey AS VARCHAR) || '-'
+             || CAST(l_linenumber AS VARCHAR)) AS md5sum,
+         CAST((l_orderkey % 1000) * 100 + l_linenumber AS BIGINT) AS file_size
+  FROM lineitem WHERE l_linenumber <= 3"""
+
+_IDX_META_SQL = (
+    "SELECT guid, acl, authz, url, md5sum, file_size FROM metak"
+)
+
+_IDX_INDEX_SQL = """
+  SELECT guid,
+         CASE WHEN okey % 23 = 5
+              THEN '["phs-moved"]' ELSE acl END AS acl,
+         authz,
+         url,
+         CASE WHEN okey % 13 = 0
+              THEN 'corrupt' || md5sum ELSE md5sum END AS md5sum,
+         CASE WHEN okey % 11 = 3
+              THEN file_size + 1 ELSE file_size END AS file_size
+  FROM metak
+  WHERE okey % 17 <> 0
+  UNION ALL
+  SELECT 'dg.4DFC/ghost-' || md5(CAST(l_orderkey AS VARCHAR)) AS guid,
+         '["phs' || CAST(l_orderkey % 4 AS VARCHAR) || '"]' AS acl,
+         '["/programs/phs' || CAST(l_orderkey % 4 AS VARCHAR) || '"]' AS authz,
+         's3://ghost/' || CAST(l_orderkey AS VARCHAR) || '.bam' AS url,
+         md5('g' || CAST(l_orderkey AS VARCHAR)) AS md5sum,
+         CAST(l_orderkey % 5000 AS BIGINT) AS file_size
+  FROM (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey % 19 = 0)
+"""
+
+_IDX_CHECK_ORACLE = f"""WITH metak AS ({_IDX_META_K_SQL}),
+meta AS ({_IDX_META_SQL}),
+idx AS ({_IDX_INDEX_SQL}),
+j AS (
+  SELECT m.*, i.acl AS i_acl, i.authz AS i_authz, i.md5sum AS i_md5,
+         i.url AS i_url, i.file_size AS i_size
+  FROM meta m LEFT JOIN idx i ON m.guid = i.guid)
+SELECT guid, acl, authz, url, md5sum, file_size,
+       CASE WHEN i_acl IS NOT NULL OR i_md5 IS NOT NULL
+            THEN 'Yes' ELSE 'No' END AS indexd_guid_exist,
+       coalesce(i_acl, '') AS indexd_acl,
+       coalesce(i_authz, '') AS indexd_authz,
+       coalesce(i_md5, '') AS indexd_md5sum,
+       coalesce(i_url, '') AS indexd_url,
+       i_size AS indexd_size,
+       CASE WHEN acl = coalesce(i_acl, '') THEN 'Pass' ELSE 'Fail' END
+         AS acl_check,
+       CASE WHEN authz = coalesce(i_authz, '') THEN 'Pass' ELSE 'Fail' END
+         AS authz_check,
+       CASE WHEN md5sum = coalesce(i_md5, '') THEN 'Pass' ELSE 'Fail' END
+         AS md5sum_check,
+       CASE WHEN url = coalesce(i_url, '') THEN 'Pass' ELSE 'Fail' END
+         AS url_check,
+       CASE WHEN file_size = i_size THEN 'Pass' ELSE 'Fail' END
+         AS size_check
+FROM j"""
+
+_IDX_GHOST_ORACLE = f"""WITH metak AS ({_IDX_META_K_SQL}),
+meta AS ({_IDX_META_SQL}),
+idx AS ({_IDX_INDEX_SQL})
+SELECT i.guid, i.md5sum AS md5, i.file_size AS size, i.acl, i.authz,
+       i.url AS urls
+FROM idx i
+WHERE i.acl LIKE '%phs1%'
+  AND i.guid NOT IN (SELECT guid FROM meta)"""
+
+
+def _indexd_sides(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    k, j = F.col("l_orderkey"), F.col("l_linenumber")
+    ks, js = k.cast("string"), j.cast("string")
+    meta = lineitem.filter(j <= 3).select(
+        F.concat(F.lit("dg.4DFC/"), F.md5(F.encode(F.concat(ks, F.lit("-"), js), "UTF-8")))
+        .alias("guid"),
+        F.concat(F.lit('["phs'), (k % 4).cast("string"), F.lit('"]')).alias("acl"),
+        F.concat(F.lit('["/programs/phs'), (k % 4).cast("string"), F.lit('"]'))
+        .alias("authz"),
+        F.concat(F.lit("s3://sandbox/"), ks, F.lit("/f_"), js, F.lit(".bam"))
+        .alias("url"),
+        F.md5(F.encode(F.concat(F.lit("m"), ks, F.lit("-"), js), "UTF-8")).alias("md5sum"),
+        ((k % 1000) * 100 + j).cast("long").alias("file_size"),
+        k.alias("__k__"),
+    )
+    perturbed = (
+        meta.filter(F.col("__k__") % 17 != 0)
+        .select(
+            "guid",
+            F.when(F.col("__k__") % 23 == 5, F.lit('["phs-moved"]'))
+            .otherwise(F.col("acl"))
+            .alias("acl"),
+            "authz",
+            "url",
+            F.when(
+                F.col("__k__") % 13 == 0,
+                F.concat(F.lit("corrupt"), F.col("md5sum")),
+            )
+            .otherwise(F.col("md5sum"))
+            .alias("md5sum"),
+            F.when(F.col("__k__") % 11 == 3, F.col("file_size") + 1)
+            .otherwise(F.col("file_size"))
+            .alias("file_size"),
+        )
+    )
+    ghosts = (
+        lineitem.filter(k % 19 == 0)
+        .select(k.alias("gk"))
+        .distinct()
+        .select(
+            F.concat(F.lit("dg.4DFC/ghost-"), F.md5(F.encode(F.col("gk").cast("string"), "UTF-8")))
+            .alias("guid"),
+            F.concat(F.lit('["phs'), (F.col("gk") % 4).cast("string"), F.lit('"]'))
+            .alias("acl"),
+            F.concat(
+                F.lit('["/programs/phs'),
+                (F.col("gk") % 4).cast("string"),
+                F.lit('"]'),
+            ).alias("authz"),
+            F.concat(F.lit("s3://ghost/"), F.col("gk").cast("string"),
+                     F.lit(".bam")).alias("url"),
+            F.md5(F.encode(F.concat(F.lit("g"), F.col("gk").cast("string")), "UTF-8"))
+            .alias("md5sum"),
+            (F.col("gk") % 5000).cast("long").alias("file_size"),
+        )
+    )
+    index_records = perturbed.unionByName(ghosts)
+    return meta.drop("__k__"), index_records
+
+
+@register(
+    "indexd_guid_validation",
+    _IDX_CHECK_ORACLE,
+    "sandbox-vs-indexd guid metadata battery "
+    "(src/sandbox_indexd_guid_validation.py:82-142): the reference's "
+    "one-API-GET-per-guid loop becomes ONE guid-keyed left join plus a "
+    "codegen Pass/Fail projection over acl/authz/md5/url/size "
+    "(plans/dcf.py::guid_meta_check)",
+)
+def indexd_guid_validation_query(spark, sf_dir):
+    from .plans.dcf import guid_meta_check
+
+    meta, index_records = _indexd_sides(spark, sf_dir)
+    return guid_meta_check(meta, index_records)
+
+
+@register(
+    "indexd_ghost_records",
+    _IDX_GHOST_ORACLE,
+    "ghost-record sweep (src/sandbox_indexd_guid_validation.py:146-200): "
+    "indexd records holding the study's acl but absent from the sandbox "
+    "pull — the reference's paged-API + driver-side 'in' probe becomes "
+    "an acl filter (scan-pushed) + left-anti join "
+    "(plans/dcf.py::ghost_index_records)",
+)
+def indexd_ghost_records_query(spark, sf_dir):
+    from .plans.dcf import ghost_index_records
+
+    meta, index_records = _indexd_sides(spark, sf_dir)
+    return ghost_index_records(index_records, meta, phs_accession="phs1")
