@@ -156,6 +156,10 @@ _CERTIFY_FIRST = [
     "ccdi_to_tabbreaker",
     "indexd_guid_validation",
     "indexd_ghost_records",
+    "text_bpe_tokens",
+    "text_html_strip",
+    "privacy_k_anonymity",
+    "linkage_blocked_fuzzy",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

@@ -275,3 +275,56 @@ def token_entropy(toks: Column) -> Column:
         ).otherwise(F.lit(0.0)),
     )
     return F.when(n > 0, F.log(n.cast("double")) - folded / n).otherwise(F.lit(0.0))
+
+
+#: html strip battery — (pattern, replacement) applied in order; the
+#: DuckDB oracle runs the identical chain (RE2 and java.util.regex
+#: agree on these patterns: inline (?is) flags, lazy quantifiers)
+HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+)
+
+#: entity decode map (applied after tag removal, longest-first so
+#: &amp; doesn't re-expand pieces of other entities)
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),
+)
+
+
+def html_strip(html: Column | str) -> Column:
+    """Boilerplate removal: drop script/style/comment blocks, strip
+    tags, decode common entities, collapse whitespace.
+
+    The trafilatura/jusText shape without the DOM walk — a pure
+    regexp_replace chain (row-local, codegen, one scan at any corpus
+    size).  Entity decode is plain ``replace`` (no regex), applied
+    AFTER tag stripping so literal ``&lt;tag&gt;`` text can't be
+    eaten as markup.
+    """
+    c = F.col(html) if isinstance(html, str) else html
+    for pat, rep in HTML_STRIP_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    for ent, rep in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_strip_sql(col: str) -> str:
+    """DuckDB twin of :func:`html_strip` (note RE2 needs the 'g'
+    option for global replacement; java regex is global by default)."""
+    s = col
+    for pat, rep in HTML_STRIP_STEPS:
+        p = pat.replace("'", "''")
+        s = f"regexp_replace({s}, '{p}', '{rep}', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        r = rep.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{r}')"
+    return f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"

@@ -11484,3 +11484,321 @@ def indexd_ghost_records_query(spark, sf_dir):
 
     meta, index_records = _indexd_sides(spark, sf_dir)
     return ghost_index_records(index_records, meta, phs_accession="phs1")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenization (additive LLM-pipeline capability, operators/bpe.py):
+# real byte-pair encoding — the distributed trainer plus the codegen
+# chained-replace applier (oracle-certified) and the Arrow-batched
+# greedy encoder for large vocabularies (rows-only; equality with the
+# codegen twin is unit-pinned).
+# ---------------------------------------------------------------------------
+
+#: fixed literal merge table for the certified apply — training is a
+#: separate (iterative) operator; applying a GIVEN vocabulary is the
+#: hot per-corpus path and must be exactly reproducible
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("e", "\x02"),
+    ("th", "e\x02"),
+    ("e", "r"),
+    ("n", "\x02"),
+    ("o", "r"),
+    ("o", "w"),
+    ("ow", "\x02"),
+    ("er", "\x02"),
+    ("a", "r"),
+    ("i", "n"),
+    ("in", "\x02"),
+    ("s", "t"),
+    ("a", "t"),
+    ("l", "u"),
+    ("r", "y"),
+]
+
+
+def _bpe_oracle() -> str:
+    from .operators.bpe import PRETOKEN_RE, bpe_apply_sql
+
+    sep2 = "chr(1) || chr(1)"
+    spaced = (
+        f"{sep2} || array_to_string(list_transform("
+        f"regexp_extract_all(lower(text), '{PRETOKEN_RE}'), "
+        "w -> array_to_string(list_append(regexp_extract_all(w, '.'), chr(2)),"
+        f" {sep2}) || {sep2}), '')"
+    )
+    chain = bpe_apply_sql(_BPE_MERGES, col="s")
+    return f"""WITH sp AS (
+  SELECT doc_id, {spaced} AS s FROM documents),
+enc AS (
+  SELECT doc_id,
+         list_filter(string_split({chain}, chr(1)), t -> t <> '') AS toks
+  FROM sp)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       replace(array_to_string(toks, ' '), chr(2), '</w>') AS tokens_str
+FROM enc"""
+
+
+@register(
+    "text_bpe_tokens",
+    _bpe_oracle(),
+    "BPE tokenizer APPLY as pure codegen: each merge of a fixed "
+    "vocabulary in rank order is one separator-guarded replace over the "
+    "doc's symbol string (the subword-nmt algorithm), so encoding a "
+    "100 TB corpus is one scan with zero shuffles and zero Python — "
+    "operators/bpe.py::tokenize_doc_expr, oracle = the same replace "
+    "chain in DuckDB",
+)
+def text_bpe_tokens_query(spark, sf_dir):
+    from .operators.bpe import tokenize_doc_expr
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = tokenize_doc_expr("text", _BPE_MERGES)
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.replace(
+            F.array_join(toks, " "), F.lit("\x02"), F.lit("</w>")
+        ).alias("tokens_str"),
+    )
+
+
+@register(
+    "text_bpe_tokens_fast",
+    None,  # mapInPandas encoder; equality with the codegen twin is
+    # unit-pinned (tests/test_bpe.py), and the codegen twin is the
+    # oracle-certified entry above
+    "BPE tokenizer APPLY for realistic 30-50k-merge vocabularies: "
+    "Arrow-batched greedy lowest-rank-first encoder with per-executor "
+    "rank broadcast and Zipf-exploiting per-word memoization "
+    "(operators/bpe.py::bpe_encode_batches)",
+)
+def text_bpe_tokens_fast_query(spark, sf_dir):
+    from .operators.bpe import Merge, bpe_encode_batches
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    merges = [Merge(i, a, b) for i, (a, b) in enumerate(_BPE_MERGES)]
+    enc = bpe_encode_batches(documents, merges)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.replace(
+            F.array_join("tokens", " "), F.lit("\x02"), F.lit("</w>")
+        ).alias("tokens_str"),
+    )
+
+
+@register(
+    "corpus_bpe_vocab",
+    None,  # iterative trainer — not SQL-expressible; determinism and
+    # parity with an independent reference trainer are unit-pinned
+    "BPE tokenizer TRAIN: driver-coordinated merge loop over the "
+    "(distinct word, freq) table — the corpus collapses to a "
+    "vocabulary-sized frame after one scan+groupBy, then each round is "
+    "one map-side-combinable pair count plus a row-local array fold; "
+    "lineage cut via localCheckpoint (operators/bpe.py::bpe_train)",
+)
+def corpus_bpe_vocab_query(spark, sf_dir):
+    from .operators.bpe import bpe_train, merges_table
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    merges = bpe_train(documents, n_merges=16, max_words=2000)
+    out = merges_table(spark, merges)
+    return out.select(
+        "rank",
+        F.replace(F.col("left"), F.lit("\x02"), F.lit("</w>")).alias("left"),
+        F.replace(F.col("right"), F.lit("\x02"), F.lit("</w>")).alias("right"),
+        F.replace(F.col("merged"), F.lit("\x02"), F.lit("</w>")).alias("merged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate strip / k-anonymity profiling / blocked fuzzy
+# linkage (operators/text.py, operators/privacy.py, operators/linkage.py)
+# ---------------------------------------------------------------------------
+
+
+def _html_oracle() -> str:
+    from .operators.text import html_strip_sql
+
+    html = (
+        "'<html><head><title>Doc</title><style>p{m:0}</style>"
+        "<script type=\"a\">var x=1 < 2;</script></head><body>"
+        "<!-- nav --><h1>H &amp; 1</h1><p class=\"b\">' || text || "
+        "'</p><br/><div>&lt;safe&gt; &quot;q&#39;s&quot;&nbsp;tail"
+        "</div></body></html>'"
+    )
+    return f"""SELECT doc_id,
+       {html_strip_sql(html)} AS clean_text
+FROM documents"""
+
+
+@register(
+    "text_html_strip",
+    _html_oracle(),
+    "HTML boilerplate removal for web-crawl corpora: drop "
+    "script/style/comment blocks, strip tags, decode entities, collapse "
+    "whitespace — a pure regexp_replace chain (row-local, codegen, one "
+    "scan); operators/text.py::html_strip, oracle = identical chain with "
+    "RE2 'g' flags",
+)
+def text_html_strip_query(spark, sf_dir):
+    from .operators.text import html_strip
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>Doc</title><style>p{m:0}</style>'
+            '<script type="a">var x=1 < 2;</script></head><body>'
+            '<!-- nav --><h1>H &amp; 1</h1><p class="b">'
+        ),
+        F.col("text"),
+        F.lit(
+            "</p><br/><div>&lt;safe&gt; &quot;q&#39;s&quot;&nbsp;tail"
+            "</div></body></html>"
+        ),
+    )
+    return documents.select(
+        "doc_id", html_strip(html).alias("clean_text")
+    )
+
+
+_KANON_ORACLE = """WITH qi AS (
+  SELECT c_nationkey AS nation,
+         c_mktsegment AS segment,
+         CAST((c_custkey % 60 + 18) // 10 * 10 AS BIGINT) AS age_band,
+         CASE WHEN c_nationkey % 5 = 0 THEN 'condition_X'
+              ELSE 'condition_' || CAST(c_custkey % 4 AS VARCHAR)
+         END AS diagnosis
+  FROM customer)
+SELECT nation, segment, age_band,
+       COUNT(*) AS group_n,
+       COUNT(DISTINCT diagnosis) AS distinct_sensitive,
+       COUNT(*) < 5 AS at_risk_k,
+       COUNT(DISTINCT diagnosis) < 2 AS at_risk_l
+FROM qi GROUP BY nation, segment, age_band"""
+
+
+@register(
+    "privacy_k_anonymity",
+    _KANON_ORACLE,
+    "k-anonymity / l-diversity screen before a corpus ships "
+    "(operators/privacy.py): one map-side-combinable groupBy on the "
+    "quasi-identifier tuple — cell size (k), sensitive-value diversity "
+    "(l), and risk flags; complements the F7 direct-identifier PII scan "
+    "with combinational re-identification risk",
+)
+def privacy_k_anonymity_query(spark, sf_dir):
+    from .operators.privacy import k_anonymity_profile
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    qi = customer.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        ((ck % 60 + 18) / 10).cast("long").alias("__b__"),
+        F.when(F.col("c_nationkey") % 5 == 0, F.lit("condition_X"))
+        .otherwise(F.concat(F.lit("condition_"), (ck % 4).cast("string")))
+        .alias("diagnosis"),
+    ).select(
+        "nation",
+        "segment",
+        (F.floor("__b__") * 10).cast("long").alias("age_band"),
+        "diagnosis",
+    )
+    return k_anonymity_profile(
+        qi,
+        ["nation", "segment", "age_band"],
+        sensitive_col="diagnosis",
+        k=5,
+        l_threshold=2,
+    )
+
+
+_LINKAGE_ORACLE = """WITH l AS (
+  SELECT c_custkey AS lid,
+         lower(c_mktsegment) || '_' || CAST(c_custkey AS VARCHAR) AS name
+  FROM customer),
+r AS (
+  SELECT c_custkey AS rid,
+         CASE
+           WHEN c_custkey % 5 = 0 AND c_custkey % 7 = 0 THEN
+             substr(nm, 1, 2) || 'x' || substr(nm, 4, 1) || substr(nm, 6)
+           WHEN c_custkey % 5 = 0 THEN
+             substr(nm, 1, 2) || 'x' || substr(nm, 4)
+           WHEN c_custkey % 7 = 0 THEN
+             substr(nm, 1, 3) || substr(nm, 5)
+           ELSE nm
+         END AS name
+  FROM (SELECT c_custkey,
+               lower(c_mktsegment) || '_' || CAST(c_custkey AS VARCHAR) AS nm
+        FROM customer)),
+lb AS (
+  SELECT lid, name, substr(name, 1, 2) AS pfx,
+         CAST(floor(length(name) / 4) AS INT) AS len_b
+  FROM l),
+rb AS (
+  SELECT rid, name, substr(name, 1, 2) AS pfx,
+         CAST(floor(length(name) / 4) AS INT) AS len_b
+  FROM r),
+cand AS (
+  SELECT lb.lid, rb.rid, levenshtein(lb.name, rb.name) AS distance
+  FROM lb JOIN rb ON lb.pfx = rb.pfx AND lb.len_b = rb.len_b),
+kept AS (SELECT * FROM cand WHERE distance <= 2),
+best AS (
+  SELECT lid, rid, distance,
+         ROW_NUMBER() OVER (PARTITION BY lid ORDER BY distance, rid) AS rn
+  FROM kept)
+SELECT lid, rid, distance FROM best WHERE rn = 1"""
+
+
+def _linkage_sides(spark, sf_dir):
+    (customer,) = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    nm = F.concat(
+        F.lower(F.col("c_mktsegment")), F.lit("_"), ck.cast("string")
+    )
+    left = customer.select(ck.alias("lid"), nm.alias("name"))
+    perturbed = (
+        F.when(
+            (ck % 5 == 0) & (ck % 7 == 0),
+            F.concat(
+                F.substring(nm, 1, 2),
+                F.lit("x"),
+                F.substring(nm, 4, 1),
+                F.substring(nm, 6, 1000),
+            ),
+        )
+        .when(
+            ck % 5 == 0,
+            F.concat(F.substring(nm, 1, 2), F.lit("x"), F.substring(nm, 4, 1000)),
+        )
+        .when(
+            ck % 7 == 0,
+            F.concat(F.substring(nm, 1, 3), F.substring(nm, 5, 1000)),
+        )
+        .otherwise(nm)
+    )
+    right = customer.select(ck.alias("rid"), perturbed.alias("name"))
+    return left, right
+
+
+@register(
+    "linkage_blocked_fuzzy",
+    _LINKAGE_ORACLE,
+    "blocked fuzzy record linkage (operators/linkage.py): "
+    "Fellegi-Sunter-style (prefix, length-bucket) blocking contracts the "
+    "edit-distance join from |L|x|R| to per-block products, levenshtein "
+    "verifies inside the block (JVM codegen), best match per left record "
+    "resolves by (distance, rid) — typo'd-key reconciliation that never "
+    "goes all-pairs",
+)
+def linkage_blocked_fuzzy_query(spark, sf_dir):
+    from .operators.linkage import best_match_per_left, blocked_fuzzy_matches
+
+    left, right = _linkage_sides(spark, sf_dir)
+    matches = blocked_fuzzy_matches(
+        left, right, "lid", "rid", name_col="name", max_dist=2
+    )
+    return best_match_per_left(matches, "lid", "rid")
