@@ -160,6 +160,8 @@ _CERTIFY_FIRST = [
     "text_html_strip",
     "privacy_k_anonymity",
     "linkage_blocked_fuzzy",
+    "cdc_merge_snapshot",
+    "sim_pq_topk_det",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

@@ -460,3 +460,215 @@ def hyperplane_lsh_pairs(
         .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-compressed ANN
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook(
+    e: DataFrame,
+    n_sub: int,
+    d_sub: int,
+    selector_mod: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(m, cid, cw) codeword table: each selected donor vector
+    contributes its m-th subvector to subspace m's codebook.
+
+    Deterministic hash-mod donor selection (the `pick_centroids`
+    discipline — zero extra passes, no global sort); swap in per-
+    subspace k-means for quality at the same downstream contract.
+    """
+    donors = e.filter(F.col(id_col) % selector_mod == 0)
+    parts = [
+        donors.select(
+            F.lit(m).alias("m"),
+            F.col(id_col).alias("cid"),
+            F.slice(F.col(vec_col), 1 + m * d_sub, d_sub).alias("cw"),
+        )
+        for m in range(n_sub)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _l2sq_micro(a: Column, b: Column) -> Column:
+    """Squared L2 distance as exact int64 micro-units.
+
+    ``round(d, 6) * 1e6`` as BIGINT so every downstream sum/argmin is
+    order-independent (float addition is not associative; int64
+    addition is) — the same trick the decimal-exact aggregates use.
+    """
+    d = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(d * 1000000).cast("long")
+
+
+def pq_encode(
+    e: DataFrame,
+    codebook: DataFrame,
+    n_sub: int,
+    d_sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Vector → ``codes`` (array of chosen cid per subspace) —
+    shuffle-free.
+
+    The codebook collapses to ONE broadcast row of sorted codeword
+    structs; per subspace the argmin is a row-local fold (ties to the
+    smallest cid).  The corpus partitioning passes through untouched —
+    encoding 100 TB is a scan.
+    """
+    cb = codebook.agg(
+        F.sort_array(
+            F.collect_list(F.struct("m", "cid", "cw"))
+        ).alias("cbs")
+    )
+    crossed = e.join(F.broadcast(cb))
+
+    def code_for(m: int) -> Column:
+        sub = F.slice(F.col(vec_col), 1 + m * d_sub, d_sub)
+        cands = F.filter(F.col("cbs"), lambda c: c["m"] == F.lit(m))
+        best = F.aggregate(
+            cands,
+            F.struct(
+                F.lit(None).cast("long").alias("d"),
+                F.lit(None).cast("long").alias("cid"),
+            ),
+            lambda acc, c: F.when(
+                acc["d"].isNull()
+                | (_l2sq_micro(sub, c["cw"]) < acc["d"]),
+                F.struct(
+                    _l2sq_micro(sub, c["cw"]).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            ).otherwise(acc),
+        )
+        return best["cid"]
+
+    return crossed.select(
+        F.col(id_col),
+        F.array(*[code_for(m) for m in range(n_sub)]).alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    e: DataFrame,
+    codebook: DataFrame,
+    encoded: DataFrame,
+    query_pred: Column,
+    n_sub: int,
+    d_sub: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Asymmetric-distance top-k: queries scan the CODES, not the
+    vectors.
+
+    Per query, the (m, cid) → distance table is |codebook|-sized and
+    rides one broadcast row as a map keyed ``m * 2^40 + cid``; each
+    corpus row then folds its ``codes`` against the map — the 100 TB
+    corpus is scanned once holding only ``n_sub`` int64 codes per
+    row (the 16× memory story of PQ), with zero shuffles before the
+    per-query top-k (which compiles to a pre-shuffle group limit).
+    Distances stay int64 micro-units end-to-end: sums are
+    order-independent, so the result is hash-certifiable.
+    """
+    from pyspark.sql import Window
+
+    queries = e.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    dtab = queries.join(F.broadcast(codebook)).select(
+        "query_id",
+        (F.col("m").cast("long") * F.lit(1 << 40) + F.col("cid")).alias("slot"),
+        _l2sq_micro(
+            F.slice("qv", F.col("m") * d_sub + 1, d_sub), F.col("cw")
+        ).alias("d"),
+    )
+    qmaps = dtab.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("slot", "d")))
+        ).alias("dmap")
+    )
+    # no sort_array here: structs holding maps are not orderable, and
+    # explode order is irrelevant — every query row is produced
+    qarr = qmaps.agg(F.collect_list(F.struct("query_id", "dmap")).alias("qs"))
+    crossed = encoded.join(F.broadcast(qarr)).select(
+        id_col, "codes", F.explode("qs").alias("q")
+    )
+    m_idx = F.sequence(F.lit(0), F.lit(n_sub - 1))
+    dist = F.aggregate(
+        m_idx,
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.element_at(
+            F.col("q")["dmap"],
+            m.cast("long") * F.lit(1 << 40) + F.element_at("codes", m + 1),
+        ),
+    )
+    scored = crossed.select(
+        F.col("q")["query_id"].alias("query_id"),
+        F.col(id_col),
+        dist.alias("adc_dist_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist_micro", id_col)
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )
+
+
+def l2sq_micro_full(a: Column, b: Column) -> Column:
+    """Exact-int64 squared L2 over full vectors (re-rank metric)."""
+    return _l2sq_micro(a, b)
+
+
+def pq_rerank(
+    shortlist: DataFrame,
+    e: DataFrame,
+    query_pred: Column,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Exact re-rank of an ADC shortlist — the standard PQ recall
+    repair: the quantized scan proposes ``k' >> k`` candidates, the
+    true vectors of only those candidates are fetched and re-scored.
+
+    The shortlist is (queries × k')-sized, so the join against the
+    corpus hits a tiny key set (broadcast the shortlist side); the
+    full corpus is never re-read beyond the matched rows.
+    """
+    from pyspark.sql import Window
+
+    queries = e.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        F.broadcast(shortlist.select("query_id", id_col))
+        .join(e.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            _l2sq_micro(F.col(vec_col), F.col("qv")).alias("dist_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist_micro", id_col)
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )

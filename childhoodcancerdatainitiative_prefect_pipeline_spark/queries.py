@@ -11802,3 +11802,209 @@ def linkage_blocked_fuzzy_query(spark, sf_dir):
         left, right, "lid", "rid", name_col="name", max_dist=2
     )
     return best_match_per_left(matches, "lid", "rid")
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply (operators/cdc.py) — the lakehouse MERGE: base
+# snapshot + (key, seq, op, payload) deltas → next snapshot.  The
+# synthetic changelog plants every path: single update, stacked
+# updates, delete-after-update, insert of a new key, and an insert
+# REPLAYED onto an existing key (upsert).  Seqs are unique per key so
+# the collapse order is engine-independent.
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """WITH base AS (
+  SELECT o_orderkey AS okey, o_orderstatus AS status,
+         CAST(o_orderkey % 997 AS BIGINT) AS val
+  FROM orders WHERE o_orderkey % 10 <> 0),
+ch AS (
+  SELECT o_orderkey AS okey, 1 AS seq, 'U' AS op,
+         'U1_' || CAST(o_orderkey % 5 AS VARCHAR) AS status,
+         CAST(o_orderkey % 997 + 1000 AS BIGINT) AS val
+  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', 'U2',
+         CAST(o_orderkey % 997 + 2000 AS BIGINT)
+  FROM orders WHERE o_orderkey % 6 = 0 AND o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'D', NULL, NULL
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 1, 'I', 'NEW',
+         CAST(o_orderkey % 997 AS BIGINT)
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 4, 'I', 'REPLAYED',
+         CAST(o_orderkey % 997 + 9000 AS BIGINT)
+  FROM orders WHERE o_orderkey % 9 = 0 AND o_orderkey % 10 <> 0),
+last AS (
+  SELECT okey, op, status, val
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY okey
+          ORDER BY seq DESC,
+                   CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END DESC
+        ) AS rn
+        FROM ch)
+  WHERE rn = 1),
+merged AS (
+  SELECT coalesce(b.okey, l.okey) AS okey,
+         l.op,
+         CASE WHEN l.op IS NOT NULL THEN l.status ELSE b.status END AS status,
+         CASE WHEN l.op IS NOT NULL THEN l.val ELSE b.val END AS val
+  FROM base b FULL OUTER JOIN last l ON b.okey = l.okey)
+SELECT okey, status, val FROM merged
+WHERE op IS NULL OR op <> 'D'"""
+
+
+def _cdc_sides(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    val = (k % 997).cast("long")
+    base = orders.filter(k % 10 != 0).select(
+        k.alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        val.alias("val"),
+    )
+    in_base = k % 10 != 0
+
+    def ev(cond, seq, op, status, v):
+        return orders.filter(cond).select(
+            k.alias("okey"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            status.alias("status"),
+            v.alias("val"),
+        )
+
+    nul = F.lit(None).cast("string")
+    nuv = F.lit(None).cast("long")
+    changes = (
+        ev(
+            (k % 3 == 0) & in_base,
+            1,
+            "U",
+            F.concat(F.lit("U1_"), (k % 5).cast("string")),
+            (val + 1000).cast("long"),
+        )
+        .unionByName(
+            ev((k % 6 == 0) & in_base, 2, "U", F.lit("U2"),
+               (val + 2000).cast("long"))
+        )
+        .unionByName(ev(k % 7 == 0, 3, "D", nul, nuv))
+        .unionByName(ev(k % 10 == 0, 1, "I", F.lit("NEW"), val))
+        .unionByName(
+            ev((k % 9 == 0) & in_base, 4, "I", F.lit("REPLAYED"),
+               (val + 9000).cast("long"))
+        )
+    )
+    return base, changes
+
+
+@register(
+    "cdc_merge_snapshot",
+    _CDC_ORACLE,
+    "CDC changelog apply — the lakehouse MERGE shape "
+    "(operators/cdc.py): collapse deltas to last-event-per-key with ONE "
+    "max_by-style aggregation (no window over history), then a "
+    "full-outer key join applies upserts and drops deletes; the "
+    "collapsed delta broadcasts when small, and bucketed tables make "
+    "the join shuffle-free",
+)
+def cdc_merge_snapshot_query(spark, sf_dir):
+    from .operators.cdc import apply_changelog
+
+    base, changes = _cdc_sides(spark, sf_dir)
+    return apply_changelog(base, changes, ["okey"])
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/similarity.py PQ block): codes are
+# 16 one-byte-ish subspace assignments instead of 64 floats (16x
+# memory), the ADC scan reads codes only, and an exact re-rank of the
+# 50-candidate shortlist repairs recall.  Everything is deterministic
+# (hash-mod donors, int64 micro-distances), so even the approximate
+# shortlist is hash-certified — the sim_ivf_topk_det discipline.
+# ---------------------------------------------------------------------------
+
+_PQ_NSUB, _PQ_DSUB, _PQ_MOD, _PQ_SHORT, _PQ_K = 16, 4, 5, 50, 10
+
+
+def _pq_oracle() -> str:
+    def l2sub(a: str, b: str, base: str) -> str:
+        terms = [
+            f"({a}[{base}+{i}]-{b}[{base}+{i}])*({a}[{base}+{i}]-{b}[{base}+{i}])"
+            for i in range(1, _PQ_DSUB + 1)
+        ]
+        return "CAST(ROUND((" + " + ".join(terms) + ")*1000000) AS BIGINT)"
+
+    full_terms = " + ".join(
+        f"(x.v[{i}]-q.qv[{i}])*(x.v[{i}]-q.qv[{i}])" for i in range(1, 65)
+    )
+    sub = l2sub("x.v", "d.v", "ms.m*4")
+    qsub = l2sub("q.qv", "d.v", "ms.m*4")
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ms AS (SELECT unnest(range(0, {_PQ_NSUB})) AS m),
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT x.vec_id, ms.m, d.vec_id AS cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id, ms.m
+                              ORDER BY {sub}, d.vec_id) AS rn
+    FROM e x CROSS JOIN ms CROSS JOIN e d
+    WHERE d.vec_id % {_PQ_MOD} = 0)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+dtab AS (
+  SELECT q.query_id, ms.m, d.vec_id AS cid, {qsub} AS dmic
+  FROM q CROSS JOIN ms CROSS JOIN e d
+  WHERE d.vec_id % {_PQ_MOD} = 0),
+adc AS (
+  SELECT dt.query_id, c.vec_id, SUM(dt.dmic) AS adc_dist_micro
+  FROM codes c JOIN dtab dt ON c.m = dt.m AND c.cid = dt.cid
+  GROUP BY dt.query_id, c.vec_id),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist_micro, vec_id) AS rn
+    FROM adc) WHERE rn <= {_PQ_SHORT}),
+rerank AS (
+  SELECT s.query_id, s.vec_id,
+         CAST(ROUND(({full_terms})*1000000) AS BIGINT) AS dist_micro
+  FROM short s JOIN e x ON x.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id)
+SELECT query_id, vec_id, dist_micro FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY dist_micro, vec_id) AS rn
+  FROM rerank) WHERE rn <= {_PQ_K}"""
+
+
+@register(
+    "sim_pq_topk_det",
+    _pq_oracle(),
+    "product-quantization ANN, fully hash-certified: hash-mod donor "
+    "codebooks (16 subspaces x 4 dims), shuffle-free row-local argmin "
+    "encoding (codes are 16 int64s instead of 64 floats), ADC scan via "
+    "one broadcast distance-table map per query over int64 "
+    "micro-distances (order-independent sums), 50-candidate shortlist, "
+    "exact re-rank top-10 — the quantize/scan/re-rank pipeline behind "
+    "FAISS-style billion-scale search (operators/similarity.py)",
+)
+def sim_pq_topk_det_query(spark, sf_dir):
+    from .operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+        pq_rerank,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb = pq_codebook(e, n_sub=_PQ_NSUB, d_sub=_PQ_DSUB, selector_mod=_PQ_MOD)
+    enc = pq_encode(e, cb, n_sub=_PQ_NSUB, d_sub=_PQ_DSUB)
+    short = pq_adc_topk(
+        e, cb, enc, F.col("vec_id") < 3,
+        n_sub=_PQ_NSUB, d_sub=_PQ_DSUB, k=_PQ_SHORT,
+    )
+    return pq_rerank(short, e, F.col("vec_id") < 3, k=_PQ_K)

@@ -108,6 +108,10 @@ def main():
         "events_concurrency_peak", "lineitem_weighted_median",
         "orders_cube_stats", "lineitem_median_twopass",
         "corpus_weighted_sample",
+        # round-3-session ops
+        "ccdi_to_tabbreaker", "indexd_guid_validation",
+        "text_bpe_tokens", "text_bpe_tokens_fast", "text_html_strip",
+        "privacy_k_anonymity", "linkage_blocked_fuzzy",
     )
     timings = {}
     for name in queries:
