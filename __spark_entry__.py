@@ -162,6 +162,7 @@ _CERTIFY_FIRST = [
     "linkage_blocked_fuzzy",
     "cdc_merge_snapshot",
     "sim_pq_topk_det",
+    "text_trigram_backoff",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

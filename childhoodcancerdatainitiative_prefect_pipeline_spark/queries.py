@@ -12008,3 +12008,137 @@ def sim_pq_topk_det_query(spark, sf_dir):
         n_sub=_PQ_NSUB, d_sub=_PQ_DSUB, k=_PQ_SHORT,
     )
     return pq_rerank(short, e, F.col("vec_id") < 3, k=_PQ_K)
+
+
+# ---------------------------------------------------------------------------
+# Trigram LM with stupid backoff (Brants et al. 2007) — the
+# perplexity-proxy tier above text_bigram_logprob, with a proper
+# train/held-out split (LM counts from doc_id % 3 != 0, scoring on
+# doc_id % 3 == 0) so the backoff branches actually fire on unseen
+# n-grams.  Per-trigram scores are int64 micro-log-probs, so document
+# aggregation is order-independent.
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_LM_ORACLE = rf"""WITH {_TOKS_CTE},
+train AS (SELECT * FROM toks WHERE doc_id % 3 <> 0),
+held AS (SELECT * FROM toks WHERE doc_id % 3 = 0),
+tg AS (
+  SELECT a.doc_id,
+         a.w || ' ' || b.w || ' ' || c.w AS t3,
+         a.w || ' ' || b.w AS b12,
+         b.w || ' ' || c.w AS b23,
+         b.w AS w2, c.w AS w3
+  FROM held a
+  JOIN held b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN held c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+tc AS (SELECT a.w || ' ' || b.w || ' ' || c.w AS t3,
+              CAST(COUNT(*) AS BIGINT) AS ct
+       FROM train a
+       JOIN train b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       JOIN train c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+       GROUP BY 1),
+bc AS (SELECT a.w || ' ' || b.w AS bg, CAST(COUNT(*) AS BIGINT) AS cb
+       FROM train a
+       JOIN train b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       GROUP BY 1),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM train GROUP BY w),
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(COUNT(DISTINCT w) AS BIGINT) AS vsz
+       FROM train),
+scored AS (
+  SELECT tg.doc_id,
+         CASE
+           WHEN tc.ct IS NOT NULL THEN
+             CAST(ROUND(ln(tc.ct * 1.0 / b12c.cb) * 1000000) AS BIGINT)
+           WHEN b23c.cb IS NOT NULL THEN
+             CAST(ROUND(ln(0.4 * b23c.cb / w2c.cu) * 1000000) AS BIGINT)
+           ELSE
+             CAST(ROUND(ln(0.16 * (COALESCE(w3c.cu, 0) + 1.0) / (nv.n + nv.vsz))
+                        * 1000000) AS BIGINT)
+         END AS smic
+  FROM tg
+  LEFT JOIN tc ON tc.t3 = tg.t3
+  LEFT JOIN bc b12c ON b12c.bg = tg.b12
+  LEFT JOIN bc b23c ON b23c.bg = tg.b23
+  LEFT JOIN uc w2c ON w2c.w = tg.w2
+  LEFT JOIN uc w3c ON w3c.w = tg.w3
+  CROSS JOIN nv)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(smic) AS BIGINT) AS sum_logprob_micro
+FROM scored GROUP BY doc_id"""
+
+
+@register(
+    "text_trigram_backoff",
+    _TRIGRAM_LM_ORACLE,
+    "trigram LM with stupid backoff (Brants et al., 'Large Language "
+    "Models in Machine Translation'): S(w3|w1w2) falls back 0.4x to "
+    "the bigram and 0.16x to the Laplace unigram when counts are "
+    "unseen; counts train on 2/3 of the corpus, held-out docs score.  "
+    "Spark builds n-grams ROW-LOCALLY (HOF, no positional self-join), "
+    "aggregates all count tables before the joins back, and keeps "
+    "per-trigram scores in int64 micro-log-prob so the document sum "
+    "is order-independent",
+)
+def text_trigram_backoff(spark, sf_dir):
+    from .operators.dedup import normalized_tokens
+    from .operators.text import word_ngrams_expr
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    staged = documents.select(
+        "doc_id", normalized_tokens("text").alias("toks")
+    )
+    train = staged.filter(F.col("doc_id") % 3 != 0)
+    held = staged.filter(F.col("doc_id") % 3 == 0)
+
+    t_tr = train.select(F.explode(word_ngrams_expr("toks", 3)).alias("t3"))
+    b_tr = train.select(F.explode(word_ngrams_expr("toks", 2)).alias("bg"))
+    u_tr = train.select(F.explode("toks").alias("w"))
+    tc = t_tr.groupBy("t3").agg(F.count("*").alias("ct"))
+    bc = b_tr.groupBy("bg").agg(F.count("*").alias("cb"))
+    uc = u_tr.groupBy("w").agg(F.count("*").alias("cu"))
+    nv = u_tr.agg(
+        F.count("*").alias("n"), F.count_distinct("w").alias("vsz")
+    )
+
+    tg = held.select(
+        "doc_id", F.explode(word_ngrams_expr("toks", 3)).alias("t3")
+    ).select(
+        "doc_id",
+        "t3",
+        F.array_join(F.slice(F.split("t3", " "), 1, 2), " ").alias("b12"),
+        F.array_join(F.slice(F.split("t3", " "), 2, 2), " ").alias("b23"),
+        F.split("t3", " ")[1].alias("w2"),
+        F.split("t3", " ")[2].alias("w3"),
+    )
+    joined = (
+        tg.join(tc, "t3", "left")
+        .join(bc.select(F.col("bg").alias("b12"), F.col("cb").alias("cb12")),
+              "b12", "left")
+        .join(bc.select(F.col("bg").alias("b23"), F.col("cb").alias("cb23")),
+              "b23", "left")
+        .join(uc.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")),
+              "w2", "left")
+        .join(uc.select(F.col("w").alias("w3"), F.col("cu").alias("cu3")),
+              "w3", "left")
+        .crossJoin(F.broadcast(nv))
+    )
+    micro = lambda c: F.round(F.log(c) * 1000000).cast("long")  # noqa: E731
+    smic = (
+        F.when(F.col("ct").isNotNull(), micro(F.col("ct") * 1.0 / F.col("cb12")))
+        .when(
+            F.col("cb23").isNotNull(),
+            micro(0.4 * F.col("cb23") / F.col("cu2")),
+        )
+        .otherwise(
+            micro(
+                0.16
+                * (F.coalesce(F.col("cu3"), F.lit(0)) + 1.0)
+                / (F.col("n") + F.col("vsz"))
+            )
+        )
+    )
+    return joined.select("doc_id", smic.alias("smic")).groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        F.sum("smic").alias("sum_logprob_micro"),
+    )
