@@ -163,6 +163,9 @@ _CERTIFY_FIRST = [
     "cdc_merge_snapshot",
     "sim_pq_topk_det",
     "text_trigram_backoff",
+    "events_attribution",
+    "corpus_kl_drift",
+    "corpus_batch_schedule",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

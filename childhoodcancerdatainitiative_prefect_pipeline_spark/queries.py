@@ -12142,3 +12142,226 @@ def text_trigram_backoff(spark, sf_dir):
         F.count("*").alias("n_trigrams"),
         F.sum("smic").alias("sum_logprob_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Purchase attribution, corpus distribution drift, and stride-scheduled
+# batch interleaving — analytics/curation closers.
+# ---------------------------------------------------------------------------
+
+_ATTR_ORACLE = """WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+  FROM events),
+w AS (
+  SELECT *,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch_id,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch_us,
+         first_value(CASE WHEN event_type IN ('click', 'view')
+                          THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_touch_id
+  FROM ev)
+SELECT event_id, user_id, value, last_touch_id, first_touch_id,
+       (last_touch_us IS NOT NULL
+        AND us - last_touch_us <= 259200000000) AS attributed
+FROM w WHERE event_type = 'purchase'"""
+
+
+@register(
+    "events_attribution",
+    _ATTR_ORACLE,
+    "first/last-touch purchase attribution: one user-keyed window "
+    "carries the most recent and the first preceding click/view "
+    "(IGNORE NULLS frames, integer-microsecond arithmetic); a purchase "
+    "is attributed when its last touch is within 72 h.  ONE shuffle on "
+    "user_id shared by all three frames — no per-purchase join back",
+)
+def events_attribution_query(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    ev = events.select(
+        "event_id", "user_id", "event_type", "value", us.alias("us")
+    )
+    touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    enriched = ev.select(
+        "*",
+        F.last(F.when(touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("last_touch_id"),
+        F.last(F.when(touch, F.col("us")), ignorenulls=True)
+        .over(w)
+        .alias("last_touch_us"),
+        F.first(F.when(touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("first_touch_id"),
+    )
+    return enriched.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "value",
+        "last_touch_id",
+        "first_touch_id",
+        (
+            F.col("last_touch_us").isNotNull()
+            & (F.col("us") - F.col("last_touch_us") <= 259200000000)
+        ).alias("attributed"),
+    )
+
+
+_KL_ORACLE = r"""WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+a AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ca FROM toks
+      WHERE doc_id % 3 <> 0 GROUP BY w),
+b AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cb FROM toks
+      WHERE doc_id % 3 = 0 GROUP BY w),
+u AS (SELECT coalesce(a.w, b.w) AS w, coalesce(ca, 0) AS ca,
+             coalesce(cb, 0) AS cb
+      FROM a FULL OUTER JOIN b ON a.w = b.w),
+tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM u)
+SELECT w, ca, cb,
+       CAST(ROUND(
+         ((ca + 1.0) / (na + v))
+         * ln(((ca + 1.0) * (nb + v)) / ((cb + 1.0) * (na + v)))
+         * 1000000000) AS BIGINT) AS kl_contrib_nano
+FROM u CROSS JOIN tot
+ORDER BY kl_contrib_nano DESC, w LIMIT 20"""
+
+
+@register(
+    "corpus_kl_drift",
+    _KL_ORACLE,
+    "distribution-shift monitor: per-word KL(P_a || P_b) contributions "
+    "between two corpus slices with add-1 smoothing over the union "
+    "vocab — the drift alarm for ingest batches.  Two map-side-combined "
+    "count tables, one vocab-sized outer join, int64 nano "
+    "contributions; top movers by (contribution, word)",
+)
+def corpus_kl_drift_query(spark, sf_dir):
+    from .operators.dedup import normalized_tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.explode(normalized_tokens("text")).alias("w")
+    )
+    a = toks.filter(F.col("doc_id") % 3 != 0).groupBy("w").agg(
+        F.count("*").alias("ca")
+    )
+    b = toks.filter(F.col("doc_id") % 3 == 0).groupBy("w").agg(
+        F.count("*").alias("cb")
+    )
+    u = (
+        a.join(b, "w", "full_outer")
+        .select(
+            "w",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = u.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.count("*").alias("v"),
+    )
+    contrib = F.round(
+        ((F.col("ca") + 1.0) / (F.col("na") + F.col("v")))
+        * F.log(
+            ((F.col("ca") + 1.0) * (F.col("nb") + F.col("v")))
+            / ((F.col("cb") + 1.0) * (F.col("na") + F.col("v")))
+        )
+        * 1000000000
+    ).cast("long")
+    return (
+        u.crossJoin(F.broadcast(tot))
+        .select("w", "ca", "cb", contrib.alias("kl_contrib_nano"))
+        .orderBy(F.desc("kl_contrib_nano"), "w")
+        .limit(20)
+    )
+
+
+_SCHED_ORACLE = """WITH d AS (
+  SELECT doc_id, source FROM documents),
+s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM d GROUP BY source),
+w AS (SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+               AS w_int
+      FROM s),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS BIGINT)
+           AS rnk
+  FROM d),
+vt AS (
+  SELECT r.doc_id, r.source,
+         r.rnk * (1000000000000 // w.w_int) AS vtime
+  FROM ranked r JOIN w USING (source))
+SELECT source, CAST(vtime // 50000000 AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM vt WHERE vtime // 50000000 < 20
+GROUP BY source, batch_id"""
+
+
+@register(
+    "corpus_batch_schedule",
+    _SCHED_ORACLE,
+    "training-batch assembly by stride scheduling: each source gets a "
+    "stride inversely proportional to sqrt(size), docs take virtual "
+    "times rank x stride (rank = md5-ordered reproducible shuffle "
+    "within source), and batch_id = vtime // quantum interleaves "
+    "sources proportionally WITHOUT a global sort — no single-task "
+    "row_number over the corpus, just one per-source window + integer "
+    "division.  Output: per-batch source composition for the first 20 "
+    "batches",
+)
+def corpus_batch_schedule_query(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    d = documents.select("doc_id", "source")
+    s = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w_int = F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000).cast(
+        "long"
+    )
+    weights = s.select("source", w_int.alias("w_int"))
+    win = Window.partitionBy("source").orderBy(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), "doc_id"
+    )
+    ranked = d.withColumn("rnk", F.row_number().over(win).cast("long"))
+    vt = ranked.join(F.broadcast(weights), "source").select(
+        "doc_id",
+        "source",
+        (F.col("rnk") * (F.lit(1000000000000).cast("long") / F.col("w_int")).cast("long")).alias(
+            "vtime"
+        ),
+    )
+    batch = F.floor(F.col("vtime") / 50000000).cast("long")
+    return (
+        vt.withColumn("batch_id", batch)
+        .filter(F.col("batch_id") < 20)
+        .groupBy("source", "batch_id")
+        .agg(F.count("*").alias("n_docs"))
+    )
