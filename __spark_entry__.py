@@ -166,6 +166,7 @@ _CERTIFY_FIRST = [
     "events_attribution",
     "corpus_kl_drift",
     "corpus_batch_schedule",
+    "entity_golden_record",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

@@ -12378,3 +12378,164 @@ def corpus_batch_schedule_query(spark, sf_dir):
         .groupBy("source", "batch_id")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end: blocked fuzzy matching → connected
+# components → field-level survivorship (the "golden record").
+# Composes operators/linkage.py + operators/graph.py; system-B node
+# ids are shifted so the two id spaces are disjoint.
+# ---------------------------------------------------------------------------
+
+_ER_SHIFT = 10_000_000
+
+_GOLDEN_ORACLE = f"""WITH RECURSIVE l AS (
+  SELECT c_custkey AS id,
+         lower(c_mktsegment) || '_' || CAST(c_custkey AS VARCHAR) AS name,
+         lpad(CAST(c_custkey * 7919 % 10000000 AS VARCHAR), 7, '0') AS phone
+  FROM customer),
+r AS (
+  SELECT c_custkey + {_ER_SHIFT} AS id,
+         CASE
+           WHEN c_custkey % 5 = 0 AND c_custkey % 7 = 0 THEN
+             substr(nm, 1, 2) || 'x' || substr(nm, 4, 1) || substr(nm, 6)
+           WHEN c_custkey % 5 = 0 THEN
+             substr(nm, 1, 2) || 'x' || substr(nm, 4)
+           WHEN c_custkey % 7 = 0 THEN
+             substr(nm, 1, 3) || substr(nm, 5)
+           ELSE nm
+         END AS name,
+         CASE WHEN c_custkey % 13 = 0
+              THEN '999' || lpad(CAST(c_custkey * 7919 % 10000000 AS VARCHAR), 7, '0')
+              ELSE lpad(CAST(c_custkey * 7919 % 10000000 AS VARCHAR), 7, '0')
+         END AS phone
+  FROM (SELECT c_custkey,
+               lower(c_mktsegment) || '_' || CAST(c_custkey AS VARCHAR) AS nm
+        FROM customer)),
+nodes AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+lb AS (SELECT id, name, substring(name, length(name) - 3, 4) AS tail4,
+              CAST(floor(length(name) / 4) AS INT) AS len_b FROM l),
+rb AS (SELECT id, name, substring(name, length(name) - 3, 4) AS tail4,
+              CAST(floor(length(name) / 4) AS INT) AS len_b FROM r),
+edges0 AS (
+  SELECT lb.id AS src, rb.id AS dst
+  FROM lb JOIN rb ON lb.tail4 = rb.tail4 AND lb.len_b = rb.len_b
+  WHERE levenshtein(lb.name, rb.name) <= 2),
+edges AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+reach AS (
+  SELECT id AS a, id AS b FROM nodes
+  UNION
+  SELECT reach.a, e.dst FROM reach JOIN edges e ON reach.b = e.src),
+cc AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a),
+members AS (
+  SELECT cc.cluster_id, n.id, n.name, n.phone
+  FROM cc JOIN nodes n USING (id)),
+phone_votes AS (
+  SELECT cluster_id, phone, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM members GROUP BY cluster_id, phone),
+phone_pick AS (
+  SELECT cluster_id, phone FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                 ORDER BY cnt DESC, phone) AS rn
+    FROM phone_votes) WHERE rn = 1)
+SELECT m.cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       min_by(m.name, m.id) AS name,
+       any_value(p.phone) AS phone
+FROM members m JOIN phone_pick p USING (cluster_id)
+GROUP BY m.cluster_id"""
+
+
+def _er_sides(spark, sf_dir):
+    (customer,) = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    nm = F.concat(
+        F.lower(F.col("c_mktsegment")), F.lit("_"), ck.cast("string")
+    )
+    digits = F.lpad((ck * 7919 % 10000000).cast("string"), 7, "0")
+    left = customer.select(
+        ck.alias("id"), nm.alias("name"), digits.alias("phone")
+    )
+    perturbed = (
+        F.when(
+            (ck % 5 == 0) & (ck % 7 == 0),
+            F.concat(
+                F.substring(nm, 1, 2), F.lit("x"),
+                F.substring(nm, 4, 1), F.substring(nm, 6, 1000),
+            ),
+        )
+        .when(
+            ck % 5 == 0,
+            F.concat(F.substring(nm, 1, 2), F.lit("x"), F.substring(nm, 4, 1000)),
+        )
+        .when(
+            ck % 7 == 0,
+            F.concat(F.substring(nm, 1, 3), F.substring(nm, 5, 1000)),
+        )
+        .otherwise(nm)
+    )
+    bad_phone = F.when(
+        ck % 13 == 0, F.concat(F.lit("999"), digits)
+    ).otherwise(digits)
+    right = customer.select(
+        (ck + _ER_SHIFT).alias("id"),
+        perturbed.alias("name"),
+        bad_phone.alias("phone"),
+    )
+    return left, right
+
+
+@register(
+    "entity_golden_record",
+    _GOLDEN_ORACLE,
+    "entity resolution end-to-end (composes linkage + graph): blocked "
+    "levenshtein matching produces edges, min-label connected "
+    "components cluster the two id spaces, and field-level "
+    "survivorship emits one golden record per cluster — oldest-id "
+    "name, modal phone with deterministic tie-breaks.  Recursive-CTE "
+    "oracle certifies the whole composition",
+)
+def entity_golden_record_query(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.graph import connected_components
+    from .operators.linkage import blocked_fuzzy_matches
+
+    left, right = _er_sides(spark, sf_dir)
+
+    def tail_block(name):
+        return F.struct(
+            F.substring(name, F.length(name) - 3, F.lit(4)).alias("tail4"),
+            F.floor(F.length(name) / 4).cast("int").alias("len_b"),
+        )
+
+    edges = blocked_fuzzy_matches(
+        left.select(F.col("id").alias("lid"), "name"),
+        right.select(F.col("id").alias("rid"), "name"),
+        "lid",
+        "rid",
+        name_col="name",
+        max_dist=2,
+        block_fn=tail_block,
+    ).select(F.col("lid").alias("src"), F.col("rid").alias("dst"))
+
+    nodes = left.unionByName(right)
+    cc = connected_components(edges, nodes.select("id"), id_col="id")
+    members = cc.join(nodes, "id")
+
+    votes = members.groupBy("cluster_id", "phone").agg(
+        F.count("*").alias("cnt")
+    )
+    wv = Window.partitionBy("cluster_id").orderBy(F.desc("cnt"), "phone")
+    pick = (
+        votes.withColumn("__rn__", F.row_number().over(wv))
+        .filter(F.col("__rn__") == 1)
+        .select("cluster_id", "phone")
+    )
+    golden = members.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.min_by("name", "id").alias("name"),
+    )
+    return golden.join(pick, "cluster_id").select(
+        "cluster_id", "n_members", "name", "phone"
+    )

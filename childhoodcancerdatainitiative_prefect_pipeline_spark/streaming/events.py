@@ -389,3 +389,74 @@ def read_running_cms(spark, base_path: str):
         .groupBy("d", "bucket")
         .agg(SF.sum("cnt").alias("cnt"))
     )
+
+
+def cdc_snapshot_maintainer(
+    base_path: str,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+):
+    """Streaming CDC: maintain a parquet snapshot from a changelog
+    stream via ``foreachBatch`` + the batch CDC apply
+    (operators/cdc.py::apply_changelog).
+
+    Each micro-batch merges into the snapshot and writes the result to
+    its own ``snapshot/batch_id=N`` directory — the per-batch-id
+    overwrite discipline of :func:`idempotent_batch_writer`, so a
+    crash-replayed batch overwrites its own output instead of
+    double-applying.  Readers take the highest complete batch dir
+    (:func:`read_latest_snapshot`).  Within-batch ordering is the
+    changelog ``seq``; across batches, later batches see the merged
+    result of earlier ones — exactly-once end to end.
+
+    At warehouse scale the same shape lands on a table format's
+    transactional MERGE; over plain parquet this stays
+    self-contained and replay-idempotent without extra dependencies.
+    """
+    from ..operators.cdc import apply_changelog
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = read_latest_snapshot(
+            spark, base_path, below=batch_id
+        )
+        if prev is None:
+            payload = [
+                c
+                for c in batch_df.columns
+                if c not in (*key_cols, seq_col, op_col)
+            ]
+            prev = (
+                batch_df.select(*key_cols, *payload).limit(0)
+            )
+        nxt = apply_changelog(
+            prev, batch_df, key_cols, seq_col=seq_col, op_col=op_col
+        )
+        nxt.write.mode("overwrite").parquet(
+            f"{base_path}/batch_id={batch_id}"
+        )
+
+    return write_batch
+
+
+def read_latest_snapshot(spark, base_path: str, below: int | None = None):
+    """Highest complete ``batch_id=N`` snapshot dir, or None."""
+    import os
+    import re
+
+    if not os.path.isdir(base_path):
+        return None
+    best = -1
+    for d in os.listdir(base_path):
+        m = re.fullmatch(r"batch_id=(\d+)", d)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if (below is None or n < below) and n > best and os.path.exists(
+            os.path.join(base_path, d, "_SUCCESS")
+        ):
+            best = n
+    if best < 0:
+        return None
+    return spark.read.parquet(f"{base_path}/batch_id={best}")

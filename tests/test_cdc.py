@@ -65,3 +65,61 @@ def test_collapse_is_aggregation_not_window(spark):
     )
     assert "Window" not in plan  # max_by-style agg; map-side combinable
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_streaming_cdc_snapshot_maintainer(spark, tmp_path):
+    """A changelog STREAM maintained via foreachBatch equals the batch
+    apply of the full changelog, and replaying a batch id is a no-op
+    (per-batch-id overwrite idempotence)."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.streaming.events import (
+        cdc_snapshot_maintainer,
+        read_latest_snapshot,
+    )
+
+    src = str(tmp_path / "chlog")
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame(
+        [(1, 1, "I", "a"), (2, 1, "I", "b"), (3, 1, "I", "c")], CH_SCHEMA
+    )
+    b1.write.mode("overwrite").parquet(src)
+    writer = cdc_snapshot_maintainer(snap, ["k"])
+
+    def run_once():
+        q = (
+            spark.readStream.schema(b1.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    s1 = read_latest_snapshot(spark, snap)
+    assert _result(s1) == {1: "a", 2: "b", 3: "c"}
+
+    b2 = spark.createDataFrame(
+        [(2, 2, "D", None), (3, 2, "U", "c2"), (4, 2, "I", "d")], CH_SCHEMA
+    )
+    b2.write.mode("append").parquet(src)
+    run_once()  # resume from the same checkpoint → one more batch
+    s2 = read_latest_snapshot(spark, snap)
+    assert _result(s2) == {1: "a", 3: "c2", 4: "d"}
+
+    # crash-replay simulation: re-invoke the foreachBatch callable with
+    # the same (batch_df, batch_id) — the snapshot must not change
+    import os
+    import re
+
+    last_id = max(
+        int(re.fullmatch(r"batch_id=(\d+)", d).group(1))
+        for d in os.listdir(snap)
+        if re.fullmatch(r"batch_id=(\d+)", d)
+    )
+    writer(b2, last_id)
+    assert _result(read_latest_snapshot(spark, snap)) == {1: "a", 3: "c2", 4: "d"}
