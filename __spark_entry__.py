@@ -167,6 +167,8 @@ _CERTIFY_FIRST = [
     "corpus_kl_drift",
     "corpus_batch_schedule",
     "entity_golden_record",
+    "dedup_minhash_eval",
+    "text_bpe_fertility",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

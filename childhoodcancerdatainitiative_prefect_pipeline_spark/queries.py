@@ -12539,3 +12539,187 @@ def entity_golden_record_query(spark, sf_dir):
     return golden.join(pick, "cluster_id").select(
         "cluster_id", "n_members", "name", "phone"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-pipeline evaluation: MinHash-LSH candidate quality vs exact
+# Jaccard ground truth, measured IN the engine (the langid-confusion
+# discipline applied to dedup).  Threshold θ=0.5 is checked by integer
+# cross-multiplication (3·common ≥ |A|+|B| ⟺ J ≥ 0.5), so the truth
+# set is exact.  Ground truth uses the inverted-index pair join — cost
+# scales with shingle collisions, not all-pairs; at 100 TB this eval
+# runs on a sampled slice, which is exactly how recall audits are done.
+# ---------------------------------------------------------------------------
+
+_MINHASH_EVAL_ORACLE = rf"""WITH cand AS ({_MINHASH_MD5_ORACLE}),
+toks2 AS (
+  SELECT doc_id, w,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS BIGINT)
+           AS pos
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w,
+               generate_subscripts(
+                 regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS ord
+        FROM documents)),
+g2 AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM toks2 a
+  JOIN toks2 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks2 c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+ds2 AS (SELECT DISTINCT doc_id, g FROM g2),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ds2 GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ds2 a JOIN ds2 b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = common.id_a
+  JOIN sizes sb ON sb.doc_id = common.id_b
+  WHERE 3 * c >= sa.n + sb.n),
+j AS (
+  SELECT coalesce(c.id_a, t.id_a) AS id_a,
+         (c.id_a IS NOT NULL) AS in_cand,
+         (t.id_a IS NOT NULL) AS in_truth
+  FROM cand c FULL OUTER JOIN truth t
+    ON c.id_a = t.id_a AND c.id_b = t.id_b)
+SELECT CAST(COUNT(*) FILTER (WHERE in_cand) AS BIGINT) AS n_candidates,
+       CAST(COUNT(*) FILTER (WHERE in_truth) AS BIGINT) AS n_truth,
+       CAST(COUNT(*) FILTER (WHERE in_cand AND in_truth) AS BIGINT) AS tp,
+       CAST(COUNT(*) FILTER (WHERE in_cand AND NOT in_truth) AS BIGINT) AS fp,
+       CAST(COUNT(*) FILTER (WHERE in_truth AND NOT in_cand) AS BIGINT) AS fn,
+       CAST(COUNT(*) FILTER (WHERE in_cand AND in_truth) * 1000000
+            // GREATEST(COUNT(*) FILTER (WHERE in_cand), 1) AS BIGINT)
+         AS precision_micro,
+       CAST(COUNT(*) FILTER (WHERE in_cand AND in_truth) * 1000000
+            // GREATEST(COUNT(*) FILTER (WHERE in_truth), 1) AS BIGINT)
+         AS recall_micro
+FROM j"""
+
+
+@register(
+    "dedup_minhash_eval",
+    _MINHASH_EVAL_ORACLE,
+    "in-engine dedup-pipeline evaluation: the certified MinHash-LSH "
+    "candidate set scored against EXACT Jaccard≥0.5 ground truth "
+    "(integer cross-multiplied threshold, inverted-index pair join) — "
+    "TP/FP/FN + integer-micro precision/recall in one full-outer "
+    "reconciliation.  The recall audit every production dedup "
+    "pipeline should ship with",
+)
+def dedup_minhash_eval_query(spark, sf_dir):
+    from .operators.dedup import with_shingles
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    cand = REGISTRY["dedup_minhash_pairs_md5"].fn(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(True).alias("in_cand")
+    )
+    ex = (
+        with_shingles(documents, "text", "sh", 3)
+        .select("doc_id", F.explode(F.array_distinct("sh")).alias("g"))
+        .persist()
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        ex.select(F.col("doc_id").alias("id_a"), "g")
+        .join(ex.select(F.col("doc_id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = (
+        common.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id_a"),
+                                     F.col("n").alias("n_a"))), "id_a")
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id_b"),
+                                     F.col("n").alias("n_b"))), "id_b")
+        .filter(3 * F.col("c") >= F.col("n_a") + F.col("n_b"))
+        .select("id_a", "id_b", F.lit(True).alias("in_truth"))
+    )
+    j = cand.join(truth, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_cand", F.lit(False)).alias("in_cand"),
+        F.coalesce("in_truth", F.lit(False)).alias("in_truth"),
+    )
+    cnt = lambda c: F.count(F.when(c, True))  # noqa: E731
+    tp = cnt(F.col("in_cand") & F.col("in_truth"))
+    ncand = cnt(F.col("in_cand"))
+    ntruth = cnt(F.col("in_truth"))
+    return j.agg(
+        ncand.alias("n_candidates"),
+        ntruth.alias("n_truth"),
+        tp.alias("tp"),
+        cnt(F.col("in_cand") & ~F.col("in_truth")).alias("fp"),
+        cnt(F.col("in_truth") & ~F.col("in_cand")).alias("fn"),
+        F.floor(tp * 1000000 / F.greatest(ncand, F.lit(1)))
+        .cast("long")
+        .alias("precision_micro"),
+        F.floor(tp * 1000000 / F.greatest(ntruth, F.lit(1)))
+        .cast("long")
+        .alias("recall_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility (tokens-per-word): the standard tokenizer-quality
+# metric, computed per source over the certified BPE apply chain —
+# exact integer token/word counts, one ratio at the end.
+# ---------------------------------------------------------------------------
+
+
+def _fertility_oracle() -> str:
+    from .operators.bpe import PRETOKEN_RE, bpe_apply_sql
+
+    sep2 = "chr(1) || chr(1)"
+    spaced = (
+        f"{sep2} || array_to_string(list_transform("
+        f"regexp_extract_all(lower(text), '{PRETOKEN_RE}'), "
+        "w -> array_to_string(list_append(regexp_extract_all(w, '.'), chr(2)),"
+        f" {sep2}) || {sep2}), '')"
+    )
+    chain = bpe_apply_sql(_BPE_MERGES, col="s")
+    return f"""WITH sp AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '{PRETOKEN_RE}')) AS BIGINT)
+           AS n_words,
+         {spaced} AS s
+  FROM documents),
+enc AS (
+  SELECT source, n_words,
+         CAST(len(list_filter(string_split({chain}, chr(1)), t -> t <> ''))
+              AS BIGINT) AS n_tokens
+  FROM sp)
+SELECT source,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(SUM(n_tokens) * 1.0 / SUM(n_words), 6) AS fertility
+FROM enc GROUP BY source"""
+
+
+@register(
+    "text_bpe_fertility",
+    _fertility_oracle(),
+    "tokenizer fertility (tokens per word) per source over the "
+    "certified BPE replace chain — the vocabulary-quality metric that "
+    "decides whether a tokenizer suits a corpus; exact integer counts, "
+    "single division at the end",
+)
+def text_bpe_fertility_query(spark, sf_dir):
+    from .operators.bpe import PRETOKEN_RE, tokenize_doc_expr
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = tokenize_doc_expr("text", _BPE_MERGES)
+    n_words = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(PRETOKEN_RE), 0)
+    ).cast("long")
+    per_doc = documents.select(
+        "source", n_words.alias("n_words"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_tokens") * 1.0 / F.sum("n_words"), 6).alias(
+            "fertility"
+        ),
+    )
