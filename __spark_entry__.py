@@ -169,6 +169,8 @@ _CERTIFY_FIRST = [
     "entity_golden_record",
     "dedup_minhash_eval",
     "text_bpe_fertility",
+    "cdc_incremental_agg",
+    "corpus_decontaminate_cut",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

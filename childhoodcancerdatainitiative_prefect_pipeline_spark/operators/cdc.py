@@ -96,3 +96,54 @@ def apply_changelog(
             for c in payload
         ],
     )
+
+
+def incremental_agg(
+    base_agg: DataFrame,
+    changes: DataFrame,
+    group_col: str,
+    value_col: str,
+    count_col: str = "n",
+    sum_col: str = "total",
+) -> DataFrame:
+    """Materialized-view maintenance: update a ``group → (count, sum)``
+    aggregate from a CDC changelog WITHOUT touching the base table.
+
+    Changelog rows carry before/after images
+    (``op, {group,value}_before, {group,value}_after``): each change
+    contributes −1/−value for its before image (U, D) and +1/+value
+    for its after image (I, U), so group MOVES (an update that changes
+    the group column) net out correctly.  Deltas aggregate to
+    group-cardinality size (map-side combinable), merge into the
+    maintained aggregate with one full-outer join, and groups whose
+    count reaches zero drop out.
+
+    Scale: the base aggregate and the delta table are both
+    |groups|-sized — the fact table is never re-read.  This is the
+    standard incremental-view algebra for distributive aggregates
+    (count/sum; min/max need a re-scan on retraction and are out of
+    scope here).
+    """
+    neg = changes.filter(F.col("op").isin("U", "D")).select(
+        F.col(f"{group_col}_before").alias(group_col),
+        F.lit(-1).cast("long").alias("__dc__"),
+        (-F.col(f"{value_col}_before")).cast("long").alias("__dv__"),
+    )
+    pos = changes.filter(F.col("op").isin("I", "U")).select(
+        F.col(f"{group_col}_after").alias(group_col),
+        F.lit(1).cast("long").alias("__dc__"),
+        F.col(f"{value_col}_after").cast("long").alias("__dv__"),
+    )
+    deltas = (
+        neg.unionByName(pos)
+        .groupBy(group_col)
+        .agg(F.sum("__dc__").alias("__dc__"), F.sum("__dv__").alias("__dv__"))
+    )
+    merged = base_agg.join(deltas, group_col, "full_outer").select(
+        group_col,
+        (F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce("__dc__", F.lit(0)))
+        .alias(count_col),
+        (F.coalesce(F.col(sum_col), F.lit(0)) + F.coalesce("__dv__", F.lit(0)))
+        .alias(sum_col),
+    )
+    return merged.filter(F.col(count_col) > 0)

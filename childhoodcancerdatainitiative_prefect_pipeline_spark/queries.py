@@ -12723,3 +12723,178 @@ def text_bpe_fertility_query(spark, sf_dir):
             "fertility"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-view delta update):
+# the maintained (group → count, sum) is updated purely from changelog
+# before/after images; the ORACLE recomputes the aggregate from
+# scratch over the merged snapshot — two different computation paths
+# certifying the incremental algebra, including group MOVES.
+# ---------------------------------------------------------------------------
+
+_INC_AGG_ORACLE = """WITH base AS (
+  SELECT o_orderkey AS okey, o_orderstatus AS grp,
+         CAST(o_orderkey % 997 AS BIGINT) AS val
+  FROM orders WHERE o_orderkey % 10 <> 0),
+final AS (
+  -- survivors of the one-change-per-key changelog, recomputed
+  SELECT okey,
+         CASE WHEN okey % 7 <> 0 AND okey % 3 = 0 AND okey % 12 = 0
+              THEN 'X'
+              ELSE grp END AS grp,
+         CASE WHEN okey % 7 <> 0 AND okey % 3 = 0
+              THEN val + 1000 ELSE val END AS val
+  FROM base WHERE okey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey, 'N', CAST(o_orderkey % 997 AS BIGINT)
+  FROM orders WHERE o_orderkey % 10 = 0)
+SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(val) AS BIGINT) AS total
+FROM final GROUP BY grp"""
+
+
+@register(
+    "cdc_incremental_agg",
+    _INC_AGG_ORACLE,
+    "materialized-view maintenance (operators/cdc.py::incremental_agg): "
+    "the maintained group→(count,sum) updates from changelog "
+    "before/after images only — inserts add, deletes retract, updates "
+    "retract+add so group moves net out; both sides are |groups|-sized "
+    "and the fact table is never re-read.  The oracle recomputes from "
+    "scratch, certifying the delta algebra via a DIFFERENT computation "
+    "path",
+)
+def cdc_incremental_agg_query(spark, sf_dir):
+    from .operators.cdc import incremental_agg
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    val = (k % 997).cast("long")
+    base = orders.filter(k % 10 != 0).select(
+        k.alias("okey"), F.col("o_orderstatus").alias("grp"), val.alias("val")
+    )
+    base_agg = base.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("val").alias("total")
+    )
+    nul = F.lit(None).cast("string")
+    nuv = F.lit(None).cast("long")
+    deletes = orders.filter((k % 10 != 0) & (k % 7 == 0)).select(
+        F.lit("D").alias("op"),
+        F.col("o_orderstatus").alias("grp_before"),
+        val.alias("val_before"),
+        nul.alias("grp_after"),
+        nuv.alias("val_after"),
+    )
+    updates = orders.filter(
+        (k % 10 != 0) & (k % 7 != 0) & (k % 3 == 0)
+    ).select(
+        F.lit("U").alias("op"),
+        F.col("o_orderstatus").alias("grp_before"),
+        val.alias("val_before"),
+        F.when(k % 12 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("grp_after"),
+        (val + 1000).alias("val_after"),
+    )
+    inserts = orders.filter(k % 10 == 0).select(
+        F.lit("I").alias("op"),
+        nul.alias("grp_before"),
+        nuv.alias("val_before"),
+        F.lit("N").alias("grp_after"),
+        val.alias("val_after"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    return incremental_agg(base_agg, changes, "grp", "val")
+
+
+# ---------------------------------------------------------------------------
+# Decontamination SURGERY: don't drop contaminated docs — cut the
+# contaminated 5-gram spans out and keep the rest (the Lee-et-al
+# span-removal discipline applied to benchmark overlap).  Composes the
+# decontaminate detector with the cut_spans token filter.
+# ---------------------------------------------------------------------------
+
+_DECONTAM_CUT_ORACLE = rf"""WITH {_TOKS_CTE},
+g5 AS (
+  SELECT a.doc_id, a.pos,
+         a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS g
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  JOIN toks d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+  JOIN toks e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4),
+bench AS (
+  SELECT DISTINCT g FROM g5 WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT g5.doc_id, g5.pos
+  FROM g5 JOIN bench USING (g) WHERE g5.doc_id % 97 <> 0),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS idx
+  FROM hits CROSS JOIN UNNEST(range(0, 5)) AS t(j)),
+corpus AS (SELECT * FROM toks WHERE doc_id % 97 <> 0),
+kept AS (
+  SELECT c.doc_id, c.w, c.pos
+  FROM corpus c
+  LEFT JOIN covered v ON v.doc_id = c.doc_id AND v.idx = c.pos
+  WHERE v.idx IS NULL)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(k.pos) AS BIGINT) AS n_kept,
+       coalesce(string_agg(k.w, ' ' ORDER BY k.pos), '') AS clean_text
+FROM corpus c
+LEFT JOIN kept k ON k.doc_id = c.doc_id AND k.pos = c.pos
+GROUP BY c.doc_id"""
+
+
+@register(
+    "corpus_decontaminate_cut",
+    _DECONTAM_CUT_ORACLE,
+    "decontamination surgery: benchmark 5-gram hits mark token spans, "
+    "and the spans are CUT from the doc instead of dropping it — the "
+    "hit positions broadcast back per doc and a row-local filter keeps "
+    "uncovered tokens (no explode of the corpus, no self-join); "
+    "composes the decontaminate detector with the cut_spans shape",
+)
+def corpus_decontaminate_cut_query(spark, sf_dir):
+    from .operators.dedup import normalized_tokens
+    from .operators.text import word_ngrams_expr
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    staged = documents.select(
+        "doc_id", normalized_tokens("text").alias("toks")
+    ).withColumn("g5", word_ngrams_expr("toks", 5)).persist()
+    bench = (
+        staged.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("g5").alias("g"))
+        .distinct()
+    )
+    corpus = staged.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        corpus.select("doc_id", F.posexplode("g5").alias("p", "g"))
+        .join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.collect_list("p").alias("__hits__"))
+    )
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks), F.lit(1)) - 1)
+    kept = F.filter(
+        F.zip_with(toks, idx, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("__hits__"),
+            lambda p: (s["i"] >= p) & (s["i"] < p + 5),
+        ),
+    )
+    out = corpus.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.when(F.col("__hits__").isNull(), toks)
+        .otherwise(F.transform(kept, lambda s: s["t"]))
+        .alias("__kept__"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.size("__kept__").cast("long").alias("n_kept"),
+        F.array_join("__kept__", " ").alias("clean_text"),
+    )
