@@ -171,6 +171,8 @@ _CERTIFY_FIRST = [
     "text_bpe_fertility",
     "cdc_incremental_agg",
     "corpus_decontaminate_cut",
+    "corpus_split_leakage_safe",
+    "profile_psi_drift",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

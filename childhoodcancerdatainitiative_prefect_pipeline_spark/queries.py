@@ -12898,3 +12898,130 @@ def corpus_decontaminate_cut_query(spark, sf_dir):
         F.size("__kept__").cast("long").alias("n_kept"),
         F.array_join("__kept__", " ").alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe dataset splitting and PSI numeric drift — the last two
+# pieces of the train-data governance story.
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """WITH h AS (
+  SELECT doc_id, md5(lower(trim(text))) AS grp FROM documents),
+cl AS (SELECT doc_id, grp, MIN(doc_id) OVER (PARTITION BY grp) AS cluster_id
+       FROM h),
+assigned AS (
+  SELECT doc_id, cluster_id,
+         ('0x' || substr(md5('split::' || CAST(cluster_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS hv
+  FROM cl)
+SELECT doc_id, cluster_id,
+       CASE WHEN hv < 0.8 * 1152921504606846976 THEN 'train'
+            WHEN hv < 0.9 * 1152921504606846976 THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned"""
+
+
+@register(
+    "corpus_split_leakage_safe",
+    _SPLIT_ORACLE,
+    "train/val/test splitting that cannot leak duplicates across "
+    "splits: the split decision hashes the DUP-CLUSTER id (normalized "
+    "exact-dup groups), not the doc id, so every member of a duplicate "
+    "group lands in the same split — md5-threshold 80/10/10, "
+    "deterministic and rerun-stable.  Near-dup clusters drop in by "
+    "swapping the cluster source (dedup_minhash_clusters)",
+)
+def corpus_split_leakage_safe_query(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    h = documents.select(
+        "doc_id",
+        F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8")).alias("grp"),
+    )
+    cl = h.withColumn(
+        "cluster_id", F.min("doc_id").over(Window.partitionBy("grp"))
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(F.lit("split::"), F.col("cluster_id").cast("string")),
+                    "UTF-8",
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    lim = 1152921504606846976  # 16^15
+    return cl.select(
+        "doc_id",
+        "cluster_id",
+        F.when(hv < int(0.8 * lim), F.lit("train"))
+        .when(hv < int(0.9 * lim), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+_PSI_ORACLE = """WITH binned AS (
+  SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bin,
+         o_orderkey % 2 = 0 AS in_a
+  FROM orders),
+counts AS (
+  SELECT bin,
+         CAST(COUNT(*) FILTER (WHERE in_a) AS BIGINT) AS ca,
+         CAST(COUNT(*) FILTER (WHERE NOT in_a) AS BIGINT) AS cb
+  FROM binned GROUP BY bin),
+tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM counts)
+SELECT bin, ca, cb,
+       CAST(ROUND(
+         ((ca + 1.0) / (na + k) - (cb + 1.0) / (nb + k))
+         * ln(((ca + 1.0) * (nb + k)) / ((cb + 1.0) * (na + k)))
+         * 1000000000) AS BIGINT) AS psi_contrib_nano
+FROM counts CROSS JOIN tot"""
+
+
+@register(
+    "profile_psi_drift",
+    _PSI_ORACLE,
+    "population-stability-index drift for numeric columns (the model-"
+    "monitoring twin of corpus_kl_drift): fixed-width bins, two "
+    "map-side-combined slice counts in ONE pass (conditional "
+    "aggregation — the column is scanned once, not twice), add-1 "
+    "smoothed per-bin PSI contributions as int64 nanos",
+)
+def profile_psi_drift_query(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        (F.col("o_orderkey") % 2 == 0).alias("in_a"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("in_a"), True)).alias("ca"),
+        F.count(F.when(~F.col("in_a"), True)).alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.count("*").alias("k"),
+    )
+    pa = (F.col("ca") + 1.0) / (F.col("na") + F.col("k"))
+    pb = (F.col("cb") + 1.0) / (F.col("nb") + F.col("k"))
+    contrib = F.round(
+        (pa - pb)
+        * F.log(
+            ((F.col("ca") + 1.0) * (F.col("nb") + F.col("k")))
+            / ((F.col("cb") + 1.0) * (F.col("na") + F.col("k")))
+        )
+        * 1000000000
+    ).cast("long")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin", "ca", "cb", contrib.alias("psi_contrib_nano")
+    )
