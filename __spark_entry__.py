@@ -173,6 +173,8 @@ _CERTIFY_FIRST = [
     "corpus_decontaminate_cut",
     "corpus_split_leakage_safe",
     "profile_psi_drift",
+    "embedding_doc_pool",
+    "sim_hard_negatives",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

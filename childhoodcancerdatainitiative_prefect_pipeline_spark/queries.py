@@ -13025,3 +13025,119 @@ def profile_psi_drift_query(spark, sf_dir):
     return counts.crossJoin(F.broadcast(tot)).select(
         "bin", "ca", "cb", contrib.alias("psi_contrib_nano")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding pipeline closers: chunk→document pooling and hard-negative
+# mining for retrieval training.
+# ---------------------------------------------------------------------------
+
+_POOL_ORACLE = """WITH e AS (
+  SELECT vec_id // 8 AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings),
+ex AS (
+  SELECT doc_id, generate_subscripts(v, 1) AS dim,
+         CAST(ROUND(unnest(v) * 1000000) AS BIGINT) AS xi
+  FROM e),
+pooled AS (
+  SELECT doc_id, dim, CAST(SUM(xi) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY doc_id, dim),
+per_doc AS (
+  SELECT doc_id, MAX(n) AS n_chunks, CAST(SUM(s * s) AS BIGINT) AS ssq
+  FROM pooled GROUP BY doc_id)
+SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(ROUND(sqrt(CAST(ssq AS DOUBLE)) / n_chunks) AS BIGINT)
+         AS norm_micro
+FROM per_doc"""
+
+
+@register(
+    "embedding_doc_pool",
+    _POOL_ORACLE,
+    "chunk→document embedding pooling (long-doc recipe: embed chunks, "
+    "mean-pool, renormalize): chunk components quantize to int64 "
+    "micros FIRST, so both aggregation levels — per-(doc,dim) sums and "
+    "the per-doc sum of squared sums — are exact integers and "
+    "order-independent; one division and sqrt at the very end.  "
+    "posexplode + two map-side-combinable groupBys",
+)
+def embedding_doc_pool_query(spark, sf_dir):
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        F.floor(F.col("vec_id") / 8).cast("long").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    exploded = e.select("doc_id", F.posexplode("v").alias("dim", "x")).select(
+        "doc_id", "dim", F.round(F.col("x") * 1000000).cast("long").alias("xi")
+    )
+    pooled = exploded.groupBy("doc_id", "dim").agg(
+        F.sum("xi").alias("s"), F.count("*").alias("n")
+    )
+    per_doc = pooled.groupBy("doc_id").agg(
+        F.max("n").alias("n_chunks"),
+        F.sum(F.col("s") * F.col("s")).alias("ssq"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.round(F.sqrt(F.col("ssq").cast("double")) / F.col("n_chunks"))
+        .cast("long")
+        .alias("norm_micro"),
+    )
+
+
+_HARDNEG_ORACLE = """WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qnrm
+      FROM n WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, n.vec_id,
+         ROUND(list_inner_product(n.v, q.qv) / (n.nrm * q.qnrm), 6)
+           AS cosine_sim
+  FROM q JOIN n ON n.label <> q.qlabel)
+SELECT query_id, vec_id, cosine_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id) AS rn
+  FROM scored) WHERE rn <= 5"""
+
+
+@register(
+    "sim_hard_negatives",
+    _HARDNEG_ORACLE,
+    "hard-negative mining for retrieval training: per query, the "
+    "top-5 most-similar vectors with a DIFFERENT label — the negatives "
+    "that actually teach a bi-encoder.  Broadcast queries, label "
+    "inequality pushed into the join, exact cosine re-uses the "
+    "brute-force machinery, WindowGroupLimit top-k",
+)
+def sim_hard_negatives_query(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.similarity import cosine
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    n = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = n.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = n.join(
+        F.broadcast(q), F.col("label") != F.col("qlabel")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), "vec_id"
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= 5)
+        .drop("__rn__")
+    )
