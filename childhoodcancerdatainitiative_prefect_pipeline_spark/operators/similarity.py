@@ -536,22 +536,21 @@ def pq_encode(
     crossed = e.join(F.broadcast(cb))
 
     def code_for(m: int) -> Column:
+        # array_min over (distance, cid) structs IS the argmin with the
+        # smallest-cid tie-break (lexicographic struct ordering), and
+        # evaluates each candidate distance exactly once — Catalyst
+        # does not CSE subexpressions inside HOF lambdas, so a
+        # compare-and-keep fold would compute every distance twice
         sub = F.slice(F.col(vec_col), 1 + m * d_sub, d_sub)
         cands = F.filter(F.col("cbs"), lambda c: c["m"] == F.lit(m))
-        best = F.aggregate(
-            cands,
-            F.struct(
-                F.lit(None).cast("long").alias("d"),
-                F.lit(None).cast("long").alias("cid"),
-            ),
-            lambda acc, c: F.when(
-                acc["d"].isNull()
-                | (_l2sq_micro(sub, c["cw"]) < acc["d"]),
-                F.struct(
+        best = F.array_min(
+            F.transform(
+                cands,
+                lambda c: F.struct(
                     _l2sq_micro(sub, c["cw"]).alias("d"),
                     c["cid"].alias("cid"),
                 ),
-            ).otherwise(acc),
+            )
         )
         return best["cid"]
 
