@@ -175,6 +175,8 @@ _CERTIFY_FIRST = [
     "profile_psi_drift",
     "embedding_doc_pool",
     "sim_hard_negatives",
+    "repair_fd_violations",
+    "lineitem_trimmed_mean",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

@@ -13141,3 +13141,135 @@ def sim_hard_negatives_query(spark, sf_dir):
         .filter(F.col("__rn__") <= 5)
         .drop("__rn__")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-repair closers: functional-dependency violation repair and
+# outlier-robust trimmed means.
+# ---------------------------------------------------------------------------
+
+_FD_ORACLE = """WITH claims AS (
+  SELECT l.l_orderkey AS okey,
+         CASE WHEN l.l_orderkey % 31 = 0 AND l.l_linenumber = 7
+              THEN o.o_custkey + 1 ELSE o.o_custkey END AS cust
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+votes AS (
+  SELECT okey, cust, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM claims GROUP BY okey, cust),
+viol AS (
+  SELECT okey FROM votes GROUP BY okey HAVING COUNT(*) > 1),
+majority AS (
+  SELECT okey, cust AS repair_value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY okey
+                                 ORDER BY cnt DESC, cust) AS rn
+    FROM votes) WHERE rn = 1)
+SELECT v.okey,
+       CAST((SELECT COUNT(*) FROM votes t WHERE t.okey = v.okey) AS BIGINT)
+         AS n_distinct_values,
+       m.repair_value,
+       CAST((SELECT COALESCE(SUM(cnt), 0) FROM votes t
+             WHERE t.okey = v.okey AND t.cust <> m.repair_value) AS BIGINT)
+         AS n_rows_to_repair
+FROM viol v JOIN majority m ON m.okey = v.okey"""
+
+
+@register(
+    "repair_fd_violations",
+    _FD_ORACLE,
+    "functional-dependency repair (HoloClean-lite): for a dependency "
+    "X→Y (order determines customer), find keys with conflicting Y "
+    "values and propose the majority repair with deterministic "
+    "tie-breaks.  One (X,Y) vote aggregation — map-side combinable — "
+    "feeds both the violation filter and the majority pick; no "
+    "self-join of the fact table",
+)
+def repair_fd_violations_query(spark, sf_dir):
+    from pyspark.sql import Window
+
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    claims = lineitem.join(
+        orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.col("l_orderkey").alias("okey"),
+        F.when(
+            (F.col("l_orderkey") % 31 == 0) & (F.col("l_linenumber") == 7),
+            F.col("o_custkey") + 1,
+        )
+        .otherwise(F.col("o_custkey"))
+        .alias("cust"),
+    )
+    votes = claims.groupBy("okey", "cust").agg(F.count("*").alias("cnt"))
+    per_key = votes.groupBy("okey").agg(
+        F.count("*").alias("n_distinct_values"),
+        F.sum("cnt").alias("n_total"),
+        F.max_by(
+            F.col("cust"),
+            F.struct(F.col("cnt"), -F.col("cust")),
+        ).alias("repair_value"),
+        F.max(F.struct(F.col("cnt"), -F.col("cust"))).alias("__best__"),
+    )
+    return (
+        per_key.filter(F.col("n_distinct_values") > 1)
+        .select(
+            "okey",
+            "n_distinct_values",
+            "repair_value",
+            (F.col("n_total") - F.col("__best__")["cnt"]).alias(
+                "n_rows_to_repair"
+            ),
+        )
+    )
+
+
+_TRIMMED_ORACLE = """WITH ranked AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(18, 2)) AS price,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem),
+kept AS (
+  SELECT l_returnflag, price, n
+  FROM ranked
+  WHERE rn > n // 10 AND rn <= n - n // 10)
+SELECT l_returnflag,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(ROUND(SUM(price) / COUNT(*), 6) AS DOUBLE) AS trimmed_mean
+FROM kept GROUP BY l_returnflag"""
+
+
+@register(
+    "lineitem_trimmed_mean",
+    _TRIMMED_ORACLE,
+    "outlier-robust aggregation: 10%-trimmed mean per group — exact "
+    "rank window with full tie-breaks drops each tail, decimal-exact "
+    "sum so partial aggregation and the oracle agree bit-for-bit; the "
+    "robust-statistics twin of the exact-median operators",
+)
+def lineitem_trimmed_mean_query(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("l_returnflag")
+    ranked = lineitem.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    trim = F.floor(F.col("n") / 10)
+    kept = ranked.filter(
+        (F.col("rn") > trim) & (F.col("rn") <= F.col("n") - trim)
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.count("*").alias("n_kept"),
+        F.round(F.sum("price") / F.count("*"), 6)
+        .cast("double")
+        .alias("trimmed_mean"),
+    )
