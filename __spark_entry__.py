@@ -177,6 +177,8 @@ _CERTIFY_FIRST = [
     "sim_hard_negatives",
     "repair_fd_violations",
     "lineitem_trimmed_mean",
+    "features_target_encode_loo",
+    "eval_auc_by_source",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

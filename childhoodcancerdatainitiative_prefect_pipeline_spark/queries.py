@@ -13273,3 +13273,126 @@ def lineitem_trimmed_mean_query(spark, sf_dir):
         .cast("double")
         .alias("trimmed_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-prep and model-eval closers: leave-one-out target encoding
+# and exact per-group ROC-AUC (Mann-Whitney with tie correction) in
+# integer arithmetic.
+# ---------------------------------------------------------------------------
+
+_LOO_ORACLE = """WITH t AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS cat,
+         CAST(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS BIGINT)
+           AS y
+  FROM orders),
+s AS (SELECT cat, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM t GROUP BY cat)
+SELECT t.okey, t.cat,
+       CASE WHEN s.n > 1
+            THEN CAST((s.sy - t.y) * 1000000 // (s.n - 1) AS BIGINT)
+            ELSE CAST(500000 AS BIGINT) END AS te_micro
+FROM t JOIN s USING (cat)"""
+
+
+@register(
+    "features_target_encode_loo",
+    _LOO_ORACLE,
+    "leave-one-out target encoding (the leakage-safe categorical "
+    "encoder): per-category target sum/count aggregate once, broadcast "
+    "back, and each row's own label subtracts out — (S−y)/(n−1) in "
+    "integer micros, singleton categories fall back to the 0.5 prior.  "
+    "One groupBy + one broadcast join; no per-row window",
+)
+def features_target_encode_loo_query(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    t = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_totalprice") > 150000, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+    )
+    s = t.groupBy("cat").agg(
+        F.sum("y").alias("sy"), F.count("*").alias("n")
+    )
+    te = F.when(
+        F.col("n") > 1,
+        F.floor((F.col("sy") - F.col("y")) * 1000000 / (F.col("n") - 1)),
+    ).otherwise(F.lit(500000))
+    return t.join(F.broadcast(s), "cat").select(
+        "okey", "cat", te.cast("long").alias("te_micro")
+    )
+
+
+_AUC_ORACLE = """WITH t AS (
+  SELECT source,
+         CAST(length(text) % 97 AS BIGINT) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+r AS (
+  SELECT source, score, y,
+         RANK() OVER (PARTITION BY source ORDER BY score) AS rmin,
+         COUNT(*) OVER (PARTITION BY source, score) AS ties
+  FROM t),
+agg AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN y = 1 THEN 2 * rmin + ties - 1 END) AS BIGINT)
+           AS r2pos,
+         CAST(SUM(y) AS BIGINT) AS np,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+  FROM r GROUP BY source)
+SELECT source, np, nn,
+       CAST((r2pos - np * (np + 1)) * 1000000 // (2 * np * nn) AS BIGINT)
+         AS auc_micro
+FROM agg WHERE np > 0 AND nn > 0"""
+
+
+@register(
+    "eval_auc_by_source",
+    _AUC_ORACLE,
+    "exact ROC-AUC per group, in the engine: Mann-Whitney rank "
+    "statistic with average-rank tie correction kept in DOUBLED "
+    "integers (2·rank_min + ties − 1), so the whole computation — "
+    "ranks, positive-rank sum, final ratio — is exact int64 and "
+    "order-independent.  The classifier-eval primitive for per-domain "
+    "quality-model audits; groups parallelize the rank windows",
+)
+def eval_auc_by_source_query(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = documents.select(
+        "source",
+        (F.length("text") % 97).cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    wr = Window.partitionBy("source").orderBy("score")
+    wt = Window.partitionBy("source", "score")
+    r = t.select(
+        "source",
+        "y",
+        F.rank().over(wr).alias("rmin"),
+        F.count("*").over(wt).alias("ties"),
+    )
+    agg = r.groupBy("source").agg(
+        F.sum(
+            F.when(F.col("y") == 1, 2 * F.col("rmin") + F.col("ties") - 1)
+        ).alias("r2pos"),
+        F.sum("y").alias("np"),
+        (F.count("*") - F.sum("y")).alias("nn"),
+    )
+    return agg.filter((F.col("np") > 0) & (F.col("nn") > 0)).select(
+        "source",
+        F.col("np").cast("long").alias("np"),
+        F.col("nn").cast("long").alias("nn"),
+        F.floor(
+            (F.col("r2pos") - F.col("np") * (F.col("np") + 1))
+            * 1000000
+            / (2 * F.col("np") * F.col("nn"))
+        )
+        .cast("long")
+        .alias("auc_micro"),
+    )
