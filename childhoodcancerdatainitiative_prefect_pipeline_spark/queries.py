@@ -13396,3 +13396,49 @@ def eval_auc_by_source_query(spark, sf_dir):
         .cast("long")
         .alias("auc_micro"),
     )
+
+
+_CALIB_ORACLE = """WITH t AS (
+  SELECT CAST(length(text) % 97 AS BIGINT) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+b AS (
+  SELECT CAST(least(score * 10 // 97, 9) AS BIGINT) AS bin, score, y
+  FROM t)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(score) AS BIGINT) AS sum_score,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_micro
+FROM b GROUP BY bin"""
+
+
+@register(
+    "eval_calibration_bins",
+    _CALIB_ORACLE,
+    "reliability-diagram data (the calibration twin of "
+    "eval_auc_by_source): decile score bins via integer arithmetic, "
+    "per-bin support, score mass, and positive rate in exact int64 — "
+    "one map-side-combined aggregation",
+)
+def eval_calibration_bins_query(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = documents.select(
+        (F.length("text") % 97).cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    b = t.select(
+        F.least(F.floor(F.col("score") * 10 / 97), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        "score",
+        "y",
+    )
+    return b.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("score").alias("sum_score"),
+        F.sum("y").alias("n_pos"),
+        F.floor(F.sum("y") * 1000000 / F.count("*"))
+        .cast("long")
+        .alias("pos_rate_micro"),
+    )

@@ -112,6 +112,19 @@ def main():
         "ccdi_to_tabbreaker", "indexd_guid_validation",
         "text_bpe_tokens", "text_bpe_tokens_fast", "text_html_strip",
         "privacy_k_anonymity", "linkage_blocked_fuzzy",
+        # round-3-session pack 2 (dedup_minhash_eval excluded: its
+        # EXACT-truth side is an inverted-index pair join that the
+        # synthetic 30-word vocabulary makes near-all-pairs — recall
+        # audits run on samples by design)
+        "cdc_merge_snapshot", "cdc_incremental_agg",
+        "text_trigram_backoff", "corpus_kl_drift",
+        "corpus_batch_schedule", "entity_golden_record",
+        "events_attribution", "corpus_decontaminate_cut",
+        "corpus_split_leakage_safe", "profile_psi_drift",
+        "embedding_doc_pool", "sim_hard_negatives", "sim_pq_topk_det",
+        "repair_fd_violations", "lineitem_trimmed_mean",
+        "features_target_encode_loo", "eval_auc_by_source",
+        "text_bpe_fertility",
     )
     timings = {}
     for name in queries:
