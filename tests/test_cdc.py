@@ -123,3 +123,64 @@ def test_streaming_cdc_snapshot_maintainer(spark, tmp_path):
     )
     writer(b2, last_id)
     assert _result(read_latest_snapshot(spark, snap)) == {1: "a", 3: "c2", 4: "d"}
+
+
+def test_cdc_merge_on_bucketed_tables_is_shuffle_free(spark, tmp_path):
+    """The 100 TB CDC shape: snapshot and collapsed changelog both
+    bucketed on the key -> the merge join runs with ZERO exchanges
+    (broadcast disabled to force the bucket path)."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.cdc import (
+        collapse_changelog,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.files import (
+        write_bucketed_table,
+    )
+    from pyspark.sql import functions as F
+
+    snap = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("string").alias("v")
+    )
+    ch = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        F.lit(1).alias("seq"),
+        F.when(F.col("id") % 3 == 0, "D").otherwise("U").alias("op"),
+        F.lit("nv").alias("v"),
+    )
+    last = collapse_changelog(ch, ["k"])
+    spark.sql("DROP TABLE IF EXISTS b_snap")
+    spark.sql("DROP TABLE IF EXISTS b_delta")
+    write_bucketed_table(
+        snap, "b_snap", bucket_by=["k"], n_buckets=4,
+        path=str(tmp_path / "b_snap"),
+    )
+    write_bucketed_table(
+        last, "b_delta", bucket_by=["k"], n_buckets=4,
+        path=str(tmp_path / "b_delta"),
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bsnap = spark.table("b_snap")
+        bdelta = spark.table("b_delta").select(
+            "k",
+            F.col("op").alias("__op__"),
+            F.col("v").alias("__new_v__"),
+        )
+        merged = (
+            bsnap.join(bdelta, "k", "full_outer")
+            .filter(F.col("__op__").isNull() | (F.col("__op__") != "D"))
+            .select(
+                "k",
+                F.when(F.col("__op__").isNotNull(), F.col("__new_v__"))
+                .otherwise(F.col("v"))
+                .alias("v"),
+            )
+        )
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        # and the merge itself is still correct
+        out = {r["k"]: r["v"] for r in merged.collect()}
+        assert len(out) == 1000 - 67  # 67 deletes in 0..199 step 3
+        assert out[1] == "nv" and out[500] == str(500 % 7)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
