@@ -282,3 +282,83 @@ def test_setsim_prefix_join_is_lossless_on_random_sets(spark, docs):
             if jac >= 0.3:
                 want[(i, j)] = jac
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 6),                      # key
+            st.integers(0, 20),                     # seq
+            st.sampled_from(["I", "U", "D"]),       # op
+            st.text(alphabet="abc", min_size=0, max_size=3),
+        ),
+        max_size=25,
+    ),
+    st.lists(st.integers(0, 6), max_size=6, unique=True),
+)
+def test_cdc_apply_matches_dict_replay(spark, changes, base_keys):
+    """apply_changelog == replaying the changelog into a python dict in
+    (seq, op-precedence) order, for arbitrary interleavings including
+    same-seq conflicts and reinserted-after-delete keys."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.cdc import (
+        apply_changelog,
+    )
+
+    snap_rows = [(k, f"base{k}") for k in base_keys]
+    snap = spark.createDataFrame(snap_rows, "k long, v string") if snap_rows else (
+        spark.createDataFrame([], "k long, v string")
+    )
+    ch = spark.createDataFrame(changes, "k long, seq long, op string, v string") if changes else (
+        spark.createDataFrame([], "k long, seq long, op string, v string")
+    )
+    got = {
+        r["k"]: r["v"] for r in apply_changelog(snap, ch, ["k"]).collect()
+    }
+
+    # model: keep only the LAST event per key by (seq, D>U>I, payload)
+    prec = {"D": 3, "U": 2, "I": 1}
+    state = dict(snap_rows)
+    last = {}
+    for k, seq, op, v in changes:
+        cand = (seq, prec[op], op, v if v is not None else "")
+        if k not in last or cand > last[k]:
+            last[k] = cand
+    for k, (_, _, op, v) in last.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == state
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abr ", min_size=1, max_size=30), min_size=1, max_size=6
+    )
+)
+def test_bpe_roundtrip_property(spark, texts):
+    """On arbitrary texts over a tiny alphabet (worst case for
+    repeated adjacent pairs), the codegen replace-chain applier equals
+    an independent merge-by-merge reference encoder, and concatenating
+    the tokens (minus EOW) reconstructs the pre-tokenized input."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators import bpe
+    from tests.test_bpe import _reference_encode, _reference_train
+
+    merges = _reference_train(texts, 6)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", bpe.tokenize_doc_expr("text", merges).alias("t")
+        ).collect()
+    }
+    import re
+
+    for i, t in enumerate(texts):
+        assert rows[i] == _reference_encode(t, merges)
+        rebuilt = "".join(tok.replace(bpe.EOW, "") for tok in rows[i])
+        assert rebuilt == "".join(re.findall(bpe.PRETOKEN_RE, t.lower()))
