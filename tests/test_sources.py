@@ -1023,3 +1023,58 @@ def test_orc_round_trip_and_partition_pruning(spark, sf_dir, tmp_path):
     )
     assert "PartitionFilters" in plan
     assert pruned.count() == events.filter("event_type = 'click'").count()
+
+
+def test_warc_roundtrip_and_crawl_to_text_pipeline(spark, tmp_path):
+    """Build a WARC with response/request/metadata records, read it
+    back (type filter pushed into the parser), and run the crawl→text
+    step: html_strip over decoded response payloads."""
+    from pyspark.sql import functions as SF
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.text import (
+        html_strip,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.warc import (
+        build_warc_bytes,
+        parse_warc_bytes,
+        read_warc,
+    )
+
+    html = b"<html><script>x()</script><p>Hello &amp; welcome</p></html>"
+    tricky = b"\r\n\r\nWARC/1.0\r\n fake boundary inside payload"
+    records = [
+        {"warc_type": "response", "target_uri": "https://a.example/x",
+         "record_id": "<urn:uuid:1>", "payload": html},
+        {"warc_type": "request", "target_uri": "https://a.example/x",
+         "record_id": "<urn:uuid:2>", "payload": b"GET /x HTTP/1.1"},
+        {"warc_type": "response", "target_uri": "https://b.example/y",
+         "record_id": "<urn:uuid:3>", "payload": tricky},
+        {"warc_type": "metadata", "target_uri": "https://a.example/x",
+         "record_id": "<urn:uuid:4>", "payload": b"k: v"},
+    ]
+    blob = build_warc_bytes(records)
+    # pure-python roundtrip first: payload slicing must survive fake
+    # boundaries INSIDE payloads (Content-Length, not delimiters)
+    back = list(parse_warc_bytes(blob))
+    assert [r["warc_type"] for r in back] == [
+        "response", "request", "response", "metadata",
+    ]
+    assert back[2]["payload"] == tricky
+
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    (warc_dir / "seg-00000.warc").write_bytes(blob)
+
+    df = read_warc(spark, str(warc_dir))  # responses only by default
+    rows = df.orderBy("record_id").collect()
+    assert [r["warc_type"] for r in rows] == ["response", "response"]
+    assert rows[0]["target_uri"] == "https://a.example/x"
+    assert bytes(rows[0]["payload"]) == html
+    assert rows[0]["content_length"] == len(html)
+
+    text = df.select(
+        "target_uri",
+        html_strip(SF.decode(SF.col("payload"), "UTF-8")).alias("t"),
+    )
+    got = {r["target_uri"]: r["t"] for r in text.collect()}
+    assert got["https://a.example/x"] == "Hello & welcome"
