@@ -43,7 +43,13 @@ from pyspark.sql import functions as F
 SEP = "\x01"
 
 #: GPT-2-ish pre-tokenizer: letter runs, digit runs, single
-#: punctuation marks (mirrors text.bpe_ish_token_count)
+#: punctuation marks (mirrors text.bpe_ish_token_count).
+#: Dialect note: this regex runs in java.util.regex (Spark), RE2
+#: (DuckDB oracle), and Python re (Arrow encoder).  ``\s`` is
+#: ASCII-only in Java by default, so the Python side compiles with
+#: re.ASCII to match; RE2's ``\s`` omits vertical tab (U+000B) — the
+#: one character on which the oracle could disagree — which real
+#: corpora should normalize away before tokenizing.
 PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 #: end-of-word marker so merges can't cross word boundaries and the
@@ -313,7 +319,10 @@ def bpe_encode_batches(
     import re
 
     ranks = {(m.left, m.right): m.rank for m in merges}
-    pretoken = re.compile(PRETOKEN_RE)
+    # re.ASCII: match java.util.regex's default ASCII-only \s / \w so
+    # the Arrow encoder agrees with the codegen twin on non-ASCII
+    # whitespace like U+00A0
+    pretoken = re.compile(PRETOKEN_RE, re.ASCII)
     schema = f"{id_col} long, {out_col} array<string>"
 
     def encode_word(word: str, cache: dict) -> list[str]:
@@ -337,7 +346,9 @@ def bpe_encode_batches(
         cache: dict[str, list[str]] = {}
         for pdf in batches:
             toks = [
-                [
+                None
+                if x is None
+                else [
                     t
                     for w in pretoken.findall(str(x).lower())
                     for t in encode_word(w, cache)

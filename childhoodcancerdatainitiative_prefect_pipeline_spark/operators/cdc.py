@@ -124,15 +124,19 @@ def incremental_agg(
     (count/sum; min/max need a re-scan on retraction and are out of
     scope here).
     """
+    # value columns pass through UNCAST: a silent cast("long") here
+    # would truncate fractional deltas and drift the maintained sum.
+    # Callers with fractional values must pre-scale to integer units
+    # (or decimal) so retract+add stays exact and order-independent.
     neg = changes.filter(F.col("op").isin("U", "D")).select(
         F.col(f"{group_col}_before").alias(group_col),
         F.lit(-1).cast("long").alias("__dc__"),
-        (-F.col(f"{value_col}_before")).cast("long").alias("__dv__"),
+        (-F.col(f"{value_col}_before")).alias("__dv__"),
     )
     pos = changes.filter(F.col("op").isin("I", "U")).select(
         F.col(f"{group_col}_after").alias(group_col),
         F.lit(1).cast("long").alias("__dc__"),
-        F.col(f"{value_col}_after").cast("long").alias("__dv__"),
+        F.col(f"{value_col}_after").alias("__dv__"),
     )
     deltas = (
         neg.unionByName(pos)

@@ -68,6 +68,15 @@ def flag_risky_rows(
     never shuffles.
     """
     flags = [c for c in ("at_risk_k", "at_risk_l") if c in profile.columns]
-    return df.join(
-        F.broadcast(profile.select(*quasi_cols, *flags)), quasi_cols, "left"
+    # null-safe equality: groupBy keeps NULL quasi-identifier cells (and
+    # those are often the MOST at-risk), but a plain equi-join would
+    # never match them back
+    prof = profile.select(
+        *[F.col(c).alias(f"__p_{c}__") for c in quasi_cols], *flags
     )
+    cond = None
+    for c in quasi_cols:
+        eq = df[c].eqNullSafe(F.col(f"__p_{c}__"))
+        cond = eq if cond is None else (cond & eq)
+    joined = df.join(F.broadcast(prof), cond, "left")
+    return joined.drop(*[f"__p_{c}__" for c in quasi_cols])

@@ -113,7 +113,14 @@ def guid_fill_from_index(
     )
     m_base = F.substring_index(F.col("file_url"), "/", -1)
     m_dir = F.regexp_replace(F.col("file_url"), "/[^/]*$", "")
-    keyed = manifest.withColumn("__mb__", m_base).withColumn("__md__", m_dir)
+    # per-physical-row id so the candidate de-fan groupBy preserves
+    # duplicate manifest rows (the reference walks rows one at a time
+    # and emits one output per input row, duplicates included)
+    keyed = (
+        manifest.withColumn("__rid__", F.monotonically_increasing_id())
+        .withColumn("__mb__", m_base)
+        .withColumn("__md__", m_dir)
+    )
     matched = (
         keyed.join(
             exploded,
@@ -123,7 +130,7 @@ def guid_fill_from_index(
             & (F.col("__md__") == F.col("__dir__")),
             "left",
         )
-        .groupBy(*manifest.columns)
+        .groupBy("__rid__", *manifest.columns)
         .agg(F.max("did").alias("__did__"))
     )
     filled = F.coalesce(
@@ -131,7 +138,7 @@ def guid_fill_from_index(
         F.col("__did__"),
         F.lit(""),
     )
-    return matched.withColumn(guid_col, filled).drop("__did__")
+    return matched.withColumn(guid_col, filled).drop("__did__", "__rid__")
 
 
 GUID_CHECK_FIELDS = (

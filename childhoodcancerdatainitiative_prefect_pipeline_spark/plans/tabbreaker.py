@@ -62,23 +62,31 @@ def break_node(
     columns → ``parent.id`` mints, redundant ``parent.parent_id``
     drops.  No shuffle.
     """
-    cols: list[Column] = [F.lit(node).alias("type")]
+    passthrough: list[Column] = [F.lit(node).alias("type")]
+    # minted id columns keyed by alias: two dotted columns for the same
+    # parent both target "<parent>.id" — keep the LAST one, matching
+    # the reference's pandas column assignment (last write wins,
+    # s3_ccdi_to_tabbreakery.py:96-106) instead of emitting duplicate
+    # column names
+    minted: dict[str, Column] = {}
     for c in sheet.columns:
         dotted = "." in c
         parent = c.split(".", 1)[0] if dotted else None
         redundant_link = dotted and c.split(".", 1)[1] == f"{parent}_id"
         if not redundant_link:
-            cols.append(F.col(f"`{c}`"))
+            passthrough.append(F.col(f"`{c}`"))
         # F.concat (not concat_ws) so a null key yields a null name →
         # null id, matching the reference's pd.isna passthrough
         # (s3_ccdi_to_tabbreakery.py:35-36)
         if c == key_prop:
             name = F.concat(F.lit(f"{study_id}::{node}::"), F.col(f"`{c}`"))
-            cols.append(_surrogate(name, surrogate).alias("id"))
+            minted["id"] = _surrogate(name, surrogate).alias("id")
         elif dotted and not c.endswith(".id"):
             name = F.concat(F.lit(f"{study_id}::{parent}::"), F.col(f"`{c}`"))
-            cols.append(_surrogate(name, surrogate).alias(f"{parent}.id"))
-    return sheet.select(*cols)
+            minted[f"{parent}.id"] = _surrogate(name, surrogate).alias(
+                f"{parent}.id"
+            )
+    return sheet.select(*passthrough, *minted.values())
 
 
 def keep_sheet(sheet: DataFrame, node: str) -> bool:

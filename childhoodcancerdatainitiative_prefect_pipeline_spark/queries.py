@@ -3738,7 +3738,8 @@ _GUID_FILL_ORACLE = """WITH f AS (
               THEN 'dg.4DFC/pre-' || md5(CAST(l_orderkey AS VARCHAR) || '-'
                                           || CAST(l_linenumber AS VARCHAR))
          END AS guid0,
-         l_orderkey AS k
+         l_orderkey AS k,
+         ROW_NUMBER() OVER () AS rid
   FROM lineitem),
 idx AS (
   SELECT 'dg.4DFC/idx-' || md5sum AS did, md5sum AS hash, file_size AS size,
@@ -3749,12 +3750,15 @@ idx AS (
   FROM f WHERE k % 2 = 0),
 ex AS (SELECT did, hash, size, unnest(urls) AS u FROM idx),
 m AS (
-  SELECT f.md5sum, f.file_url, f.file_size, f.guid0, max(e.did) AS did
+  -- group by the per-row id too: duplicate manifest rows each emit a
+  -- row, matching the engine's row-preserving fill
+  SELECT f.rid, f.md5sum, f.file_url, f.file_size, f.guid0,
+         max(e.did) AS did
   FROM f LEFT JOIN ex e
     ON f.md5sum = e.hash AND f.file_size = e.size
    AND regexp_extract(e.u, '[^/]*$') = regexp_extract(f.file_url, '[^/]*$')
    AND regexp_replace(e.u, '/[^/]*$', '') = regexp_replace(f.file_url, '/[^/]*$', '')
-  GROUP BY 1, 2, 3, 4)
+  GROUP BY 1, 2, 3, 4, 5)
 SELECT file_url, md5sum, file_size,
        coalesce(CASE WHEN trim(guid0) = '' THEN NULL ELSE guid0 END, did, '')
          AS dcf_indexd_guid
@@ -11753,21 +11757,26 @@ best AS (
 SELECT lid, rid, distance FROM best WHERE rn = 1"""
 
 
-def _linkage_sides(spark, sf_dir):
-    (customer,) = _t(spark, sf_dir, "customer")
-    ck = F.col("c_custkey")
-    nm = F.concat(
-        F.lower(F.col("c_mktsegment")), F.lit("_"), ck.cast("string")
+def _name_tail_block(name):
+    """Shared blocking key for the fuzzy-linkage fixtures: the name's
+    high-entropy last-4-chars + length bucket (cardinality grows with
+    the corpus, so block sizes stay bounded — see SCALE.md)."""
+    return F.struct(
+        F.substring(name, F.length(name) - 3, F.lit(4)).alias("tail4"),
+        F.floor(F.length(name) / 4).cast("int").alias("len_b"),
     )
-    left = customer.select(ck.alias("lid"), nm.alias("name"))
-    perturbed = (
+
+
+def _perturb_name(ck, nm):
+    """Shared planted-typo pattern: substitution at pos 3 (%5),
+    deletion at pos 4 (%7), both (%35) — prefix-region edits that
+    leave the blocking tail intact."""
+    return (
         F.when(
             (ck % 5 == 0) & (ck % 7 == 0),
             F.concat(
-                F.substring(nm, 1, 2),
-                F.lit("x"),
-                F.substring(nm, 4, 1),
-                F.substring(nm, 6, 1000),
+                F.substring(nm, 1, 2), F.lit("x"),
+                F.substring(nm, 4, 1), F.substring(nm, 6, 1000),
             ),
         )
         .when(
@@ -11780,7 +11789,16 @@ def _linkage_sides(spark, sf_dir):
         )
         .otherwise(nm)
     )
-    right = customer.select(ck.alias("rid"), perturbed.alias("name"))
+
+
+def _linkage_sides(spark, sf_dir):
+    (customer,) = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    nm = F.concat(
+        F.lower(F.col("c_mktsegment")), F.lit("_"), ck.cast("string")
+    )
+    left = customer.select(ck.alias("lid"), nm.alias("name"))
+    right = customer.select(ck.alias("rid"), _perturb_name(ck, nm).alias("name"))
     return left, right
 
 
@@ -11798,21 +11816,9 @@ def linkage_blocked_fuzzy_query(spark, sf_dir):
     from .operators.linkage import best_match_per_left, blocked_fuzzy_matches
 
     left, right = _linkage_sides(spark, sf_dir)
-
-    def tail_block(name):
-        # the planted typos hit positions 3-5 (the segment prefix), so
-        # the numeric TAIL is stable — and unlike the (prefix, length)
-        # default its cardinality GROWS with the corpus, keeping block
-        # sizes bounded (the default key squared one block at the 10x
-        # scale probe: ~20 blocks over 1.5M names = 10^10 pairs)
-        return F.struct(
-            F.substring(name, F.length(name) - 3, F.lit(4)).alias("tail4"),
-            F.floor(F.length(name) / 4).cast("int").alias("len_b"),
-        )
-
     matches = blocked_fuzzy_matches(
         left, right, "lid", "rid", name_col="name", max_dist=2,
-        block_fn=tail_block,
+        block_fn=_name_tail_block,
     )
     return best_match_per_left(matches, "lid", "rid")
 
@@ -11940,6 +11946,7 @@ def cdc_merge_snapshot_query(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _PQ_NSUB, _PQ_DSUB, _PQ_MOD, _PQ_SHORT, _PQ_K = 16, 4, 5, 50, 10
+_PQ_NCW = 64
 
 
 def _pq_oracle() -> str:
@@ -11958,19 +11965,20 @@ def _pq_oracle() -> str:
     return f"""WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 ms AS (SELECT unnest(range(0, {_PQ_NSUB})) AS m),
+donors AS (
+  SELECT * FROM e WHERE vec_id % {_PQ_MOD} = 0
+  ORDER BY vec_id LIMIT {_PQ_NCW}),
 codes AS (
   SELECT vec_id, m, cid FROM (
     SELECT x.vec_id, ms.m, d.vec_id AS cid,
            ROW_NUMBER() OVER (PARTITION BY x.vec_id, ms.m
                               ORDER BY {sub}, d.vec_id) AS rn
-    FROM e x CROSS JOIN ms CROSS JOIN e d
-    WHERE d.vec_id % {_PQ_MOD} = 0)
+    FROM e x CROSS JOIN ms CROSS JOIN donors d)
   WHERE rn = 1),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
 dtab AS (
   SELECT q.query_id, ms.m, d.vec_id AS cid, {qsub} AS dmic
-  FROM q CROSS JOIN ms CROSS JOIN e d
-  WHERE d.vec_id % {_PQ_MOD} = 0),
+  FROM q CROSS JOIN ms CROSS JOIN donors d),
 adc AS (
   SELECT dt.query_id, c.vec_id, SUM(dt.dmic) AS adc_dist_micro
   FROM codes c JOIN dtab dt ON c.m = dt.m AND c.cid = dt.cid
@@ -12014,7 +12022,10 @@ def sim_pq_topk_det_query(spark, sf_dir):
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cb = pq_codebook(e, n_sub=_PQ_NSUB, d_sub=_PQ_DSUB, selector_mod=_PQ_MOD)
+    cb = pq_codebook(
+        e, n_sub=_PQ_NSUB, d_sub=_PQ_DSUB, selector_mod=_PQ_MOD,
+        n_codewords=_PQ_NCW,
+    )
     enc = pq_encode(e, cb, n_sub=_PQ_NSUB, d_sub=_PQ_DSUB)
     short = pq_adc_topk(
         e, cb, enc, F.col("vec_id") < 3,
@@ -12364,16 +12375,21 @@ def corpus_batch_schedule_query(spark, sf_dir):
         F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), "doc_id"
     )
     ranked = d.withColumn("rnk", F.row_number().over(win).cast("long"))
-    vt = ranked.join(F.broadcast(weights), "source").select(
-        "doc_id",
-        "source",
-        (F.col("rnk") * (F.lit(1000000000000).cast("long") / F.col("w_int")).cast("long")).alias(
-            "vtime"
-        ),
+    vt = (
+        ranked.join(F.broadcast(weights), "source")
+        .withColumn(
+            "__stride__",
+            F.expr("1000000000000 div w_int").cast("long"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (F.col("rnk") * F.col("__stride__")).alias("vtime"),
+        )
     )
-    batch = F.floor(F.col("vtime") / 50000000).cast("long")
+    # vtime exceeds 2^53 on big corpora — integral div, not floor(/)
     return (
-        vt.withColumn("batch_id", batch)
+        vt.withColumn("batch_id", F.expr("vtime div 50000000").cast("long"))
         .filter(F.col("batch_id") < 20)
         .groupBy("source", "batch_id")
         .agg(F.count("*").alias("n_docs"))
@@ -12456,24 +12472,7 @@ def _er_sides(spark, sf_dir):
     left = customer.select(
         ck.alias("id"), nm.alias("name"), digits.alias("phone")
     )
-    perturbed = (
-        F.when(
-            (ck % 5 == 0) & (ck % 7 == 0),
-            F.concat(
-                F.substring(nm, 1, 2), F.lit("x"),
-                F.substring(nm, 4, 1), F.substring(nm, 6, 1000),
-            ),
-        )
-        .when(
-            ck % 5 == 0,
-            F.concat(F.substring(nm, 1, 2), F.lit("x"), F.substring(nm, 4, 1000)),
-        )
-        .when(
-            ck % 7 == 0,
-            F.concat(F.substring(nm, 1, 3), F.substring(nm, 5, 1000)),
-        )
-        .otherwise(nm)
-    )
+    perturbed = _perturb_name(ck, nm)
     bad_phone = F.when(
         ck % 13 == 0, F.concat(F.lit("999"), digits)
     ).otherwise(digits)
@@ -12502,13 +12501,6 @@ def entity_golden_record_query(spark, sf_dir):
     from .operators.linkage import blocked_fuzzy_matches
 
     left, right = _er_sides(spark, sf_dir)
-
-    def tail_block(name):
-        return F.struct(
-            F.substring(name, F.length(name) - 3, F.lit(4)).alias("tail4"),
-            F.floor(F.length(name) / 4).cast("int").alias("len_b"),
-        )
-
     edges = blocked_fuzzy_matches(
         left.select(F.col("id").alias("lid"), "name"),
         right.select(F.col("id").alias("rid"), "name"),
@@ -12516,7 +12508,7 @@ def entity_golden_record_query(spark, sf_dir):
         "rid",
         name_col="name",
         max_dist=2,
-        block_fn=tail_block,
+        block_fn=_name_tail_block,
     ).select(F.col("lid").alias("src"), F.col("rid").alias("dst"))
 
     nodes = left.unionByName(right)
@@ -12646,18 +12638,28 @@ def dedup_minhash_eval_query(spark, sf_dir):
     tp = cnt(F.col("in_cand") & F.col("in_truth"))
     ncand = cnt(F.col("in_cand"))
     ntruth = cnt(F.col("in_truth"))
-    return j.agg(
-        ncand.alias("n_candidates"),
-        ntruth.alias("n_truth"),
-        tp.alias("tp"),
-        cnt(F.col("in_cand") & ~F.col("in_truth")).alias("fp"),
-        cnt(F.col("in_truth") & ~F.col("in_cand")).alias("fn"),
-        F.floor(tp * 1000000 / F.greatest(ncand, F.lit(1)))
-        .cast("long")
-        .alias("precision_micro"),
-        F.floor(tp * 1000000 / F.greatest(ntruth, F.lit(1)))
-        .cast("long")
-        .alias("recall_micro"),
+    return (
+        j.agg(
+            ncand.alias("n_candidates"),
+            ntruth.alias("n_truth"),
+            tp.alias("tp"),
+            cnt(F.col("in_cand") & ~F.col("in_truth")).alias("fp"),
+            cnt(F.col("in_truth") & ~F.col("in_cand")).alias("fn"),
+        )
+        .withColumn("__num__", F.col("tp") * F.lit(1000000).cast("long"))
+        .select(
+            "n_candidates",
+            "n_truth",
+            "tp",
+            "fp",
+            "fn",
+            F.expr("__num__ div greatest(n_candidates, 1)")
+            .cast("long")
+            .alias("precision_micro"),
+            F.expr("__num__ div greatest(n_truth, 1)")
+            .cast("long")
+            .alias("recall_micro"),
+        )
     )
 
 
@@ -12838,13 +12840,14 @@ kept AS (
   FROM corpus c
   LEFT JOIN covered v ON v.doc_id = c.doc_id AND v.idx = c.pos
   WHERE v.idx IS NULL)
-SELECT c.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+SELECT d.doc_id,
+       CAST(COUNT(c.pos) AS BIGINT) AS n_tokens,
        CAST(COUNT(k.pos) AS BIGINT) AS n_kept,
        coalesce(string_agg(k.w, ' ' ORDER BY k.pos), '') AS clean_text
-FROM corpus c
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN corpus c ON c.doc_id = d.doc_id
 LEFT JOIN kept k ON k.doc_id = c.doc_id AND k.pos = c.pos
-GROUP BY c.doc_id"""
+GROUP BY d.doc_id"""
 
 
 @register(
@@ -13249,27 +13252,53 @@ FROM kept GROUP BY l_returnflag"""
     "robust-statistics twin of the exact-median operators",
 )
 def lineitem_trimmed_mean_query(spark, sf_dir):
+    # Prefix-sum formulation, not a rank window: partitionBy on a
+    # 3-value group column funnels the whole table through 3 tasks
+    # (6.4 s at the 10x probe; unbounded at 100 TB).  Instead:
+    # value-level counts (map-side combinable), a RANGE-PARTITIONED
+    # global running count, tiny per-group offsets, then per distinct
+    # value the number of its occurrences inside the kept band —
+    # identical kept MULTISET (trim-by-count keeps the same values no
+    # matter how ties are ordered), no low-cardinality window.
     from pyspark.sql import Window
 
+    from .operators.windows import distributed_prefix_sum
+
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    counts = (
+        lineitem.select(
+            "l_returnflag",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("l_returnflag", "price")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    wc = Window.partitionBy("l_returnflag")
-    ranked = lineitem.select(
-        "l_returnflag",
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wc).alias("n"),
+    pre = distributed_prefix_sum(
+        counts, "cnt", order_by=["l_returnflag", "price"], out_col="cum"
     )
-    trim = F.floor(F.col("n") / 10)
-    kept = ranked.filter(
-        (F.col("rn") > trim) & (F.col("rn") <= F.col("n") - trim)
+    gstats = counts.groupBy("l_returnflag").agg(F.sum("cnt").alias("n"))
+    offw = Window.orderBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    return kept.groupBy("l_returnflag").agg(
+    offs = gstats.withColumn(
+        "goff", F.coalesce(F.sum("n").over(offw), F.lit(0))
+    )
+    j = pre.join(F.broadcast(offs), "l_returnflag").withColumn(
+        "k", F.expr("n div 10")
+    )
+    before = F.col("cum") - F.col("cnt") - F.col("goff")
+    lo = F.greatest(before, F.col("k"))
+    hi = F.least(before + F.col("cnt"), F.col("n") - F.col("k"))
+    kept_cnt = F.greatest(hi - lo, F.lit(0))
+    staged = j.select(
+        "l_returnflag", "price", "n", kept_cnt.alias("kc")
+    )
+    return staged.groupBy("l_returnflag").agg(
         F.max("n").cast("long").alias("n_rows"),
-        F.count("*").alias("n_kept"),
-        F.round(F.sum("price") / F.count("*"), 6)
+        F.sum("kc").cast("long").alias("n_kept"),
+        F.round(
+            F.sum(F.col("price") * F.col("kc")) / F.sum("kc"), 6
+        )
         .cast("double")
         .alias("trimmed_mean"),
     )
@@ -13318,12 +13347,20 @@ def features_target_encode_loo_query(spark, sf_dir):
     s = t.groupBy("cat").agg(
         F.sum("y").alias("sy"), F.count("*").alias("n")
     )
-    te = F.when(
-        F.col("n") > 1,
-        F.floor((F.col("sy") - F.col("y")) * 1000000 / (F.col("n") - 1)),
-    ).otherwise(F.lit(500000))
-    return t.join(F.broadcast(s), "cat").select(
-        "okey", "cat", te.cast("long").alias("te_micro")
+    return (
+        t.join(F.broadcast(s), "cat")
+        .withColumn(
+            "__num__", (F.col("sy") - F.col("y")) * F.lit(1000000).cast("long")
+        )
+        .withColumn("__den__", F.col("n") - 1)
+        .select(
+            "okey",
+            "cat",
+            F.when(F.col("n") > 1, F.expr("__num__ div __den__"))
+            .otherwise(F.lit(500000))
+            .cast("long")
+            .alias("te_micro"),
+        )
     )
 
 
@@ -13384,17 +13421,22 @@ def eval_auc_by_source_query(spark, sf_dir):
         F.sum("y").alias("np"),
         (F.count("*") - F.sum("y")).alias("nn"),
     )
-    return agg.filter((F.col("np") > 0) & (F.col("nn") > 0)).select(
-        "source",
-        F.col("np").cast("long").alias("np"),
-        F.col("nn").cast("long").alias("nn"),
-        F.floor(
+    # `div` (SQL integral division) — the numerator grows past 2^53
+    # on big groups, where floor(double-division) loses low bits
+    return (
+        agg.filter((F.col("np") > 0) & (F.col("nn") > 0))
+        .withColumn(
+            "__num__",
             (F.col("r2pos") - F.col("np") * (F.col("np") + 1))
-            * 1000000
-            / (2 * F.col("np") * F.col("nn"))
+            * F.lit(1000000).cast("long"),
         )
-        .cast("long")
-        .alias("auc_micro"),
+        .withColumn("__den__", 2 * F.col("np") * F.col("nn"))
+        .select(
+            "source",
+            F.col("np").cast("long").alias("np"),
+            F.col("nn").cast("long").alias("nn"),
+            F.expr("__num__ div __den__").cast("long").alias("auc_micro"),
+        )
     )
 
 
@@ -13434,11 +13476,19 @@ def eval_calibration_bins_query(spark, sf_dir):
         "score",
         "y",
     )
-    return b.groupBy("bin").agg(
-        F.count("*").alias("n"),
-        F.sum("score").alias("sum_score"),
-        F.sum("y").alias("n_pos"),
-        F.floor(F.sum("y") * 1000000 / F.count("*"))
-        .cast("long")
-        .alias("pos_rate_micro"),
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("score").alias("sum_score"),
+            F.sum("y").alias("n_pos"),
+        )
+        .withColumn("__num__", F.col("n_pos") * F.lit(1000000).cast("long"))
+        .select(
+            "bin",
+            "n",
+            "sum_score",
+            "n_pos",
+            F.expr("__num__ div n").cast("long").alias("pos_rate_micro"),
+        )
     )

@@ -441,21 +441,33 @@ def cdc_snapshot_maintainer(
 
 
 def read_latest_snapshot(spark, base_path: str, below: int | None = None):
-    """Highest complete ``batch_id=N`` snapshot dir, or None."""
-    import os
+    """Highest complete ``batch_id=N`` snapshot dir, or None.
+
+    Listing goes through the Hadoop FileSystem API, so the snapshot
+    root can live on any supported scheme (file://, hdfs://, s3a://…)
+    — ``os.listdir`` would silently see nothing on object stores and
+    every batch would restart from an empty snapshot.
+    """
     import re
 
-    if not os.path.isdir(base_path):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = path.getFileSystem(hconf)
+    if not fs.exists(path):
         return None
     best = -1
-    for d in os.listdir(base_path):
-        m = re.fullmatch(r"batch_id=(\d+)", d)
+    for status in fs.listStatus(path):
+        if not status.isDirectory():
+            continue
+        m = re.fullmatch(r"batch_id=(\d+)", status.getPath().getName())
         if not m:
             continue
         n = int(m.group(1))
-        if (below is None or n < below) and n > best and os.path.exists(
-            os.path.join(base_path, d, "_SUCCESS")
-        ):
+        ok = fs.exists(
+            jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
+        )
+        if (below is None or n < below) and n > best and ok:
             best = n
     if best < 0:
         return None

@@ -100,3 +100,17 @@ def test_blocked_fuzzy_max_block_caps_degenerate_blocks(spark):
     )
     assert uncapped.count() == 40 * 40  # one degenerate block squared
     assert capped.count() == 0  # oversized block dropped entirely
+
+
+def test_flag_risky_rows_matches_null_quasi_identifiers(spark):
+    """NULL QI cells are often the most at-risk; the join-back must be
+    null-safe or exactly those rows lose their flags."""
+    df = spark.createDataFrame(
+        [(None, "x", "s1"), (None, "x", "s1"), ("a", "x", "s2")],
+        "q1 string, q2 string, s string",
+    )
+    prof = k_anonymity_profile(df, ["q1", "q2"], sensitive_col="s", k=5)
+    flagged = flag_risky_rows(df, prof, ["q1", "q2"])
+    rows = flagged.filter(F.col("q1").isNull()).collect()
+    assert len(rows) == 2
+    assert all(r["at_risk_k"] is True for r in rows)  # n=2 < 5, matched

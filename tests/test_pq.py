@@ -12,7 +12,7 @@ from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.similarity i
     pq_rerank,
 )
 
-NSUB, DSUB, MOD = 16, 4, 5
+NSUB, DSUB, MOD, NCW = 16, 4, 5, 64
 
 
 def _vectors(spark, sf_dir):
@@ -24,12 +24,12 @@ def _vectors(spark, sf_dir):
 def test_encode_matches_numpy_argmin(spark, sf_dir):
     e = _vectors(spark, sf_dir)
     data = {r["vec_id"]: np.array(r["v"]) for r in e.collect()}
-    cb = pq_codebook(e, n_sub=NSUB, d_sub=DSUB, selector_mod=MOD)
+    cb = pq_codebook(e, n_sub=NSUB, d_sub=DSUB, selector_mod=MOD, n_codewords=NCW)
     got = {
         r["vec_id"]: r["codes"]
         for r in pq_encode(e, cb, n_sub=NSUB, d_sub=DSUB).collect()
     }
-    donors = sorted(k for k in data if k % MOD == 0)
+    donors = sorted(k for k in data if k % MOD == 0)[:NCW]
     for vid in list(data)[:20]:
         for m in range(NSUB):
             sub = data[vid][m * DSUB : (m + 1) * DSUB]
@@ -45,7 +45,7 @@ def test_encode_matches_numpy_argmin(spark, sf_dir):
 def test_shortlist_plus_rerank_recall(spark, sf_dir):
     e = _vectors(spark, sf_dir)
     data = {r["vec_id"]: np.array(r["v"]) for r in e.collect()}
-    cb = pq_codebook(e, n_sub=NSUB, d_sub=DSUB, selector_mod=MOD)
+    cb = pq_codebook(e, n_sub=NSUB, d_sub=DSUB, selector_mod=MOD, n_codewords=NCW)
     enc = pq_encode(e, cb, n_sub=NSUB, d_sub=DSUB)
     short = pq_adc_topk(
         e, cb, enc, F.col("vec_id") < 3, n_sub=NSUB, d_sub=DSUB, k=50
@@ -67,7 +67,7 @@ def test_shortlist_plus_rerank_recall(spark, sf_dir):
 
 def test_encode_plan_is_shuffle_free(spark, sf_dir):
     e = _vectors(spark, sf_dir)
-    cb = pq_codebook(e, n_sub=NSUB, d_sub=DSUB, selector_mod=MOD)
+    cb = pq_codebook(e, n_sub=NSUB, d_sub=DSUB, selector_mod=MOD, n_codewords=NCW)
     plan = (
         pq_encode(e, cb, n_sub=NSUB, d_sub=DSUB)
         ._jdf.queryExecution()

@@ -92,3 +92,19 @@ def test_break_node_plan_is_shuffle_free(spark):
         sheets["sample"], "sample", "phs000123", "sample_id"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_two_links_to_same_parent_last_write_wins(spark):
+    """Two dotted columns for one parent both target parent.id — keep
+    the LAST mint (pandas column-assignment semantics), never emit
+    duplicate column names."""
+    sheet = spark.createDataFrame(
+        [("S1", "PCT_A", "PCT_B")],
+        "sample_id string, `participant.participant_id` string, "
+        "`participant.alt_id` string",
+    )
+    out = break_node(sheet, "sample", "phs1", "sample_id")
+    assert out.columns.count("participant.id") == 1
+    ns = uuid5_namespace("ccdi")
+    got = out.collect()[0]["participant.id"]
+    assert got == str(uuid.uuid5(ns, "phs1::participant::PCT_B"))
