@@ -180,6 +180,7 @@ _CERTIFY_FIRST = [
     "features_target_encode_loo",
     "eval_auc_by_source",
     "eval_calibration_bins",
+    "stats_bootstrap_ci",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

@@ -13492,3 +13492,137 @@ def eval_calibration_bins_query(spark, sf_dir):
             F.expr("__num__ div n").cast("long").alias("pos_rate_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap confidence interval: Poisson(1) resampling
+# with md5-derived counts, so the "random" resamples are reproducible
+# and oracle-checkable.  32 replicas ride one explode; each replica
+# mean is one map-side-combined aggregation over decimal-exact sums.
+# ---------------------------------------------------------------------------
+
+#: cumulative Poisson(1) thresholds scaled to the md5-15-hex-digit
+#: integer range (16^15), truncated at 5 occurrences
+_POIS_T = [
+    int(0.3678794412 * (1 << 60)),
+    int(0.7357588823 * (1 << 60)),
+    int(0.9196986029 * (1 << 60)),
+    int(0.9810118431 * (1 << 60)),
+    int(0.9963401532 * (1 << 60)),
+]
+
+_BOOT_ORACLE = f"""WITH x AS (
+  SELECT l_orderkey AS k, l_linenumber AS j,
+         CAST(l_extendedprice AS DECIMAL(18, 2)) AS v
+  FROM lineitem),
+rep AS (
+  SELECT x.k, x.j, x.v, r.r,
+         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+                             CAST(x.k AS VARCHAR) || '-' ||
+                             CAST(x.j AS VARCHAR)), 1, 15))::BIGINT AS u
+  FROM x CROSS JOIN (SELECT unnest(range(0, 32)) AS r) r),
+cnted AS (
+  SELECT r, v,
+         CASE WHEN u < {_POIS_T[0]} THEN 0
+              WHEN u < {_POIS_T[1]} THEN 1
+              WHEN u < {_POIS_T[2]} THEN 2
+              WHEN u < {_POIS_T[3]} THEN 3
+              WHEN u < {_POIS_T[4]} THEN 4
+              ELSE 5 END AS c
+  FROM rep),
+means AS (
+  -- integer cents end-to-end: mean_micro = (cents*10000) // count
+  SELECT r,
+         CAST(SUM(CAST(v * 100 AS BIGINT) * c) * 10000
+              // SUM(c) AS BIGINT) AS mean_micro
+  FROM cnted GROUP BY r HAVING SUM(c) > 0),
+ranked AS (
+  SELECT mean_micro,
+         ROW_NUMBER() OVER (ORDER BY mean_micro, mean_micro) AS rn,
+         COUNT(*) OVER () AS nr
+  FROM means)
+SELECT CAST((SELECT COUNT(*) FROM means) AS BIGINT) AS n_replicas,
+       (SELECT MIN(mean_micro) FROM ranked WHERE rn >= 0.025 * nr)
+         AS ci_lo_micro,
+       (SELECT MAX(mean_micro) FROM ranked WHERE rn <= 0.975 * nr)
+         AS ci_hi_micro"""
+
+
+@register(
+    "stats_bootstrap_ci",
+    _BOOT_ORACLE,
+    "deterministic Poisson bootstrap: per (replica, row) the md5 of "
+    "(replica, row-key) maps through the Poisson(1) inverse CDF to a "
+    "resample count, so all 32 'random' replicas are reproducible and "
+    "hash-certified.  Replica means are decimal-exact; the 95% CI "
+    "reads off the tiny replica frame.  Row cost is x32 on an "
+    "aggregate-only path (map-side combine), never a shuffle of the "
+    "fact table per replica",
+)
+def stats_bootstrap_ci_query(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    x = lineitem.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("j"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+    )
+    rep = x.select(
+        "k", "j", "v", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(
+                        F.col("r").cast("string"), F.lit(":"),
+                        F.col("k").cast("string"), F.lit("-"),
+                        F.col("j").cast("string"),
+                    ),
+                    "UTF-8",
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    c = (
+        F.when(u < _POIS_T[0], 0)
+        .when(u < _POIS_T[1], 1)
+        .when(u < _POIS_T[2], 2)
+        .when(u < _POIS_T[3], 3)
+        .when(u < _POIS_T[4], 4)
+        .otherwise(5)
+    )
+    cnted = rep.select("r", "v", c.alias("c"))
+    cents = (F.col("v") * 100).cast("long")
+    means = (
+        cnted.groupBy("r")
+        .agg(
+            F.sum(cents * F.col("c")).alias("sv"),
+            F.sum("c").alias("sc"),
+        )
+        .filter(F.col("sc") > 0)
+        .withColumn("__num__", F.col("sv") * F.lit(10000).cast("long"))
+        .select(
+            F.expr("__num__ div sc").cast("long").alias("mean_micro")
+        )
+    )
+    wr = Window.orderBy("mean_micro")
+    ranked = means.select(
+        "mean_micro",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("nr"),
+    )
+    return ranked.agg(
+        F.max("nr").cast("long").alias("n_replicas"),
+        F.min(
+            F.when(F.col("rn") >= 0.025 * F.col("nr"), F.col("mean_micro"))
+        ).alias("ci_lo_micro"),
+        F.max(
+            F.when(F.col("rn") <= 0.975 * F.col("nr"), F.col("mean_micro"))
+        ).alias("ci_hi_micro"),
+    )
