@@ -110,6 +110,7 @@ def attribution_join(
     horizon: str = "1 hour",
     ts_col: str = "ts",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: outcome events attributed to the
     trigger events that preceded them within ``horizon``.
@@ -127,26 +128,34 @@ def attribution_join(
     Returns one row per (trigger, outcome) pair within the horizon:
     ``user_id, trigger_id, trigger_ts, outcome_id, outcome_ts,
     outcome_value, lag_seconds``.
+
+    ``how="left_outer"`` additionally emits each unmatched trigger once
+    its join state expires (watermark past trigger_ts + horizon) with
+    null outcome columns — the "un-converted triggers" feed.  Outer
+    emission REQUIRES the watermark + time bound (state must provably
+    close before a null can be final); in batch mode it degrades to a
+    plain left join.
     """
-    src = _as_event_time(events, ts_col)
-    trig = (
-        src.filter(F.col("event_type") == trigger_type)
-        .select(
-            F.col("user_id"),
-            F.col("event_id").alias("trigger_id"),
-            F.col(ts_col).alias("trigger_ts"),
-        )
-        .withWatermark("trigger_ts", watermark)
+    # watermark attached before the type filters — but note the sharp
+    # edge: Catalyst pushes the filters BELOW the watermark node, so
+    # each branch's watermark still only advances with its own event
+    # type.  If one type goes quiet, that branch's watermark stalls,
+    # join state stops expiring, and left-outer nulls are never
+    # finalized.  Production answers: heartbeat events per type, or
+    # spark.sql.streaming.noDataMicroBatches + separate sources.  The
+    # unit test keeps both types flowing, which is also the realistic
+    # shape of a busy event stream.
+    src = _as_event_time(events, ts_col).withWatermark(ts_col, watermark)
+    trig = src.filter(F.col("event_type") == trigger_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("trigger_id"),
+        F.col(ts_col).alias("trigger_ts"),
     )
-    out = (
-        src.filter(F.col("event_type") == outcome_type)
-        .select(
-            F.col("user_id").alias("__o_user__"),
-            F.col("event_id").alias("outcome_id"),
-            F.col(ts_col).alias("outcome_ts"),
-            F.col("value").alias("outcome_value"),
-        )
-        .withWatermark("outcome_ts", watermark)
+    out = src.filter(F.col("event_type") == outcome_type).select(
+        F.col("user_id").alias("__o_user__"),
+        F.col("event_id").alias("outcome_id"),
+        F.col(ts_col).alias("outcome_ts"),
+        F.col("value").alias("outcome_value"),
     )
     return (
         trig.join(
@@ -157,6 +166,7 @@ def attribution_join(
                 F.col("outcome_ts")
                 <= F.col("trigger_ts") + F.expr(f"INTERVAL {horizon}")
             ),
+            how,
         )
         .select(
             "user_id",

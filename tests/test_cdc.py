@@ -184,3 +184,78 @@ def test_cdc_merge_on_bucketed_tables_is_shuffle_free(spark, tmp_path):
         assert out[1] == "nv" and out[500] == str(500 % 7)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_attribution_left_outer_emits_unconverted_triggers(spark, tmp_path):
+    """Stream-stream LEFT OUTER: matched pairs emit immediately;
+    unmatched triggers emit with null outcome once the watermark
+    passes their horizon.  Batch mode = plain left join (equivalence
+    of the matched+unmatched multiset)."""
+    from pyspark.sql import functions as SF
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.streaming.events import (
+        attribution_join,
+    )
+
+    rows = [
+        # user 1: click then purchase inside the horizon
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0),
+        (2, "2024-01-01 00:20:00", 1, "purchase", 9.0),
+        # user 2: click with NO purchase — must surface as unconverted
+        (3, "2024-01-01 00:05:00", 2, "click", 0.0),
+    ]
+    # keep BOTH event types flowing: the type filters push below the
+    # watermark node, so each branch's watermark advances only with
+    # its own type (see attribution_join docstring)
+    late = [
+        (99, "2024-01-02 00:00:00", 9, "click", 0.0),
+        (98, "2024-01-02 00:00:01", 8, "purchase", 1.0),
+    ]
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+
+    def mk(df_rows):
+        return spark.createDataFrame(df_rows, schema).select(
+            "event_id", SF.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value",
+        )
+
+    # batch equivalence first
+    batch = attribution_join(mk(rows + late), how="left_outer")
+    got = {(r["trigger_id"], r["outcome_id"]) for r in batch.collect()}
+    assert {(1, 2), (3, None)} <= got  # late fillers add their own rows
+
+    # real stream
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    mk(rows).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(mk(rows).schema).parquet(src)
+    q = (
+        attribution_join(stream, how="left_outer")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mk(late).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # outer-null emission happens in a micro-batch AFTER the
+        # watermark advances, and a batch only runs when there is new
+        # data — feed one more far-future event to drive it
+        mk(
+            [
+                (100, "2024-01-03 00:00:00", 9, "click", 0.0),
+                (101, "2024-01-03 00:00:01", 8, "purchase", 1.0),
+            ]
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        (r["trigger_id"], r["outcome_id"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert (1, 2) in out
+    assert (3, None) in out  # unconverted trigger emitted post-watermark
