@@ -213,3 +213,114 @@ def chunk_audio(
             )
 
     return plan.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode for a stdlib-decodable format: 24-bit BMP.
+# PNG/JPEG stay behind DECODERS_AVAILABLE (no codecs in this
+# container), but the BMP path exercises the full contract — binary
+# payload in, struct-parsed pixels out — with zero dependencies, so
+# the multimodal pipeline has one end-to-end REAL decode.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, pixel_fn) -> bytes:
+    """Minimal 24-bpp bottom-up BMP writer (BITMAPINFOHEADER).
+
+    ``pixel_fn(x, y) -> (r, g, b)``; rows padded to 4 bytes per spec.
+    """
+    import struct
+
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    img_size = (row_raw + pad) * height
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            rows += bytes((b, g, r))  # BGR order
+        rows += b"\x00" * pad
+    return header + info + bytes(rows)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a 24-bpp BMP: dimensions + per-channel integer pixel sums.
+
+    Sums (not float means) so downstream aggregation stays exact; the
+    mean is one division at the end.  Raises ``ValueError`` on
+    non-BMP payloads — quarantine upstream, like the corrupt-record
+    reader does.
+    """
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    height_abs = abs(height)
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    sr = sg = sb = 0
+    for row in range(height_abs):
+        base = off + row * (row_raw + pad)
+        for x in range(width):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            sr += r
+            sg += g
+            sb += b
+    return {
+        "width": width,
+        "height": height_abs,
+        "sum_r": sr,
+        "sum_g": sg,
+        "sum_b": sb,
+    }
+
+
+BMP_STATS_SCHEMA = (
+    "media_id long, width long, height long, sum_r long, sum_g long, "
+    "sum_b long, decode_error string"
+)
+
+
+def decode_bmp_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Arrow-batched REAL decode: payload → dimensions + channel sums.
+
+    Malformed payloads produce a ``decode_error`` row instead of
+    failing the stage (dead-letter discipline); the batch contract is
+    identical to the stubbed PNG/JPEG kernels, so swapping in real
+    codecs later changes one function, not the plan.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    d = decode_bmp(bytes(payload))
+                    rows.append(
+                        (int(mid), d["width"], d["height"], d["sum_r"],
+                         d["sum_g"], d["sum_b"], None)
+                    )
+                except Exception as ex:  # noqa: BLE001
+                    rows.append((int(mid), None, None, None, None, None,
+                                 f"{type(ex).__name__}: {ex}"))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "sum_r", "sum_g", "sum_b",
+                    "decode_error",
+                ],
+            )
+
+    return media.select(id_col, "payload").mapInPandas(
+        kernel, BMP_STATS_SCHEMA
+    )

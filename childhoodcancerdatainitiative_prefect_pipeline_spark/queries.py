@@ -13626,3 +13626,69 @@ def stats_bootstrap_ci_query(spark, sf_dir):
             F.when(F.col("rn") <= 0.975 * F.col("nr"), F.col("mean_micro"))
         ).alias("ci_hi_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL multimodal decode, certified: constant-color BMPs synthesized
+# (stdlib encoder) and decoded (stdlib struct parser) inside Arrow
+# stages; the oracle predicts the channel sums in closed form
+# (w·h·color), so the binary encode→decode roundtrip hash-checks
+# against an independent analytical model.
+# ---------------------------------------------------------------------------
+
+_BMP_ORACLE = """SELECT o_orderkey AS media_id,
+       CAST(4 + o_orderkey % 5 AS BIGINT) AS width,
+       CAST(3 + o_orderkey % 4 AS BIGINT) AS height,
+       CAST((4 + o_orderkey % 5) * (3 + o_orderkey % 4)
+            * (o_orderkey * 7 % 256) AS BIGINT) AS sum_r,
+       CAST((4 + o_orderkey % 5) * (3 + o_orderkey % 4)
+            * (o_orderkey * 13 % 256) AS BIGINT) AS sum_g,
+       CAST((4 + o_orderkey % 5) * (3 + o_orderkey % 4)
+            * (o_orderkey * 29 % 256) AS BIGINT) AS sum_b,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM orders WHERE o_orderkey % 301 = 0"""
+
+
+@register(
+    "multimodal_bmp_decode",
+    _BMP_ORACLE,
+    "REAL image decode end-to-end (no codec libs — 24-bpp BMP via "
+    "stdlib struct): constant-color images synthesized per row in one "
+    "Arrow stage, decoded to dimensions + exact channel sums in "
+    "another; the oracle predicts the sums analytically (w·h·color), "
+    "certifying the binary encode→decode roundtrip.  PNG/JPEG swap "
+    "into the same kernel contract when codecs exist "
+    "(operators/multimodal.py::decode_bmp_stats)",
+)
+def multimodal_bmp_decode_query(spark, sf_dir):
+    from .operators.multimodal import decode_bmp_stats, encode_bmp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    meta = orders.filter(F.col("o_orderkey") % 301 == 0).select(
+        F.col("o_orderkey").alias("media_id"),
+        (4 + F.col("o_orderkey") % 5).cast("int").alias("w"),
+        (3 + F.col("o_orderkey") % 4).cast("int").alias("h"),
+        (F.col("o_orderkey") * 7 % 256).cast("int").alias("r"),
+        (F.col("o_orderkey") * 13 % 256).cast("int").alias("g"),
+        (F.col("o_orderkey") * 29 % 256).cast("int").alias("b"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                encode_bmp(
+                    int(w), int(h),
+                    lambda x, y, c=(int(r), int(g), int(b)): c,
+                )
+                for w, h, r, g, b in zip(
+                    pdf["w"], pdf["h"], pdf["r"], pdf["g"], pdf["b"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = meta.mapInPandas(synth, "media_id long, payload binary")
+    return decode_bmp_stats(media)

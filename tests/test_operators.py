@@ -2042,3 +2042,29 @@ def test_audio_chunking_covers_payload_with_overlap(spark):
         # stride < chunk => first two chunks share bytes
         if len(own) > 1:
             assert bytes(own[0].payload)[4:6] == bytes(own[1].payload)[:2]
+
+
+def test_bmp_encode_decode_roundtrip_and_quarantine(spark):
+    """Real (stdlib) BMP decode: gradient image roundtrips exactly,
+    padded row widths handled, corrupt payloads dead-letter."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        decode_bmp_stats,
+        encode_bmp,
+    )
+
+    # width 3 → raw row 9 bytes → 3 pad bytes per row: exercises padding
+    blob = encode_bmp(3, 2, lambda x, y: (x * 10, y * 20, 128))
+    d = decode_bmp(blob)
+    assert (d["width"], d["height"]) == (3, 2)
+    assert d["sum_r"] == sum(x * 10 for x in range(3)) * 2
+    assert d["sum_g"] == sum(y * 20 for y in range(2)) * 3
+    assert d["sum_b"] == 128 * 6
+
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"JUNKniltumps"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_bmp_stats(media).collect()}
+    assert rows[1]["decode_error"] is None and rows[1]["sum_b"] == 768
+    assert rows[2]["decode_error"] is not None  # quarantined, stage survives
