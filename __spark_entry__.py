@@ -182,6 +182,7 @@ _CERTIFY_FIRST = [
     "eval_calibration_bins",
     "stats_bootstrap_ci",
     "multimodal_bmp_decode",
+    "lineitem_mad_outliers",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

@@ -13692,3 +13692,92 @@ def multimodal_bmp_decode_query(spark, sf_dir):
 
     media = meta.mapInPandas(synth, "media_id long, payload binary")
     return decode_bmp_stats(media)
+
+
+# ---------------------------------------------------------------------------
+# MAD (median-absolute-deviation) outliers — the fully robust outlier
+# screen (median and MAD have 50% breakdown points; mean/stddev have
+# 0%).  Two grouped-weighted-median passes (weight 1), each via the
+# histogram-pruned declarative machinery — no per-group single-task
+# sort at any step.
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """WITH base AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price FROM lineitem),
+cum1 AS (
+  SELECT flag, price,
+         SUM(CAST(1 AS DECIMAL(18,4)))
+           OVER (PARTITION BY flag ORDER BY price) AS cw,
+         SUM(CAST(1 AS DECIMAL(18,4))) OVER (PARTITION BY flag) AS t
+  FROM base),
+med AS (
+  SELECT flag, MIN(price) AS m FROM cum1 WHERE 2 * cw >= t GROUP BY flag),
+dev AS (
+  SELECT b.flag, b.price, abs(b.price - med.m) AS d, med.m
+  FROM base b JOIN med USING (flag)),
+cum2 AS (
+  SELECT flag, d,
+         SUM(CAST(1 AS DECIMAL(18,4)))
+           OVER (PARTITION BY flag ORDER BY d) AS cw,
+         SUM(CAST(1 AS DECIMAL(18,4))) OVER (PARTITION BY flag) AS t
+  FROM dev),
+mad AS (
+  SELECT flag, MIN(d) AS mad FROM cum2 WHERE 2 * cw >= t GROUP BY flag)
+SELECT dev.flag AS l_returnflag,
+       ROUND(MIN(dev.m), 2) AS median_price,
+       ROUND(MIN(mad.mad), 2) AS mad_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN dev.d > 3 * mad.mad THEN 1 END) AS BIGINT)
+         AS n_outliers
+FROM dev JOIN mad USING (flag)
+GROUP BY dev.flag"""
+
+
+@register(
+    "lineitem_mad_outliers",
+    _MAD_ORACLE,
+    "MAD outlier screen: per-group exact median, then exact median of "
+    "absolute deviations, then |x−med| > 3·MAD counts — both medians "
+    "via the histogram-pruned grouped machinery (no per-group "
+    "single-task sort; the oracle's direct windows are the "
+    "serialized formulation).  50%-breakdown robustness vs the 0% of "
+    "z-scores",
+)
+def lineitem_mad_outliers_query(spark, sf_dir):
+    from .operators.quantiles import grouped_weighted_median
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    base = lineitem.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.lit(1.0).alias("one"),
+    )
+    med = grouped_weighted_median(base, "flag", "price", "one").select(
+        "flag", F.col("weighted_median").alias("m")
+    )
+    dev = base.join(F.broadcast(med), "flag").select(
+        "flag", "price", "m", F.abs(F.col("price") - F.col("m")).alias("d"),
+        F.lit(1.0).alias("one"),
+    )
+    mad = grouped_weighted_median(dev, "flag", "d", "one").select(
+        "flag", F.col("weighted_median").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "flag")
+        .groupBy("flag")
+        .agg(
+            F.round(F.min("m"), 2).alias("median_price"),
+            F.round(F.min("mad"), 2).alias("mad_price"),
+            F.count("*").alias("n_rows"),
+            F.count(
+                F.when(F.col("d") > 3 * F.col("mad"), True)
+            ).alias("n_outliers"),
+        )
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            "median_price",
+            "mad_price",
+            "n_rows",
+            "n_outliers",
+        )
+    )
