@@ -183,6 +183,7 @@ _CERTIFY_FIRST = [
     "stats_bootstrap_ci",
     "multimodal_bmp_decode",
     "lineitem_mad_outliers",
+    "sql_interface_top_orders",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

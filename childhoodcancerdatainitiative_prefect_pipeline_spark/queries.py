@@ -13781,3 +13781,44 @@ def lineitem_mad_outliers_query(spark, sf_dir):
             "n_outliers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface demo: ONE shared ANSI-SQL text runs verbatim through
+# spark.sql over the registered catalog views AND as the DuckDB
+# oracle — the engine's second query interface, certified by
+# construction.
+# ---------------------------------------------------------------------------
+
+_SHARED_SQL = """WITH seg AS (
+  SELECT c_mktsegment AS segment, c_nationkey AS nation,
+         o_totalprice AS price
+  FROM customer JOIN orders ON o_custkey = c_custkey),
+ranked AS (
+  SELECT segment, nation, price,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY price DESC, nation) AS rn,
+         COUNT(*) OVER (PARTITION BY segment) AS seg_n
+  FROM seg)
+SELECT segment,
+       CAST(MAX(seg_n) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_top,
+       CAST(SUM(CAST(price * 100 AS BIGINT)) AS BIGINT) AS top_cents
+FROM ranked WHERE rn <= 100
+GROUP BY segment"""
+
+
+@register(
+    "sql_interface_top_orders",
+    _SHARED_SQL,
+    "the SQL front door, certified by construction: ONE shared ANSI "
+    "CTE+window query text executes verbatim via spark.sql over the "
+    "registered catalog views AND as the DuckDB oracle — every view "
+    "the catalog registers is queryable through plain SQL with no "
+    "engine-specific rewrites",
+)
+def sql_interface_top_orders_query(spark, sf_dir):
+    load_testdata(
+        spark, sf_dir, tables=("customer", "orders"), register_views=True
+    )
+    return spark.sql(_SHARED_SQL)
