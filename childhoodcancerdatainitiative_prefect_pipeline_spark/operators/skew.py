@@ -41,7 +41,7 @@ def top_skewed_keys(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .withColumn("share", F.col("n_rows") / F.lit(float(total)))
         .filter(F.col("share") >= min_share)
-        .orderBy(F.desc("n_rows"))
+        .orderBy(F.desc("n_rows"), *keys)  # full tie-break: deterministic
         .limit(max_keys)
     )
 

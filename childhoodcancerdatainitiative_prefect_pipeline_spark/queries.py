@@ -13822,3 +13822,39 @@ def sql_interface_top_orders_query(spark, sf_dir):
         spark, sf_dir, tables=("customer", "orders"), register_views=True
     )
     return spark.sql(_SHARED_SQL)
+
+
+_SKEW_ORACLE = """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events),
+c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows FROM events
+  GROUP BY user_id)
+SELECT user_id, n_rows,
+       CAST(n_rows * 1000000 // total AS BIGINT) AS share_micro
+FROM c CROSS JOIN t
+WHERE n_rows * 1000 >= total
+ORDER BY n_rows DESC, user_id LIMIT 50"""
+
+
+@register(
+    "diagnostics_skew_keys",
+    _SKEW_ORACLE,
+    "join-key skew diagnosis (the input to salted_join's salting "
+    "decision, operators/skew.py): keys carrying >=0.1% of the table, "
+    "integer-micro shares, full tie-breaks — one aggregation pass; at "
+    "100 TB run it on a sample (heavy hitters survive sampling by "
+    "definition)",
+)
+def diagnostics_skew_keys_query(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    total = events.count()
+    c = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        c.filter(F.col("n_rows") * 1000 >= total)
+        .withColumn("__num__", F.col("n_rows") * F.lit(1000000).cast("long"))
+        .withColumn(
+            "share_micro", F.expr(f"__num__ div {total}").cast("long")
+        )
+        .drop("__num__")
+        .orderBy(F.desc("n_rows"), "user_id")
+        .limit(50)
+    )
