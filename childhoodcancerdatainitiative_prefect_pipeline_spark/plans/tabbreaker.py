@@ -26,7 +26,10 @@ built-ins (functions/ids.py), so breaking a node is shuffle-free —
 a 100 TB manifest breaks at scan speed with zero exchanges.
 
 ``surrogate="uuid5"`` (default) is bit-exact with the reference's
-``uuid.uuid5`` (golden vectors in tests).  ``surrogate="md5"`` swaps
+``uuid.uuid5`` (golden vectors in tests).  ``seed="ccdi-dcc",
+multi_value=True`` selects the DCC variant (src/dcc_tabbreaker.py:
+12-41): its own namespace, per-item minting of ``;``-delimited
+multi-values with whitespace trim, results re-joined by ``;``.  ``surrogate="md5"`` swaps
 in the v3-shaped md5 twin so the full composition is hash-checkable
 against a DuckDB oracle (DuckDB 1.0 has no ``sha1``); the two differ
 only in the hash primitive feeding the same bit surgery.
@@ -41,12 +44,27 @@ from pyspark.sql.column import Column
 from ..functions.ids import deterministic_guid_expr, uuid5_expr
 
 
-def _surrogate(name: Column, kind: str) -> Column:
+def _surrogate(name: Column, kind: str, seed: str) -> Column:
     if kind == "uuid5":
-        return uuid5_expr(name, seed="ccdi")
+        return uuid5_expr(name, seed=seed)
     if kind == "md5":
-        return deterministic_guid_expr(name, namespace="ccdi")
+        return deterministic_guid_expr(name, namespace=seed)
     raise ValueError(f"unknown surrogate kind {kind!r}")
+
+
+def _mint(
+    prefix: str, col: Column, kind: str, seed: str, multi_value: bool
+) -> Column:
+    """Mint a surrogate for one value — or, in the DCC variant
+    (src/dcc_tabbreaker.py:18-41), for EACH ``;``-delimited item
+    (trimmed) with the results re-joined by ``;``."""
+    if not multi_value:
+        return _surrogate(F.concat(F.lit(prefix), col), kind, seed)
+    minted = F.transform(
+        F.split(col, ";"),
+        lambda p: _surrogate(F.concat(F.lit(prefix), F.trim(p)), kind, seed),
+    )
+    return F.when(col.isNotNull(), F.array_join(minted, ";"))
 
 
 def break_node(
@@ -55,6 +73,8 @@ def break_node(
     study_id: str,
     key_prop: str,
     surrogate: str = "uuid5",
+    seed: str = "ccdi",
+    multi_value: bool = False,
 ) -> DataFrame:
     """One node sheet → loader frame (src/s3_ccdi_to_tabbreakery.py:90-125).
 
@@ -79,13 +99,15 @@ def break_node(
         # null id, matching the reference's pd.isna passthrough
         # (s3_ccdi_to_tabbreakery.py:35-36)
         if c == key_prop:
-            name = F.concat(F.lit(f"{study_id}::{node}::"), F.col(f"`{c}`"))
-            minted["id"] = _surrogate(name, surrogate).alias("id")
+            minted["id"] = _mint(
+                f"{study_id}::{node}::", F.col(f"`{c}`"), surrogate, seed,
+                multi_value,
+            ).alias("id")
         elif dotted and not c.endswith(".id"):
-            name = F.concat(F.lit(f"{study_id}::{parent}::"), F.col(f"`{c}`"))
-            minted[f"{parent}.id"] = _surrogate(name, surrogate).alias(
-                f"{parent}.id"
-            )
+            minted[f"{parent}.id"] = _mint(
+                f"{study_id}::{parent}::", F.col(f"`{c}`"), surrogate, seed,
+                multi_value,
+            ).alias(f"{parent}.id")
     return sheet.select(*passthrough, *minted.values())
 
 
@@ -116,6 +138,8 @@ def tabbreaker(
     keys: dict[str, str],
     surrogate: str = "uuid5",
     prune_empty: bool = True,
+    seed: str = "ccdi",
+    multi_value: bool = False,
 ) -> dict[str, DataFrame]:
     """Workbook → {node: loader frame}, pruned per the reference rules.
 
@@ -124,7 +148,9 @@ def tabbreaker(
     (S5) — composition mirrors s3_ccdi_to_tabbreakery.py:136-155.
     """
     broken = {
-        node: break_node(df, node, study_id, keys[node], surrogate)
+        node: break_node(
+            df, node, study_id, keys[node], surrogate, seed, multi_value
+        )
         for node, df in sheets.items()
     }
     if not prune_empty:

@@ -108,3 +108,29 @@ def test_two_links_to_same_parent_last_write_wins(spark):
     ns = uuid5_namespace("ccdi")
     got = out.collect()[0]["participant.id"]
     assert got == str(uuid.uuid5(ns, "phs1::participant::PCT_B"))
+
+
+def test_dcc_variant_multivalue_mint(spark):
+    """DCC TabBreaker (src/dcc_tabbreaker.py:12-41): ccdi-dcc
+    namespace, per-item mint of ';'-delimited values with trim,
+    rejoined by ';' — bit-exact with the reference's get_dcc_uuid."""
+    sheet = spark.createDataFrame(
+        [("S1", "PCT_A; PCT_B"), ("S2", "PCT_C")],
+        "sample_id string, `participant.participant_id` string",
+    )
+    out = break_node(
+        sheet, "sample", "phs9", "sample_id",
+        seed="ccdi-dcc", multi_value=True,
+    )
+    rows = {r["sample_id"]: r for r in out.collect()}
+    ns = uuid5_namespace("ccdi-dcc")
+
+    def ref(vals):
+        return ";".join(
+            str(uuid.uuid5(ns, f"phs9::participant::{v.strip()}"))
+            for v in vals.split(";")
+        )
+
+    assert rows["S1"]["participant.id"] == ref("PCT_A; PCT_B")
+    assert rows["S2"]["participant.id"] == ref("PCT_C")
+    assert rows["S1"]["id"] == str(uuid.uuid5(ns, "phs9::sample::S1"))
