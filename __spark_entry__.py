@@ -185,6 +185,7 @@ _CERTIFY_FIRST = [
     "lineitem_mad_outliers",
     "sql_interface_top_orders",
     "diagnostics_skew_keys",
+    "text_blocklist_screen",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

@@ -13858,3 +13858,72 @@ def diagnostics_skew_keys_query(spark, sf_dir):
         .orderBy(F.desc("n_rows"), "user_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-safety blocklist screen with obfuscation folding: leet-speak
+# characters fold to letters (translate — one row-local pass), then
+# word-boundary regex counts per blocklist term.  The safety-filter
+# step of a curation pipeline, deterministic and cross-engine (RE2 and
+# java regex agree on \b for ASCII).
+# ---------------------------------------------------------------------------
+
+_BLOCK_TERMS = ("spam", "scam", "fraud", "fake", "stream")
+
+_BLOCKLIST_ORACLE = r"""WITH folded AS (
+  SELECT doc_id,
+         translate(lower(text), '013457@$', 'oleastas') AS t
+  FROM documents),
+hits AS (
+  SELECT doc_id,
+""" + ",\n".join(
+    f"         CAST(len(regexp_extract_all(t, '\\b{term}\\b')) AS BIGINT)"
+    f" AS h_{term}"
+    for term in _BLOCK_TERMS
+) + r"""
+  FROM folded)
+SELECT doc_id,
+       """ + " + ".join(f"h_{t}" for t in _BLOCK_TERMS) + r""" AS n_hits,
+       concat_ws(';', """ + ", ".join(
+    f"CASE WHEN h_{t} > 0 THEN '{t}' END" for t in _BLOCK_TERMS
+) + r""") AS matched_terms,
+       (""" + " + ".join(f"h_{t}" for t in _BLOCK_TERMS) + r""") > 0 AS flagged
+FROM hits"""
+
+
+@register(
+    "text_blocklist_screen",
+    _BLOCKLIST_ORACLE,
+    "content-safety blocklist screen: leet-speak obfuscation folds via "
+    "one translate pass (0→o, 1→l, 3→e, 4→a, 5→s, 7→t, @→a, $→s), then "
+    "word-boundary regex counts per term — per-doc hit totals, matched "
+    "term list, and the keep/flag decision; all row-local, one scan",
+)
+def text_blocklist_screen_query(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    folded = F.translate(F.lower(F.col("text")), "013457@$", "oleastas")
+    staged = documents.select("doc_id", folded.alias("t"))
+    hit_cols = [
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(rf"\b{term}\b"), 0))
+        .cast("long")
+        .alias(f"h_{term}")
+        for term in _BLOCK_TERMS
+    ]
+    h = staged.select("doc_id", *hit_cols)
+    total = None
+    for term in _BLOCK_TERMS:
+        c = F.col(f"h_{term}")
+        total = c if total is None else total + c
+    matched = F.concat_ws(
+        ";",
+        *[
+            F.when(F.col(f"h_{t}") > 0, F.lit(t))
+            for t in _BLOCK_TERMS
+        ],
+    )
+    return h.select(
+        "doc_id",
+        total.alias("n_hits"),
+        matched.alias("matched_terms"),
+        (total > 0).alias("flagged"),
+    )
