@@ -186,6 +186,8 @@ _CERTIFY_FIRST = [
     "sql_interface_top_orders",
     "diagnostics_skew_keys",
     "text_blocklist_screen",
+    "corpus_truncation_loss",
+    "corpus_training_manifest",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

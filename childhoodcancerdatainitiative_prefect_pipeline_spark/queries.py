@@ -13927,3 +13927,124 @@ def text_blocklist_screen_query(spark, sf_dir):
         matched.alias("matched_terms"),
         (total > 0).alias("flagged"),
     )
+
+
+_TRUNC_ORACLE = r"""WITH t AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+  FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN n > 128 THEN n - 128 ELSE 0 END) AS BIGINT)
+         AS truncated_tokens,
+       CAST(COUNT(CASE WHEN n > 128 THEN 1 END) AS BIGINT)
+         AS n_docs_truncated
+FROM t GROUP BY source"""
+
+
+@register(
+    "corpus_truncation_loss",
+    _TRUNC_ORACLE,
+    "context-length planning: per source, how many tokens a max_len "
+    "cutoff of 128 would discard and how many docs it touches — the "
+    "metric that decides sequence length vs the chunking pipeline "
+    "(corpus_chunk_sliding is the no-loss alternative); one "
+    "map-side-combined aggregation",
+)
+def corpus_truncation_loss_query(spark, sf_dir):
+    from .operators.text import token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = documents.select(
+        "source", token_count("text").cast("long").alias("n")
+    )
+    over = F.when(F.col("n") > 128, F.col("n") - 128).otherwise(0)
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.sum(over).alias("truncated_tokens"),
+        F.count(F.when(F.col("n") > 128, True)).alias("n_docs_truncated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The end-to-end training-data manifest: one frame per document with
+# every curation decision — language, token budget, safety flag,
+# dup-cluster canonicality, leakage-safe split, and the final keep
+# verdict.  Both sides COMPOSE already-certified pieces: the Spark
+# side joins the registered queries' own DataFrames; the oracle embeds
+# the same queries' oracle SQL as CTEs.  This is the query a user of
+# the engine actually ships.
+# ---------------------------------------------------------------------------
+
+
+def _manifest_oracle() -> str:
+    lang = REGISTRY["text_lang_id"].oracle
+    blk = REGISTRY["text_blocklist_screen"].oracle
+    spl = REGISTRY["corpus_split_leakage_safe"].oracle
+    return rf"""WITH lang AS ({lang}),
+blk AS ({blk}),
+spl AS ({spl}),
+toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT t.doc_id, t.source, l.lang_pred, t.n_tokens,
+       b.flagged, s.cluster_id,
+       (s.cluster_id = t.doc_id) AS is_canonical,
+       s.split,
+       (t.n_tokens BETWEEN 5 AND 5000
+        AND NOT b.flagged
+        AND s.cluster_id = t.doc_id) AS keep
+FROM toks t
+JOIN lang l ON l.doc_id = t.doc_id
+JOIN blk b ON b.doc_id = t.doc_id
+JOIN spl s ON s.doc_id = t.doc_id"""
+
+
+@register(
+    "corpus_training_manifest",
+    _manifest_oracle(),
+    "THE end-to-end curation deliverable: per document — predicted "
+    "language, token count, safety flag, dup-cluster id and "
+    "canonicality, leakage-safe split, and the final keep verdict — "
+    "composed by JOINING the registered certified queries (Spark side) "
+    "while the oracle embeds the same queries' oracle SQL as CTEs: "
+    "certified pieces compose into a certified pipeline",
+)
+def corpus_training_manifest_query(spark, sf_dir):
+    from .operators.text import token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    lang = REGISTRY["text_lang_id"].fn(spark, sf_dir).select(
+        "doc_id", "lang_pred"
+    )
+    blk = REGISTRY["text_blocklist_screen"].fn(spark, sf_dir).select(
+        "doc_id", "flagged"
+    )
+    spl = REGISTRY["corpus_split_leakage_safe"].fn(spark, sf_dir)
+    keep = (
+        F.col("n_tokens").between(5, 5000)
+        & ~F.col("flagged")
+        & (F.col("cluster_id") == F.col("doc_id"))
+    )
+    return (
+        toks.join(lang, "doc_id")
+        .join(blk, "doc_id")
+        .join(spl, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "lang_pred",
+            "n_tokens",
+            "flagged",
+            "cluster_id",
+            (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+            "split",
+            keep.alias("keep"),
+        )
+    )
