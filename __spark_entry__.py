@@ -188,6 +188,7 @@ _CERTIFY_FIRST = [
     "text_blocklist_screen",
     "corpus_truncation_loss",
     "corpus_training_manifest",
+    "eval_retrieval_mrr",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

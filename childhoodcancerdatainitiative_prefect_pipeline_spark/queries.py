@@ -14048,3 +14048,101 @@ def corpus_training_manifest_query(spark, sf_dir):
             keep.alias("keep"),
         )
     )
+
+
+_MRR_ORACLE = """WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qnrm
+      FROM n WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, q.qlabel, n.vec_id, n.label,
+         ROUND(list_inner_product(n.v, q.qv) / (n.nrm * q.qnrm), 6)
+           AS sim
+  FROM q JOIN n ON n.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, qlabel, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rnk
+  FROM scored),
+firsts AS (
+  SELECT query_id, MIN(rnk) AS first_rel
+  FROM ranked WHERE label = qlabel GROUP BY query_id),
+per_q AS (
+  SELECT q.query_id,
+         coalesce(f.first_rel, 0) AS first_rel,
+         CASE WHEN f.first_rel IS NOT NULL AND f.first_rel <= 10
+              THEN 1 ELSE 0 END AS hit10
+  FROM q LEFT JOIN firsts f USING (query_id))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN first_rel > 0
+                     THEN 1000000 // first_rel ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS mrr_micro,
+       CAST(SUM(hit10) * 1000000 // COUNT(*) AS BIGINT) AS recall10_micro
+FROM per_q"""
+
+
+@register(
+    "eval_retrieval_mrr",
+    _MRR_ORACLE,
+    "retrieval evaluation in-engine: MRR and recall@10 of exact-cosine "
+    "ranking against same-label relevance — reciprocal ranks as "
+    "integer micro-units (1e6 // rank) so the mean is "
+    "order-independent; 20 queries broadcast, one corpus scan, "
+    "per-query rank windows.  The eval loop for embedding-space "
+    "quality, next to the ANN recall pins",
+)
+def eval_retrieval_mrr_query(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.similarity import cosine
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    n = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = n.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = n.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "qlabel",
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    firsts = (
+        ranked.filter(F.col("label") == F.col("qlabel"))
+        .groupBy("query_id")
+        .agg(F.min("rnk").alias("first_rel"))
+    )
+    per_q = q.select("query_id").join(firsts, "query_id", "left").select(
+        F.coalesce("first_rel", F.lit(0)).alias("first_rel"),
+        F.when(
+            F.col("first_rel").isNotNull() & (F.col("first_rel") <= 10), 1
+        )
+        .otherwise(0)
+        .alias("hit10"),
+    )
+    rr = F.when(
+        F.col("first_rel") > 0,
+        F.expr("1000000 div first_rel"),
+    ).otherwise(F.lit(0))
+    agg = per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.sum(rr).alias("sum_rr"),
+        F.sum("hit10").alias("sum_hit"),
+    )
+    return agg.select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.expr("sum_rr div n_queries").cast("long").alias("mrr_micro"),
+        F.expr("(sum_hit * 1000000) div n_queries")
+        .cast("long")
+        .alias("recall10_micro"),
+    )
