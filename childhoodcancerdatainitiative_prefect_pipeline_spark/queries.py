@@ -14093,8 +14093,6 @@ FROM per_q"""
     "quality, next to the ANN recall pins",
 )
 def eval_retrieval_mrr_query(spark, sf_dir):
-    from pyspark.sql import Window
-
     from .operators.similarity import cosine
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
@@ -14115,12 +14113,37 @@ def eval_retrieval_mrr_query(spark, sf_dir):
         "label",
         F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
-    ranked = scored.withColumn("rnk", F.row_number().over(w))
-    firsts = (
-        ranked.filter(F.col("label") == F.col("qlabel"))
+    # no per-query window (20 partitions would rank the WHOLE corpus
+    # through 20 tasks): the first relevant rank is 1 + the number of
+    # items ordered before the BEST relevant item — two aggregations,
+    # both map-side combinable
+    best_rel = (
+        scored.filter(F.col("label") == F.col("qlabel"))
         .groupBy("query_id")
-        .agg(F.min("rnk").alias("first_rel"))
+        .agg(
+            F.max(F.struct(F.col("sim"), (-F.col("vec_id")).alias("nv")))
+            .alias("b")
+        )
+        .select(
+            "query_id",
+            F.col("b.sim").alias("bsim"),
+            (-F.col("b.nv")).alias("bvec"),
+        )
+    )
+    preds = (
+        scored.join(F.broadcast(best_rel), "query_id")
+        .filter(
+            (F.col("sim") > F.col("bsim"))
+            | ((F.col("sim") == F.col("bsim")) & (F.col("vec_id") < F.col("bvec")))
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_before"))
+    )
+    # LEFT join from best_rel: a best-relevant with zero predecessors
+    # is rank 1 and has no preds row at all
+    firsts = best_rel.join(preds, "query_id", "left").select(
+        "query_id",
+        (F.coalesce("n_before", F.lit(0)) + 1).alias("first_rel"),
     )
     per_q = q.select("query_id").join(firsts, "query_id", "left").select(
         F.coalesce("first_rel", F.lit(0)).alias("first_rel"),
