@@ -482,3 +482,48 @@ def read_latest_snapshot(spark, base_path: str, below: int | None = None):
     if best < 0:
         return None
     return spark.read.parquet(f"{base_path}/batch_id={best}")
+
+
+def vacuum_snapshots(spark, base_path: str, keep_last: int = 2) -> list[int]:
+    """Retire old ``batch_id=N`` snapshot dirs, keeping ``keep_last``
+    complete ones — the VACUUM half of the snapshot store's lifecycle.
+
+    Only COMPLETE (``_SUCCESS``-marked) snapshots count toward
+    ``keep_last``, and incomplete dirs older than the newest kept
+    snapshot are removed too (crash debris).  Listing and deletion go
+    through the Hadoop FileSystem API, so any scheme works.  Returns
+    the deleted batch ids.
+    """
+    import re
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = path.getFileSystem(hconf)
+    if not fs.exists(path):
+        return []
+    complete, incomplete = [], []
+    for status in fs.listStatus(path):
+        if not status.isDirectory():
+            continue
+        m = re.fullmatch(r"batch_id=(\d+)", status.getPath().getName())
+        if not m:
+            continue
+        n = int(m.group(1))
+        ok = fs.exists(
+            jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
+        )
+        (complete if ok else incomplete).append((n, status.getPath()))
+    complete.sort()
+    keep_ids = {n for n, _ in complete[-keep_last:]}
+    newest_kept = max(keep_ids) if keep_ids else -1
+    deleted = []
+    for n, p in complete:
+        if n not in keep_ids:
+            fs.delete(p, True)
+            deleted.append(n)
+    for n, p in incomplete:
+        if n < newest_kept:
+            fs.delete(p, True)
+            deleted.append(n)
+    return sorted(deleted)

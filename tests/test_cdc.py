@@ -259,3 +259,25 @@ def test_attribution_left_outer_emits_unconverted_triggers(spark, tmp_path):
     }
     assert (1, 2) in out
     assert (3, None) in out  # unconverted trigger emitted post-watermark
+
+
+def test_vacuum_snapshots_keeps_complete_recent(spark, tmp_path):
+    import os
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.streaming.events import (
+        read_latest_snapshot,
+        vacuum_snapshots,
+    )
+
+    snap = str(tmp_path / "snap")
+    for n in (0, 1, 2, 3):
+        spark.createDataFrame([(n, "v")], "k long, v string").write.mode(
+            "overwrite"
+        ).parquet(f"{snap}/batch_id={n}")
+    # batch 4: incomplete (no _SUCCESS) crash debris
+    os.makedirs(f"{snap}/batch_id=4")
+    deleted = vacuum_snapshots(spark, snap, keep_last=2)
+    assert deleted == [0, 1]  # 2,3 kept; 4 newer than newest kept → left
+    assert read_latest_snapshot(spark, snap).collect()[0]["k"] == 3
+    remaining = sorted(os.listdir(snap))
+    assert remaining == ["batch_id=2", "batch_id=3", "batch_id=4"]
