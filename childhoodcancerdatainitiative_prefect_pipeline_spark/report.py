@@ -65,3 +65,54 @@ def transpose_small(df: DataFrame, header_col: str | None = None) -> DataFrame:
     out.columns = [str(c) for c in out.columns]
     spark = df.sparkSession
     return spark.createDataFrame(out.astype(str))
+
+
+def dataset_card(manifest: DataFrame) -> str:
+    """Render a dataset card from a training manifest
+    (``queries.corpus_training_manifest`` schema: doc_id, source,
+    lang_pred, n_tokens, flagged, cluster_id, is_canonical, split,
+    keep).
+
+    ONE aggregation pass computes every section's numbers (conditional
+    aggregates — the manifest is scanned once, not per section); the
+    tiny per-source / per-language / per-split frames render as
+    markdown tables.  This is the publishable artifact at the end of
+    the curation pipeline — the documentation half of dataset
+    governance.
+    """
+    from pyspark.sql import functions as F
+
+    totals = manifest.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.count(F.when(F.col("keep"), True)).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens"))).alias("kept_tokens"),
+        F.count(F.when(F.col("flagged"), True)).alias("n_flagged"),
+        F.count(F.when(~F.col("is_canonical"), True)).alias("n_dupes"),
+    ).collect()[0]
+    by = {
+        name: manifest.groupBy(col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.count(F.when(F.col("keep"), True)).alias("n_kept"),
+        )
+        .orderBy(col)
+        for name, col in (
+            ("Sources", "source"),
+            ("Languages (predicted)", "lang_pred"),
+            ("Splits", "split"),
+        )
+    }
+    lines = [
+        "# Dataset card",
+        "",
+        f"- documents: {totals.n_docs} ({totals.n_kept} kept)",
+        f"- tokens: {totals.n_tokens} ({totals.kept_tokens} kept)",
+        f"- safety-flagged: {totals.n_flagged}",
+        f"- non-canonical duplicates: {totals.n_dupes}",
+        "",
+    ]
+    for name, df in by.items():
+        lines += [f"## {name}", "", to_markdown_summary(df), ""]
+    return "\n".join(lines)

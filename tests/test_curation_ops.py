@@ -114,3 +114,22 @@ def test_flag_risky_rows_matches_null_quasi_identifiers(spark):
     rows = flagged.filter(F.col("q1").isNull()).collect()
     assert len(rows) == 2
     assert all(r["at_risk_k"] is True for r in rows)  # n=2 < 5, matched
+
+
+def test_dataset_card_renders_from_manifest(spark, sf_dir):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.queries import (
+        REGISTRY,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.report import (
+        dataset_card,
+    )
+
+    manifest = REGISTRY["corpus_training_manifest"].fn(spark, sf_dir)
+    card = dataset_card(manifest)
+    assert card.startswith("# Dataset card")
+    for section in ("## Sources", "## Languages (predicted)", "## Splits"):
+        assert section in card
+    assert "| split | n_docs | n_tokens | n_kept |" in card
+    # kept counts must be internally consistent with the manifest
+    kept = manifest.filter("keep").count()
+    assert f"({kept} kept)" in card
