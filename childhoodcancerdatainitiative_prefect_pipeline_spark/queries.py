@@ -14169,3 +14169,73 @@ def eval_retrieval_mrr_query(spark, sf_dir):
         .cast("long")
         .alias("recall10_micro"),
     )
+
+
+_LTV_ORACLE = """WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type, value FROM events),
+firsts AS (
+  SELECT user_id, MIN(us) AS first_us FROM ev GROUP BY user_id),
+cohorted AS (
+  SELECT e.user_id,
+         CAST(f.first_us // 86400000000 AS BIGINT) AS cohort_day,
+         CAST((e.us - f.first_us) // 604800000000 AS BIGINT) AS week_offset,
+         CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+  FROM ev e JOIN firsts f USING (user_id)
+  WHERE e.event_type = 'purchase'),
+wk AS (
+  SELECT cohort_day, week_offset,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS buyers
+  FROM cohorted GROUP BY cohort_day, week_offset),
+cum AS (
+  SELECT cohort_day, week_offset, revenue_cents, buyers,
+         CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_day
+                                       ORDER BY week_offset) AS BIGINT)
+           AS cum_revenue_cents
+  FROM wk)
+SELECT * FROM cum"""
+
+
+@register(
+    "events_ltv_cohorts",
+    _LTV_ORACLE,
+    "lifetime-value cohort curves: users cohorted by first-seen day, "
+    "purchase revenue accumulated per cohort week — integer cents "
+    "end-to-end, and the cumulative window runs over the tiny "
+    "(cohort, week) grid, never the event stream",
+)
+def events_ltv_cohorts_query(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    ev = events.select(
+        "user_id", us.alias("us"), "event_type", "value"
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("us").alias("first_us"))
+    cohorted = (
+        ev.join(firsts, "user_id")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr("first_us div 86400000000").cast("long").alias("cohort_day"),
+            F.expr("(us - first_us) div 604800000000")
+            .cast("long")
+            .alias("week_offset"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    wk = cohorted.groupBy("cohort_day", "week_offset").agg(
+        F.sum("cents").alias("revenue_cents"),
+        F.countDistinct("user_id").alias("buyers"),
+    )
+    w = Window.partitionBy("cohort_day").orderBy("week_offset")
+    return wk.select(
+        "cohort_day",
+        "week_offset",
+        "revenue_cents",
+        "buyers",
+        F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
+    )
