@@ -190,6 +190,7 @@ _CERTIFY_FIRST = [
     "corpus_training_manifest",
     "eval_retrieval_mrr",
     "events_ltv_cohorts",
+    "text_readability_flesch",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

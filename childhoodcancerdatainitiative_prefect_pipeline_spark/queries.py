@@ -14239,3 +14239,54 @@ def events_ltv_cohorts_query(spark, sf_dir):
         "buyers",
         F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
     )
+
+
+_READABILITY_ORACLE = r"""WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+')) AS BIGINT)
+           AS n_words,
+         CAST(len(regexp_extract_all(lower(trim(text)),
+                                     '\.|!|\?')) AS BIGINT) AS n_sents,
+         CAST(len(regexp_extract_all(lower(trim(text)), '[aeiouy]+'))
+              AS BIGINT) AS n_syll
+  FROM documents)
+SELECT doc_id, n_words, GREATEST(n_sents, 1) AS n_sents, n_syll,
+       CAST(206835 - 1015 * (n_words * 1000 // GREATEST(n_sents, 1)) // 1000
+                   - 84600 * (n_syll * 1000 // GREATEST(n_words, 1)) // 1000
+            AS BIGINT) AS flesch_milli
+FROM t"""
+
+
+@register(
+    "text_readability_flesch",
+    _READABILITY_ORACLE,
+    "Flesch reading-ease per document with vowel-run syllable "
+    "estimation — the classic readability screen, computed entirely in "
+    "scaled integers (milli-units, integral division) so the score is "
+    "order-independent and hash-certified; row-local, one scan",
+)
+def text_readability_flesch_query(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    low = F.lower(F.trim(F.col("text")))
+    n_words = F.size(F.regexp_extract_all(low, F.lit(r"[a-z]+"), 0)).cast("long")
+    n_sents = F.size(F.regexp_extract_all(low, F.lit(r"\.|!|\?"), 0)).cast("long")
+    n_syll = F.size(F.regexp_extract_all(low, F.lit(r"[aeiouy]+"), 0)).cast("long")
+    t = documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.greatest(n_sents, F.lit(1)).alias("n_sents"),
+        n_syll.alias("n_syll"),
+    )
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        F.expr(
+            "206835"
+            " - (1015 * ((n_words * 1000) div n_sents)) div 1000"
+            " - (84600 * ((n_syll * 1000) div greatest(n_words, 1))) div 1000"
+        )
+        .cast("long")
+        .alias("flesch_milli"),
+    )
