@@ -191,6 +191,7 @@ _CERTIFY_FIRST = [
     "eval_retrieval_mrr",
     "events_ltv_cohorts",
     "text_readability_flesch",
+    "orders_wow_growth",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

@@ -14290,3 +14290,70 @@ def text_readability_flesch_query(spark, sf_dir):
         .cast("long")
         .alias("flesch_milli"),
     )
+
+
+_WOW_ORACLE = """WITH wk AS (
+  SELECT CAST(epoch_us(o_orderdate) // 604800000000 AS BIGINT) AS week,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1),
+lagged AS (
+  SELECT week, revenue_cents, n_orders,
+         LAG(revenue_cents) OVER (ORDER BY week) AS prev_cents
+  FROM wk)
+SELECT week, revenue_cents, n_orders,
+       CASE WHEN prev_cents IS NOT NULL AND prev_cents <> 0
+            THEN CAST((revenue_cents - prev_cents) * 1000000 // prev_cents
+                      AS BIGINT)
+       END AS wow_growth_micro
+FROM lagged"""
+
+
+@register(
+    "orders_wow_growth",
+    _WOW_ORACLE,
+    "week-over-week revenue growth: the stream aggregates to the "
+    "weekly grid first (integer cents, map-side combinable), then lag "
+    "and the growth ratio run over that tiny frame — integral-division "
+    "micros, the dashboard time-series primitive",
+)
+def orders_wow_growth_query(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " o_orderdate)"
+    )
+    wk = orders.select(
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " o_orderdate) div 604800000000"
+        )
+        .cast("long")
+        .alias("week"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).groupBy("week").agg(
+        F.sum("cents").alias("revenue_cents"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("week")
+    lagged = wk.withColumn(
+        "prev_cents", F.lag("revenue_cents").over(w)
+    ).withColumn(
+        "__diff__",
+        (F.col("revenue_cents") - F.col("prev_cents"))
+        * F.lit(1000000).cast("long"),
+    )
+    return lagged.select(
+        "week",
+        "revenue_cents",
+        "n_orders",
+        F.when(
+            F.col("prev_cents").isNotNull() & (F.col("prev_cents") != 0),
+            F.expr("__diff__ div prev_cents"),
+        )
+        .cast("long")
+        .alias("wow_growth_micro"),
+    )
