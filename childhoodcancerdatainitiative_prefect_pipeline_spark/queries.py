@@ -12940,7 +12940,9 @@ def corpus_split_leakage_safe_query(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
     h = documents.select(
         "doc_id",
-        F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8")).alias("grp"),
+        F.md5(
+            F.encode(F.substring(F.lower(F.trim(F.col("text"))), 1, 40), "UTF-8")
+        ).alias("grp"),
     )
     cl = h.withColumn(
         "cluster_id", F.min("doc_id").over(Window.partitionBy("grp"))
@@ -14357,3 +14359,54 @@ def orders_wow_growth_query(spark, sf_dir):
         .cast("long")
         .alias("wow_growth_micro"),
     )
+
+
+_XSOURCE_ORACLE = """WITH h AS (
+  SELECT doc_id, source,
+         md5(substr(lower(trim(text)), 1, 40)) AS grp
+  FROM documents),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+  FROM h a JOIN h b ON a.grp = b.grp AND a.doc_id < b.doc_id
+  GROUP BY a.source, b.source)
+SELECT LEAST(source_a, source_b) AS source_x,
+       GREATEST(source_a, source_b) AS source_y,
+       CAST(SUM(n_dup_pairs) AS BIGINT) AS n_dup_pairs
+FROM pairs GROUP BY 1, 2"""
+
+
+@register(
+    "dedup_cross_source_matrix",
+    _XSOURCE_ORACLE,
+    "who copies whom: duplicate-pair counts between every source pair "
+    "(unordered) keyed on the 40-char prefix fingerprint — the "
+    "vendor-contamination forensic that decides which feed to drop.  "
+    "The self-join runs on hash groups (tiny fan-out per group), "
+    "never on content; swap in the full-text or MinHash key for "
+    "stricter/looser notions of duplicate",
+)
+def dedup_cross_source_matrix_query(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    h = documents.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.encode(F.substring(F.lower(F.trim(F.col("text"))), 1, 40), "UTF-8")
+        ).alias("grp"),
+    )
+    a = h.select(F.col("grp"), F.col("doc_id").alias("ida"),
+                 F.col("source").alias("source_a"))
+    b = h.select(F.col("grp"), F.col("doc_id").alias("idb"),
+                 F.col("source").alias("source_b"))
+    pairs = (
+        a.join(b, "grp")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.least("source_a", "source_b").alias("source_x"),
+            F.greatest("source_a", "source_b").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count("*").alias("n_dup_pairs"))
+    )
+    return pairs
