@@ -14410,3 +14410,64 @@ def dedup_cross_source_matrix_query(spark, sf_dir):
         .agg(F.count("*").alias("n_dup_pairs"))
     )
     return pairs
+
+
+_WOE_ORACLE = """WITH t AS (
+  SELECT o_orderpriority AS cat,
+         CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+  FROM orders),
+c AS (
+  SELECT cat,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+  FROM t GROUP BY cat),
+tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS tp, CAST(SUM(neg) AS BIGINT) AS tn,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM c)
+SELECT cat, pos, neg,
+       CAST(ROUND(ln(((pos + 1.0) * (tn + k)) / ((neg + 1.0) * (tp + k)))
+                  * 1000000) AS BIGINT) AS woe_micro,
+       CAST(ROUND(((pos + 1.0) / (tp + k) - (neg + 1.0) / (tn + k))
+                  * ln(((pos + 1.0) * (tn + k)) / ((neg + 1.0) * (tp + k)))
+                  * 1000000000) AS BIGINT) AS iv_contrib_nano
+FROM c CROSS JOIN tot"""
+
+
+@register(
+    "features_woe_iv",
+    _WOE_ORACLE,
+    "weight-of-evidence + information-value feature screening "
+    "(credit-scoring classic, add-1 smoothed): per-category WOE in "
+    "int64 micros and IV contributions in nanos — one "
+    "map-side-combined count pass, broadcast totals; ranks categorical "
+    "features before encoding, next to target encoding and PSI",
+)
+def features_woe_iv_query(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    t = orders.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("y"),
+    )
+    c = t.groupBy("cat").agg(
+        F.sum("y").alias("pos"),
+        (F.count("*") - F.sum("y")).alias("neg"),
+    )
+    tot = c.agg(
+        F.sum("pos").alias("tp"), F.sum("neg").alias("tn"),
+        F.count("*").alias("k"),
+    )
+    woe = F.log(
+        ((F.col("pos") + 1.0) * (F.col("tn") + F.col("k")))
+        / ((F.col("neg") + 1.0) * (F.col("tp") + F.col("k")))
+    )
+    ivc = (
+        (F.col("pos") + 1.0) / (F.col("tp") + F.col("k"))
+        - (F.col("neg") + 1.0) / (F.col("tn") + F.col("k"))
+    ) * woe
+    return c.crossJoin(F.broadcast(tot)).select(
+        "cat",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("neg").cast("long").alias("neg"),
+        F.round(woe * 1000000).cast("long").alias("woe_micro"),
+        F.round(ivc * 1000000000).cast("long").alias("iv_contrib_nano"),
+    )
