@@ -12918,8 +12918,11 @@ assigned AS (
            ::BIGINT AS hv
   FROM cl)
 SELECT doc_id, cluster_id,
-       CASE WHEN hv < 0.8 * 1152921504606846976 THEN 'train'
-            WHEN hv < 0.9 * 1152921504606846976 THEN 'val'
+       -- EXACT integer thresholds (16^15 * 4 // 5 etc.): comparing the
+       -- bigint hash against 0.8 * 2^60 as a double reclassifies
+       -- borderline hashes (bigint→double rounding)
+       CASE WHEN hv < 922337203685477580 THEN 'train'
+            WHEN hv < 1037629354146162278 THEN 'val'
             ELSE 'test' END AS split
 FROM assigned"""
 
@@ -12941,7 +12944,7 @@ def corpus_split_leakage_safe_query(spark, sf_dir):
     h = documents.select(
         "doc_id",
         F.md5(
-            F.encode(F.substring(F.lower(F.trim(F.col("text"))), 1, 40), "UTF-8")
+            F.encode(F.lower(F.trim(F.col("text"))), "UTF-8")
         ).alias("grp"),
     )
     cl = h.withColumn(
@@ -12961,12 +12964,14 @@ def corpus_split_leakage_safe_query(spark, sf_dir):
         16,
         10,
     ).cast("long")
-    lim = 1152921504606846976  # 16^15
+    # exact integer thresholds (shared with the oracle): float-derived
+    # cutoffs differ between engines on borderline hashes
+    t80, t90 = 922337203685477580, 1037629354146162278
     return cl.select(
         "doc_id",
         "cluster_id",
-        F.when(hv < int(0.8 * lim), F.lit("train"))
-        .when(hv < int(0.9 * lim), F.lit("val"))
+        F.when(hv < t80, F.lit("train"))
+        .when(hv < t90, F.lit("val"))
         .otherwise(F.lit("test"))
         .alias("split"),
     )
