@@ -13797,20 +13797,24 @@ def lineitem_mad_outliers_query(spark, sf_dir):
 # construction.
 # ---------------------------------------------------------------------------
 
+# Engine-robust shared text: ROUND before the bigint cast (Spark casts
+# double→bigint by truncation, DuckDB by rounding — ROUND makes the
+# intermediate integer-valued so both agree), and the rank order is
+# TOTAL (o_orderkey tiebreak) so the top-100 membership is identical.
 _SHARED_SQL = """WITH seg AS (
-  SELECT c_mktsegment AS segment, c_nationkey AS nation,
-         o_totalprice AS price
+  SELECT c_mktsegment AS segment, o_orderkey AS okey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
   FROM customer JOIN orders ON o_custkey = c_custkey),
 ranked AS (
-  SELECT segment, nation, price,
+  SELECT segment, cents,
          ROW_NUMBER() OVER (PARTITION BY segment
-                            ORDER BY price DESC, nation) AS rn,
+                            ORDER BY cents DESC, okey) AS rn,
          COUNT(*) OVER (PARTITION BY segment) AS seg_n
   FROM seg)
 SELECT segment,
        CAST(MAX(seg_n) AS BIGINT) AS n_orders,
        CAST(COUNT(*) AS BIGINT) AS n_top,
-       CAST(SUM(CAST(price * 100 AS BIGINT)) AS BIGINT) AS top_cents
+       CAST(SUM(cents) AS BIGINT) AS top_cents
 FROM ranked WHERE rn <= 100
 GROUP BY segment"""
 
