@@ -14480,3 +14480,78 @@ def features_woe_iv_query(spark, sf_dir):
         F.round(woe * 1000000).cast("long").alias("woe_micro"),
         F.round(ivc * 1000000000).cast("long").alias("iv_contrib_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The CCDI release dashboard: one row summarizing a whole submission
+# run — violation counts by severity, DCF index size, SRA rows, CDS
+# flattened rows — composed from the certified submission flows the
+# same way corpus_training_manifest composes the curation flows: the
+# Spark side aggregates the registered queries' DataFrames, the oracle
+# embeds those queries' oracle SQL as CTEs.
+# ---------------------------------------------------------------------------
+
+
+def _release_oracle() -> str:
+    viol = REGISTRY["curation_violations"].oracle
+    dcf = REGISTRY["ccdi_to_dcf_index"].oracle
+    sra = REGISTRY["ccdi_to_sra"].oracle
+    cds = REGISTRY["cds_flatten"].oracle
+    return f"""WITH viol AS ({viol}),
+dcf AS ({dcf}),
+sra AS ({sra}),
+cds AS ({cds}),
+v AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_violations,
+         CAST(COUNT(CASE WHEN severity = 'error' THEN 1 END) AS BIGINT)
+           AS n_errors,
+         CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes_affected
+  FROM viol),
+d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_index_rows,
+             CAST(COUNT(DISTINCT guid) AS BIGINT) AS n_guids,
+             CAST(SUM(size) AS BIGINT) AS total_bytes
+      FROM dcf),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sra_rows,
+             CAST(COUNT(DISTINCT library_ID) AS BIGINT) AS n_libraries
+      FROM sra),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cds_rows,
+             CAST(COUNT(DISTINCT participant_id) AS BIGINT)
+               AS n_cds_participants
+      FROM cds)
+SELECT * FROM v CROSS JOIN d CROSS JOIN s CROSS JOIN c"""
+
+
+@register(
+    "ccdi_release_dashboard",
+    _release_oracle(),
+    "the submission-run dashboard: violations by severity, DCF index "
+    "size and byte total, SRA rows/libraries, CDS flattened rows — one "
+    "wide row composed from the certified submission flows (Spark "
+    "joins the registered queries' frames; the oracle embeds their "
+    "oracle SQL as CTEs).  The go/no-go artifact a data manager reads "
+    "before release",
+)
+def ccdi_release_dashboard_query(spark, sf_dir):
+    viol = REGISTRY["curation_violations"].fn(spark, sf_dir)
+    dcf = REGISTRY["ccdi_to_dcf_index"].fn(spark, sf_dir)
+    sra = REGISTRY["ccdi_to_sra"].fn(spark, sf_dir)
+    cds = REGISTRY["cds_flatten"].fn(spark, sf_dir)
+    v = viol.agg(
+        F.count("*").alias("n_violations"),
+        F.count(F.when(F.col("severity") == "error", True)).alias("n_errors"),
+        F.countDistinct("node").alias("n_nodes_affected"),
+    )
+    d = dcf.agg(
+        F.count("*").alias("n_index_rows"),
+        F.countDistinct("guid").alias("n_guids"),
+        F.sum("size").alias("total_bytes"),
+    )
+    s = sra.agg(
+        F.count("*").alias("n_sra_rows"),
+        F.countDistinct("library_ID").alias("n_libraries"),
+    )
+    c = cds.agg(
+        F.count("*").alias("n_cds_rows"),
+        F.countDistinct("participant_id").alias("n_cds_participants"),
+    )
+    return v.crossJoin(d).crossJoin(s).crossJoin(c)
