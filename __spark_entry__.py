@@ -195,6 +195,7 @@ _CERTIFY_FIRST = [
     "dedup_cross_source_matrix",
     "features_woe_iv",
     "ccdi_release_dashboard",
+    "events_kaplan_meier",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

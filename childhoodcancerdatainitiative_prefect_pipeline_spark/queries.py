@@ -14555,3 +14555,106 @@ def ccdi_release_dashboard_query(spark, sf_dir):
         F.countDistinct("participant_id").alias("n_cds_participants"),
     )
     return v.crossJoin(d).crossJoin(s).crossJoin(c)
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimator — the reference's clinical domain
+# (survival status per participant, workflows/mci_gdc_transform.py)
+# taken to its canonical analysis.  Synthetic lifetimes: per user,
+# follow-up days from first to last event; "event" (vs censored) when
+# the user ever purchased.  The estimator runs entirely on the tiny
+# distinct-day grid: per-day deaths/censored counts, at-risk via
+# cumulative sums, survival via the cumulative sum of ln(1 − d/n)
+# micro-ints (order-independent after the per-day aggregation).
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+life AS (
+  SELECT user_id,
+         CAST((MAX(us) - MIN(us)) // 86400000000 AS BIGINT) AS t_days,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS observed
+  FROM ev GROUP BY user_id),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM life),
+grid AS (
+  SELECT t_days,
+         CAST(SUM(observed) AS BIGINT) AS d,
+         CAST(COUNT(*) - SUM(observed) AS BIGINT) AS c
+  FROM life GROUP BY t_days),
+risk AS (
+  SELECT t_days, d, c,
+         n0 - coalesce(SUM(d + c) OVER (ORDER BY t_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM grid CROSS JOIN tot),
+steps AS (
+  SELECT t_days, d, c, n_risk,
+         CAST(ROUND(ln(1.0 - d * 1.0 / n_risk) * 1000000) AS BIGINT)
+           AS ln_step_micro
+  FROM risk WHERE d > 0 AND n_risk > d),
+surv AS (
+  SELECT t_days, d, n_risk,
+         CAST(SUM(ln_step_micro) OVER (ORDER BY t_days) AS BIGINT)
+           AS ln_surv_micro
+  FROM steps)
+SELECT t_days, d, n_risk, ln_surv_micro FROM surv"""
+
+
+@register(
+    "events_kaplan_meier",
+    _KM_ORACLE,
+    "Kaplan-Meier survival curve over synthetic follow-up lifetimes "
+    "(the canonical analysis for the reference's survival domain): "
+    "per-day death/censor counts aggregate first, at-risk via a "
+    "cumulative window over the tiny day grid, and the survival curve "
+    "as cumulative ln(1 − d/n) micro-ints — the product estimator in "
+    "log space, order-independent and hash-certified",
+)
+def events_kaplan_meier_query(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    ev = events.select("user_id", us.alias("us"), "event_type")
+    life = ev.groupBy("user_id").agg(
+        F.expr("(max(us) - min(us)) div 86400000000")
+        .cast("long")
+        .alias("t_days"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("observed"),
+    )
+    n0 = life.agg(F.count("*").alias("n0"))
+    grid = life.groupBy("t_days").agg(
+        F.sum("observed").alias("d"),
+        (F.count("*") - F.sum("observed")).alias("c"),
+    )
+    w_prev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = grid.crossJoin(F.broadcast(n0)).withColumn(
+        "n_risk",
+        F.col("n0")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    )
+    steps = risk.filter(
+        (F.col("d") > 0) & (F.col("n_risk") > F.col("d"))
+    ).withColumn(
+        "ln_step_micro",
+        F.round(F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk")) * 1000000)
+        .cast("long"),
+    )
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return steps.select(
+        "t_days",
+        F.col("d").cast("long").alias("d"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.sum("ln_step_micro").over(w_cum).cast("long").alias("ln_surv_micro"),
+    )
