@@ -14658,3 +14658,120 @@ def events_kaplan_meier_query(spark, sf_dir):
         F.col("n_risk").cast("long").alias("n_risk"),
         F.sum("ln_step_micro").over(w_cum).cast("long").alias("ln_surv_micro"),
     )
+
+
+_LOGRANK_ORACLE = """WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+life AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+         CAST((MAX(us) - MIN(us)) // 86400000000 AS BIGINT) AS t_days,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS observed
+  FROM ev GROUP BY user_id),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(COUNT(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS n0_1
+  FROM life),
+grid AS (
+  SELECT t_days,
+         CAST(SUM(observed) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS leaving,
+         CAST(SUM(CASE WHEN grp = 1 THEN observed END) AS BIGINT) AS d1,
+         CAST(COUNT(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS leaving1
+  FROM life GROUP BY t_days),
+risk AS (
+  SELECT t_days, d, d1,
+         n0 - coalesce(SUM(leaving) OVER (ORDER BY t_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+         n0_1 - coalesce(SUM(leaving1) OVER (ORDER BY t_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+  FROM grid CROSS JOIN tot),
+steps AS (
+  SELECT t_days, d, d1, n, n1,
+         CAST(ROUND(d * n1 * 1000000.0 / n) AS BIGINT) AS e1_micro,
+         CASE WHEN n > 1 THEN
+           CAST(ROUND(d * (n1 * 1.0 / n) * ((n - n1) * 1.0 / n)
+                        * ((n - d) * 1.0 / (n - 1)) * 1000000) AS BIGINT)
+         ELSE 0 END AS v_micro
+  FROM risk WHERE d > 0 AND n > 0)
+SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+       CAST(SUM(e1_micro) AS BIGINT) AS e1_micro,
+       CAST(SUM(v_micro) AS BIGINT) AS v_micro,
+       ROUND(POWER(SUM(d1) - SUM(e1_micro) / 1000000.0, 2)
+             / (SUM(v_micro) / 1000000.0), 6) AS logrank_stat
+FROM steps"""
+
+
+@register(
+    "events_logrank_test",
+    _LOGRANK_ORACLE,
+    "log-rank test between two cohorts' survival curves (the "
+    "hypothesis-test companion of events_kaplan_meier): per-day "
+    "observed vs expected deaths and hypergeometric variance, rounded "
+    "to micro-ints PER DAY so the sums are order-independent; the "
+    "chi-square statistic divides once at the end",
+)
+def events_logrank_test_query(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    ev = events.select("user_id", us.alias("us"), "event_type")
+    life = ev.groupBy("user_id").agg(
+        F.expr("(max(us) - min(us)) div 86400000000")
+        .cast("long")
+        .alias("t_days"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("observed"),
+    ).withColumn("grp", (F.col("user_id") % 2).cast("long"))
+    tot = life.agg(
+        F.count("*").alias("n0"),
+        F.count(F.when(F.col("grp") == 1, True)).alias("n0_1"),
+    )
+    grid = life.groupBy("t_days").agg(
+        F.sum("observed").alias("d"),
+        F.count("*").alias("leaving"),
+        F.sum(F.when(F.col("grp") == 1, F.col("observed"))).alias("d1"),
+        F.count(F.when(F.col("grp") == 1, True)).alias("leaving1"),
+    )
+    wp = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grid.crossJoin(F.broadcast(tot)).select(
+        "t_days",
+        "d",
+        "d1",
+        (F.col("n0") - F.coalesce(F.sum("leaving").over(wp), F.lit(0))).alias("n"),
+        (
+            F.col("n0_1") - F.coalesce(F.sum("leaving1").over(wp), F.lit(0))
+        ).alias("n1"),
+    )
+    steps = risk.filter((F.col("d") > 0) & (F.col("n") > 0)).select(
+        "d1",
+        F.round(F.col("d") * F.col("n1") * 1000000.0 / F.col("n"))
+        .cast("long")
+        .alias("e1_micro"),
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                F.col("d")
+                * (F.col("n1") * 1.0 / F.col("n"))
+                * ((F.col("n") - F.col("n1")) * 1.0 / F.col("n"))
+                * ((F.col("n") - F.col("d")) * 1.0 / (F.col("n") - 1))
+                * 1000000
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("v_micro"),
+    )
+    return steps.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1_micro").cast("long").alias("e1_micro"),
+        F.sum("v_micro").cast("long").alias("v_micro"),
+        F.round(
+            F.pow(F.sum("d1") - F.sum("e1_micro") / 1000000.0, 2)
+            / (F.sum("v_micro") / 1000000.0),
+            6,
+        ).alias("logrank_stat"),
+    )
