@@ -362,3 +362,81 @@ def test_bpe_roundtrip_property(spark, texts):
         assert rows[i] == _reference_encode(t, merges)
         rebuilt = "".join(tok.replace(bpe.EOW, "") for tok in rows[i])
         assert rebuilt == "".join(re.findall(bpe.PRETOKEN_RE, t.lower()))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["I", "U", "D"]),
+            st.sampled_from(["g1", "g2", "g3", None]),  # group_before
+            st.integers(0, 50),                          # value_before
+            st.sampled_from(["g1", "g2", "g3"]),         # group_after
+            st.integers(0, 50),                          # value_after
+        ),
+        max_size=30,
+    )
+)
+def test_incremental_agg_equals_recompute(spark, raw_changes):
+    """Maintained (count, sum) updated from before/after images must
+    equal recomputing from the replayed row set — including group
+    MOVES and empty-group dropout — for arbitrary changelogs applied
+    to a fixed base."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.cdc import (
+        incremental_agg,
+    )
+
+    # fixed base rows: (key, group, value); build a consistent changelog
+    # over them: U/D reference existing keys (with TRUE before images),
+    # I creates fresh keys
+    base = {k: ("g1" if k % 2 == 0 else "g2", k % 7) for k in range(12)}
+    changes = []
+    touched = set()
+    next_new = 100
+    for op, _, _, g_after, v_after in raw_changes:
+        if op == "I":
+            changes.append(("I", None, None, g_after, v_after))
+            next_new += 1
+        else:
+            # pick an untouched existing key for a consistent image
+            avail = [k for k in base if k not in touched]
+            if not avail:
+                continue
+            k = avail[0]
+            touched.add(k)
+            gb, vb = base[k]
+            if op == "D":
+                changes.append(("D", gb, vb, None, None))
+            else:
+                changes.append(("U", gb, vb, g_after, v_after))
+
+    base_rows = list(base.values())
+    final_rows = [v for k, v in base.items() if k not in touched]
+    for op, gb, vb, ga, va in changes:
+        if op in ("I", "U"):
+            final_rows.append((ga, va))
+    expected = {}
+    for g, v in final_rows:
+        n, s_ = expected.get(g, (0, 0))
+        expected[g] = (n + 1, s_ + v)
+
+    from pyspark.sql import functions as F
+
+    base_agg = (
+        spark.createDataFrame(base_rows, "grp string, val long")
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("val").alias("total"))
+    )
+    ch = spark.createDataFrame(
+        changes,
+        "op string, grp_before string, val_before long, "
+        "grp_after string, val_after long",
+    ) if changes else spark.createDataFrame(
+        [], "op string, grp_before string, val_before long, "
+        "grp_after string, val_after long"
+    )
+    got = {
+        r["grp"]: (r["n"], r["total"])
+        for r in incremental_agg(base_agg, ch, "grp", "val").collect()
+    }
+    assert got == {g: v for g, v in expected.items() if v[0] > 0}
