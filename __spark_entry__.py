@@ -197,6 +197,7 @@ _CERTIFY_FIRST = [
     "ccdi_release_dashboard",
     "events_kaplan_meier",
     "events_logrank_test",
+    "events_rmst",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

@@ -14775,3 +14775,127 @@ def events_logrank_test_query(spark, sf_dir):
             6,
         ).alias("logrank_stat"),
     )
+
+
+_RMST_ORACLE = """WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+life AS (
+  SELECT user_id,
+         CAST((MAX(us) - MIN(us)) // 86400000000 AS BIGINT) AS t_days,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS observed
+  FROM ev GROUP BY user_id),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM life),
+grid AS (
+  SELECT t_days, CAST(SUM(observed) AS BIGINT) AS d,
+         CAST(COUNT(*) - SUM(observed) AS BIGINT) AS c
+  FROM life GROUP BY t_days),
+risk AS (
+  SELECT t_days, d,
+         n0 - coalesce(SUM(d + c) OVER (ORDER BY t_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM grid CROSS JOIN tot),
+steps AS (
+  SELECT t_days,
+         CAST(SUM(CAST(ROUND(ln(1.0 - d * 1.0 / n_risk) * 1000000)
+                       AS BIGINT)) OVER (ORDER BY t_days) AS BIGINT)
+           AS ln_surv_micro
+  FROM risk WHERE d > 0 AND n_risk > d),
+segs AS (
+  SELECT t_days, ln_surv_micro,
+         LEAD(t_days) OVER (ORDER BY t_days) AS t_next
+  FROM steps),
+tau AS (SELECT CAST(MAX(t_days) AS BIGINT) AS tau FROM life),
+contrib AS (
+  SELECT CAST(ROUND(exp(ln_surv_micro / 1000000.0)
+                    * (coalesce(t_next, tau) - t_days) * 1000000)
+              AS BIGINT) AS c_micro
+  FROM segs CROSS JOIN tau
+  UNION ALL
+  SELECT CAST((SELECT MIN(t_days) FROM steps) * 1000000 AS BIGINT))
+SELECT (SELECT tau FROM tau) AS tau_days,
+       CAST(SUM(c_micro) AS BIGINT) AS rmst_micro_days
+FROM contrib"""
+
+
+@register(
+    "events_rmst",
+    _RMST_ORACLE,
+    "restricted mean survival time (area under the Kaplan-Meier curve "
+    "to the horizon): per-interval contributions rounded to "
+    "micro-days BEFORE summing so the total is order-independent; the "
+    "clinically-reportable single-number summary completing the "
+    "KM + log-rank survival family",
+)
+def events_rmst_query(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    ev = events.select("user_id", us.alias("us"), "event_type")
+    life = ev.groupBy("user_id").agg(
+        F.expr("(max(us) - min(us)) div 86400000000")
+        .cast("long")
+        .alias("t_days"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("observed"),
+    )
+    tot = life.agg(F.count("*").alias("n0"))
+    tau = life.agg(F.max("t_days").cast("long").alias("tau"))
+    grid = life.groupBy("t_days").agg(
+        F.sum("observed").alias("d"),
+        (F.count("*") - F.sum("observed")).alias("c"),
+    )
+    wp = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grid.crossJoin(F.broadcast(tot)).select(
+        "t_days",
+        "d",
+        (
+            F.col("n0")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wp), F.lit(0))
+        ).alias("n_risk"),
+    )
+    wc = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, 0)
+    steps = (
+        risk.filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d")))
+        .select(
+            "t_days",
+            F.round(
+                F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk")) * 1000000
+            )
+            .cast("long")
+            .alias("step"),
+        )
+        .select(
+            "t_days", F.sum("step").over(wc).cast("long").alias("ln_surv_micro")
+        )
+    )
+    wl = Window.orderBy("t_days")
+    segs = steps.withColumn("t_next", F.lead("t_days").over(wl))
+    contrib = (
+        segs.crossJoin(F.broadcast(tau))
+        .select(
+            F.round(
+                F.exp(F.col("ln_surv_micro") / 1000000.0)
+                * (F.coalesce("t_next", "tau") - F.col("t_days"))
+                * 1000000
+            )
+            .cast("long")
+            .alias("c_micro")
+        )
+        .unionByName(
+            steps.agg(
+                (F.min("t_days") * F.lit(1000000).cast("long")).alias(
+                    "c_micro"
+                )
+            )
+        )
+    )
+    return contrib.crossJoin(F.broadcast(tau)).agg(
+        F.max("tau").cast("long").alias("tau_days"),
+        F.sum("c_micro").cast("long").alias("rmst_micro_days"),
+    )
