@@ -14899,3 +14899,66 @@ def events_rmst_query(spark, sf_dir):
         F.max("tau").cast("long").alias("tau_days"),
         F.sum("c_micro").cast("long").alias("rmst_micro_days"),
     )
+
+
+# Benford expected probabilities log10(1+1/d) in micro units, d=1..9
+_BENFORD_MICRO = [301030, 176091, 124939, 96910, 79181, 66947, 57992,
+                  51153, 45757]
+
+_BENFORD_ORACLE = f"""WITH digits AS (
+  -- FLOOR before the bigint cast: Spark truncates double casts,
+  -- DuckDB rounds — FLOOR pins both to the same integer
+  SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS d
+  FROM lineitem WHERE l_extendedprice >= 1),
+c AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+exp_tab AS (
+  SELECT * FROM (VALUES {", ".join(f"({i + 1}, {p})" for i, p in enumerate(_BENFORD_MICRO))})
+    AS t(d, p_micro))
+SELECT c.d, c.n,
+       CAST(c.n * 1000000 // tot.total AS BIGINT) AS observed_micro,
+       e.p_micro AS expected_micro,
+       CAST(c.n * 1000000 // tot.total - e.p_micro AS BIGINT)
+         AS deviation_micro
+FROM c JOIN exp_tab e ON e.d = c.d CROSS JOIN tot"""
+
+
+@register(
+    "lineitem_benford_test",
+    _BENFORD_ORACLE,
+    "Benford's-law first-digit screen on monetary amounts — the "
+    "forensic data-quality check for fabricated or truncated numeric "
+    "columns: observed vs expected digit frequencies in integer "
+    "micros; one aggregation, broadcast expected table",
+)
+def lineitem_benford_test_query(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    digits = lineitem.filter(F.col("l_extendedprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"),
+            1, 1,
+        )
+        .cast("long")
+        .alias("d")
+    )
+    c = digits.groupBy("d").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    exp_tab = c.sparkSession.createDataFrame(
+        [(i + 1, p) for i, p in enumerate(_BENFORD_MICRO)],
+        "d long, p_micro long",
+    )
+    return (
+        c.join(F.broadcast(exp_tab), "d")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__num__", F.col("n") * F.lit(1000000).cast("long"))
+        .select(
+            "d",
+            "n",
+            F.expr("__num__ div total").cast("long").alias("observed_micro"),
+            F.col("p_micro").cast("long").alias("expected_micro"),
+            (F.expr("__num__ div total") - F.col("p_micro"))
+            .cast("long")
+            .alias("deviation_micro"),
+        )
+    )
