@@ -199,6 +199,7 @@ _CERTIFY_FIRST = [
     "events_logrank_test",
     "events_rmst",
     "lineitem_benford_test",
+    "events_dau_wau_stickiness",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

@@ -14962,3 +14962,57 @@ def lineitem_benford_test_query(spark, sf_dir):
             .alias("deviation_micro"),
         )
     )
+
+
+_STICKINESS_ORACLE = """WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+wau AS (
+  SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day)
+SELECT dau.day, dau.dau, wau.wau,
+       CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_micro
+FROM dau JOIN wau USING (day)"""
+
+
+@register(
+    "events_dau_wau_stickiness",
+    _STICKINESS_ORACLE,
+    "DAU/WAU stickiness by day — the engagement ratio: exact distinct "
+    "users per day and per trailing 7-day window (the day-grid range "
+    "join replicates each user-day at most 7x; distinct-count windows "
+    "don't exist, range joins do), integral-division micros",
+)
+def events_dau_wau_stickiness_query(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 86400000000"
+    ).cast("long")
+    ud = events.select("user_id", day.alias("day")).distinct()
+    days = ud.select("day").distinct()
+    wau = (
+        days.alias("d")
+        .join(
+            ud.alias("u"),
+            F.col("u.day").between(F.col("d.day") - 6, F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .withColumn("__num__", F.col("dau") * F.lit(1000000).cast("long"))
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("__num__ div wau").cast("long").alias("stickiness_micro"),
+        )
+    )
