@@ -200,6 +200,7 @@ _CERTIFY_FIRST = [
     "events_rmst",
     "lineitem_benford_test",
     "events_dau_wau_stickiness",
+    "orders_repeat_rate_cohort",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

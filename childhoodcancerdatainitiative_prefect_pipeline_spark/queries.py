@@ -15016,3 +15016,59 @@ def events_dau_wau_stickiness_query(spark, sf_dir):
             F.expr("__num__ div wau").cast("long").alias("stickiness_micro"),
         )
     )
+
+
+_REPEAT_ORACLE = """WITH o AS (
+  SELECT o_custkey AS cust,
+         CAST(epoch_us(o_orderdate) // 2592000000000 AS BIGINT) AS month
+  FROM orders),
+per_cust AS (
+  SELECT cust, MIN(month) AS first_month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM o GROUP BY cust)
+SELECT first_month,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(CASE WHEN n_orders > 1 THEN 1 END) AS BIGINT)
+         AS n_repeat,
+       CAST(COUNT(CASE WHEN n_orders > 1 THEN 1 END) * 1000000
+            // COUNT(*) AS BIGINT) AS repeat_rate_micro
+FROM per_cust GROUP BY first_month"""
+
+
+@register(
+    "orders_repeat_rate_cohort",
+    _REPEAT_ORACLE,
+    "repeat-purchase rate by acquisition cohort (30-day buckets): two "
+    "map-side-combined aggregations, integral-division micros — the "
+    "retention economics metric beside LTV and RFM",
+)
+def orders_repeat_rate_cohort_query(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    month = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " o_orderdate) div 2592000000000"
+    ).cast("long")
+    o = orders.select(F.col("o_custkey").alias("cust"), month.alias("month"))
+    per_cust = o.groupBy("cust").agg(
+        F.min("month").alias("first_month"),
+        F.count("*").alias("n_orders"),
+    )
+    rep = F.count(F.when(F.col("n_orders") > 1, True))
+    return (
+        per_cust.groupBy("first_month")
+        .agg(
+            F.count("*").alias("n_customers"),
+            rep.alias("n_repeat"),
+        )
+        .withColumn(
+            "__num__", F.col("n_repeat") * F.lit(1000000).cast("long")
+        )
+        .select(
+            "first_month",
+            "n_customers",
+            "n_repeat",
+            F.expr("__num__ div n_customers")
+            .cast("long")
+            .alias("repeat_rate_micro"),
+        )
+    )
