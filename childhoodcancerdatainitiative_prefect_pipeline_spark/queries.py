@@ -15072,3 +15072,59 @@ def orders_repeat_rate_cohort_query(spark, sf_dir):
             .alias("repeat_rate_micro"),
         )
     )
+
+
+_ERRBUDGET_ORACLE = """WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+           AS n_err
+  FROM events GROUP BY 1),
+rates AS (
+  SELECT day, n, n_err,
+         CAST(n_err * 1000000 // n AS BIGINT) AS err_rate_micro
+  FROM d),
+burn AS (
+  SELECT day, n, n_err, err_rate_micro,
+         CAST(GREATEST(err_rate_micro - 200000, 0) AS BIGINT) AS excess_micro
+  FROM rates)
+SELECT day, n, n_err, err_rate_micro,
+       CAST(SUM(excess_micro) OVER (ORDER BY day) AS BIGINT)
+         AS burn_cum_micro
+FROM burn"""
+
+
+@register(
+    "events_error_budget_burn",
+    _ERRBUDGET_ORACLE,
+    "SRE error-budget burn-down: daily error rate in integral micros "
+    "against a 20% budget, cumulative excess over the tiny day grid — "
+    "the reliability twin of the anomaly z-scores",
+)
+def events_error_budget_burn_query(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 86400000000"
+    ).cast("long")
+    d = events.select(day.alias("day"), "event_type").groupBy("day").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("event_type") == "error", True)).alias("n_err"),
+    )
+    rates = d.withColumn(
+        "__num__", F.col("n_err") * F.lit(1000000).cast("long")
+    ).withColumn("err_rate_micro", F.expr("__num__ div n").cast("long"))
+    burn = rates.withColumn(
+        "excess_micro",
+        F.greatest(F.col("err_rate_micro") - 200000, F.lit(0)).cast("long"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return burn.select(
+        "day",
+        "n",
+        "n_err",
+        "err_rate_micro",
+        F.sum("excess_micro").over(w).cast("long").alias("burn_cum_micro"),
+    )
