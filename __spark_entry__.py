@@ -202,6 +202,7 @@ _CERTIFY_FIRST = [
     "events_dau_wau_stickiness",
     "orders_repeat_rate_cohort",
     "events_error_budget_burn",
+    "events_props_json_stats",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

@@ -15128,3 +15128,50 @@ def events_error_budget_burn_query(spark, sf_dir):
         "err_rate_micro",
         F.sum("excess_micro").over(w).cast("long").alias("burn_cum_micro"),
     )
+
+
+_PROPS_ORACLE = """WITH p AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE props IS NOT NULL)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(SUM(k) * 1000000 // COUNT(*) AS BIGINT) AS mean_k_micro
+FROM p GROUP BY event_type"""
+
+
+@register(
+    "events_props_json_stats",
+    _PROPS_ORACLE,
+    "semi-structured column analytics on the fixture's REAL JSON "
+    "payloads: get_json_object extraction stays JVM-codegen, per-type "
+    "integer stats with integral-division means — the schema-on-read "
+    "path for property bags without a parsing UDF",
+)
+def events_props_json_stats_query(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    p = events.filter(F.col("props").isNotNull()).select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .withColumn("__num__", F.col("sum_k") * F.lit(1000000).cast("long"))
+        .select(
+            "event_type",
+            "n",
+            "sum_k",
+            "min_k",
+            "max_k",
+            F.expr("__num__ div n").cast("long").alias("mean_k_micro"),
+        )
+    )
