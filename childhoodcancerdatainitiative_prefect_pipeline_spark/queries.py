@@ -15175,3 +15175,82 @@ def events_props_json_stats_query(spark, sf_dir):
             F.expr("__num__ div n").cast("long").alias("mean_k_micro"),
         )
     )
+
+
+_REFAUDIT_ORACLE = """SELECT 'lineitem->orders' AS fk,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'lineitem->part',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem->supplier',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+UNION ALL
+SELECT 'orders->customer',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'customer->nation',
+       CAST((SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+UNION ALL
+SELECT 'supplier->nation',
+       CAST((SELECT COUNT(*) FROM supplier s
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = s.s_nationkey)) AS BIGINT)
+UNION ALL
+SELECT 'nation->region',
+       CAST((SELECT COUNT(*) FROM nation n
+             WHERE NOT EXISTS (SELECT 1 FROM region r
+                               WHERE r.r_regionkey = n.n_regionkey)) AS BIGINT)"""
+
+
+@register(
+    "star_referential_audit",
+    _REFAUDIT_ORACLE,
+    "referential-integrity audit of every FK edge in the star schema "
+    "(the warehouse twin of the graph dangling-link rule family): one "
+    "left-anti count per edge — dimension sides broadcast, fact "
+    "tables scanned once per edge",
+)
+def star_referential_audit_query(spark, sf_dir):
+    t = dict(
+        zip(
+            (
+                "lineitem", "orders", "part", "supplier", "customer",
+                "nation", "region",
+            ),
+            _t(
+                spark, sf_dir, "lineitem", "orders", "part", "supplier",
+                "customer", "nation", "region",
+            ),
+        )
+    )
+    edges = [
+        ("lineitem->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        ("lineitem->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        ("lineitem->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+        ("orders->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        ("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        ("supplier->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
+        ("nation->region", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
+    ]
+    parts = []
+    for name, child, ck, parent, pk in edges:
+        orphans = child.join(
+            parent.select(F.col(pk).alias(ck)).distinct(), ck, "left_anti"
+        ).agg(F.count("*").alias("n_orphans"))
+        parts.append(orphans.select(F.lit(name).alias("fk"), "n_orphans"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
