@@ -15254,3 +15254,71 @@ def star_referential_audit_query(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_SLA_ORACLE = """WITH first_ship AS (
+  SELECT l_orderkey, MIN(epoch_us(l_shipdate)) AS ship_us
+  FROM lineitem GROUP BY l_orderkey),
+lagd AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST((f.ship_us - epoch_us(o.o_orderdate)) // 86400000000 AS BIGINT)
+           AS lag_days
+  FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(CASE WHEN lag_days <= 30 THEN 1 END) AS BIGINT)
+         AS n_within_30d,
+       CAST(COUNT(CASE WHEN lag_days <= 30 THEN 1 END) * 1000000
+            // COUNT(*) AS BIGINT) AS sla_rate_micro,
+       CAST(MAX(lag_days) AS BIGINT) AS worst_lag_days
+FROM lagd GROUP BY priority"""
+
+
+@register(
+    "orders_priority_sla",
+    _SLA_ORACLE,
+    "fulfilment SLA by priority: first-ship lag per order (one "
+    "map-side-combined min), share shipped within 30 days in integral "
+    "micros, worst lag — the operations dashboard beside WoW growth "
+    "and the error budget",
+)
+def orders_priority_sla_query(spark, sf_dir):
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    su = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " l_shipdate)"
+    )
+    first_ship = lineitem.select(
+        "l_orderkey", su.alias("ship_us")
+    ).groupBy("l_orderkey").agg(F.min("ship_us").alias("ship_us"))
+    lagd = orders.join(
+        first_ship, orders["o_orderkey"] == first_ship["l_orderkey"]
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            "(ship_us - timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate))"
+            " div 86400000000"
+        )
+        .cast("long")
+        .alias("lag_days"),
+    )
+    hit = F.count(F.when(F.col("lag_days") <= 30, True))
+    return (
+        lagd.groupBy("priority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            hit.alias("n_within_30d"),
+            F.max("lag_days").cast("long").alias("worst_lag_days"),
+        )
+        .withColumn(
+            "__num__", F.col("n_within_30d") * F.lit(1000000).cast("long")
+        )
+        .select(
+            "priority",
+            "n_orders",
+            "n_within_30d",
+            F.expr("__num__ div n_orders").cast("long").alias("sla_rate_micro"),
+            "worst_lag_days",
+        )
+    )
