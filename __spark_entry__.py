@@ -205,6 +205,7 @@ _CERTIFY_FIRST = [
     "events_props_json_stats",
     "star_referential_audit",
     "orders_priority_sla",
+    "supplier_concentration_hhi",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

@@ -15322,3 +15322,53 @@ def orders_priority_sla_query(spark, sf_dir):
             "worst_lag_days",
         )
     )
+
+
+_HHI_ORACLE = """WITH s AS (
+  SELECT p.p_brand AS brand, l.l_suppkey AS supp,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2),
+t AS (
+  SELECT brand, CAST(SUM(n) AS BIGINT) AS total,
+         CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM s GROUP BY brand)
+SELECT brand, n_suppliers, total,
+       CAST(sum_sq * 1000000 // (total * total) AS BIGINT) AS hhi_micro
+FROM t"""
+
+
+@register(
+    "supplier_concentration_hhi",
+    _HHI_ORACLE,
+    "supply-concentration risk: the Herfindahl-Hirschman index of "
+    "supplier share per brand, computed as sum(n_i^2)*1e6 div total^2 "
+    "— exact int64 throughout (shares never materialize as floats); "
+    "two map-side-combined aggregations",
+)
+def supplier_concentration_hhi_query(spark, sf_dir):
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    s = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem["l_partkey"] == part["p_partkey"],
+        )
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_suppkey").alias("supp"))
+        .agg(F.count("*").alias("n"))
+    )
+    t = s.groupBy("brand").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+        F.count("*").alias("n_suppliers"),
+    )
+    return (
+        t.withColumn("__num__", F.col("sum_sq") * F.lit(1000000).cast("long"))
+        .withColumn("__den__", F.col("total") * F.col("total"))
+        .select(
+            "brand",
+            "n_suppliers",
+            "total",
+            F.expr("__num__ div __den__").cast("long").alias("hhi_micro"),
+        )
+    )
