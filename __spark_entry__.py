@@ -206,6 +206,7 @@ _CERTIFY_FIRST = [
     "star_referential_audit",
     "orders_priority_sla",
     "supplier_concentration_hhi",
+    "customer_revenue_gini",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

@@ -15372,3 +15372,86 @@ def supplier_concentration_hhi_query(spark, sf_dir):
             F.expr("__num__ div __den__").cast("long").alias("hhi_micro"),
         )
     )
+
+
+_GINI_ORACLE = """WITH rev AS (
+  SELECT o_custkey AS cust,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY cust),
+ranked AS (
+  SELECT cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents, cust) AS BIGINT) AS rnk
+  FROM rev),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(rnk * cents) AS BIGINT) AS weighted
+  FROM ranked)
+SELECT n, s,
+       -- exact floor(num*1e6/den) without overflow: num*1e6 exceeds
+       -- int64, so decompose base-1000 (q1*1e6 + q2*1e3 + q3)
+       CAST(q1 * 1000000 + q2 * 1000 + (r2 * 1000) // den AS BIGINT)
+         AS gini_micro
+FROM (
+  SELECT n, s, den, q1, q2,
+         r1 * 1000 - q2 * den AS r2
+  FROM (
+    SELECT n, s, den, q1,
+           num - q1 * den AS r1,
+           ((num - q1 * den) * 1000) // den AS q2
+    FROM (
+      SELECT n, s,
+             2 * weighted - (n + 1) * s AS num,
+             n * s AS den,
+             (2 * weighted - (n + 1) * s) // (n * s) AS q1
+      FROM agg)))"""
+
+
+@register(
+    "customer_revenue_gini",
+    _GINI_ORACLE,
+    "revenue-inequality Gini across customers — a GLOBAL-rank "
+    "statistic computed scale-safely: ranks come from the "
+    "range-partitioned distributed prefix sum (counting formulation), "
+    "never a single-task ROW_NUMBER over the corpus (the oracle's "
+    "direct window IS that serialized formulation); ties share any "
+    "order because equal values contribute identically.  Exact int64 "
+    "cents end-to-end, one integral division",
+)
+def customer_revenue_gini_query(spark, sf_dir):
+    from .operators.windows import distributed_prefix_sum
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    rev = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c0"),
+    ).groupBy("cust").agg(F.sum("c0").alias("cents"))
+    counted = rev.withColumn("one", F.lit(1).cast("long"))
+    ranked = distributed_prefix_sum(
+        counted, "one", order_by=["cents", "cust"], out_col="rnk"
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("rnk") * F.col("cents")).alias("weighted"),
+    )
+    # exact floor(num*1e6/den) without overflow: decompose base-1000
+    staged = (
+        agg.withColumn(
+            "num", 2 * F.col("weighted") - (F.col("n") + 1) * F.col("s")
+        )
+        .withColumn("den", F.col("n") * F.col("s"))
+        .withColumn("q1", F.expr("num div den"))
+        .withColumn("r1", F.col("num") - F.col("q1") * F.col("den"))
+        .withColumn("q2", F.expr("(r1 * 1000) div den"))
+        .withColumn("r2", F.col("r1") * 1000 - F.col("q2") * F.col("den"))
+        .withColumn("q3", F.expr("(r2 * 1000) div den"))
+    )
+    return staged.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("s"),
+        (F.col("q1") * 1000000 + F.col("q2") * 1000 + F.col("q3"))
+        .cast("long")
+        .alias("gini_micro"),
+    )
