@@ -207,6 +207,7 @@ _CERTIFY_FIRST = [
     "orders_priority_sla",
     "supplier_concentration_hhi",
     "customer_revenue_gini",
+    "dedup_jaccard_histogram",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

@@ -15455,3 +15455,81 @@ def customer_revenue_gini_query(spark, sf_dir):
         .cast("long")
         .alias("gini_micro"),
     )
+
+
+_JACHIST_ORACLE = r"""WITH toks AS (
+  SELECT doc_id, w,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS BIGINT)
+           AS pos
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w,
+               generate_subscripts(
+                 regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS ord
+        FROM documents)),
+g AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+ds AS (SELECT DISTINCT doc_id, g FROM g),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ds GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ds a JOIN ds b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+binned AS (
+  SELECT (10 * c) // (sa.n + sb.n - c) AS bin
+  FROM common
+  JOIN sizes sa ON sa.doc_id = common.id_a
+  JOIN sizes sb ON sb.doc_id = common.id_b)
+SELECT CAST(LEAST(bin, 9) AS BIGINT) AS jaccard_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM binned GROUP BY 1"""
+
+
+@register(
+    "dedup_jaccard_histogram",
+    _JACHIST_ORACLE,
+    "the near-duplicate LANDSCAPE: pairwise Jaccard deciles over "
+    "colliding shingle pairs — the decile is the exact integer "
+    "(10·common) div (|A|+|B|−common), no float similarities.  The "
+    "profile that picks a dedup threshold BEFORE committing to one; "
+    "inverted-index pair join, cost scales with collisions",
+)
+def dedup_jaccard_histogram_query(spark, sf_dir):
+    from .operators.dedup import with_shingles
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    ex = (
+        with_shingles(documents, "text", "sh", 3)
+        .select("doc_id", F.explode(F.array_distinct("sh")).alias("g"))
+        .persist()
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        ex.select(F.col("doc_id").alias("id_a"), "g")
+        .join(ex.select(F.col("doc_id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    binned = (
+        common.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+            ),
+            "id_b",
+        )
+        .withColumn("__num__", 10 * F.col("c"))
+        .withColumn("__den__", F.col("n_a") + F.col("n_b") - F.col("c"))
+        .select(F.expr("__num__ div __den__").alias("bin"))
+    )
+    return binned.groupBy(
+        F.least(F.col("bin"), F.lit(9)).cast("long").alias("jaccard_decile")
+    ).agg(F.count("*").alias("n_pairs"))
