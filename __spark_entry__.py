@@ -208,6 +208,7 @@ _CERTIFY_FIRST = [
     "supplier_concentration_hhi",
     "customer_revenue_gini",
     "dedup_jaccard_histogram",
+    "corpus_vocab_overlap_matrix",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

@@ -15533,3 +15533,71 @@ def dedup_jaccard_histogram_query(spark, sf_dir):
     return binned.groupBy(
         F.least(F.col("bin"), F.lit(9)).cast("long").alias("jaccard_decile")
     ).agg(F.count("*").alias("n_pairs"))
+
+
+_VOCABOVR_ORACLE = r"""WITH vw AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM vw GROUP BY source),
+common AS (
+  SELECT a.source AS source_x, b.source AS source_y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM vw a JOIN vw b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_x, source_y, c AS n_common,
+       CAST(c * 1000000 // (sa.n + sb.n - c) AS BIGINT) AS jaccard_micro
+FROM common
+JOIN sizes sa ON sa.source = common.source_x
+JOIN sizes sb ON sb.source = common.source_y"""
+
+
+@register(
+    "corpus_vocab_overlap_matrix",
+    _VOCABOVR_ORACLE,
+    "vocabulary overlap between every source pair — linguistic "
+    "similarity of feeds (same register? same template?): per-source "
+    "distinct-word sets, inverted-index pair join on the word, exact "
+    "integral-micro Jaccard; pairs cross-source dup counts with a "
+    "lexical lens",
+)
+def corpus_vocab_overlap_matrix_query(spark, sf_dir):
+    from .operators.dedup import normalized_tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    vw = documents.select(
+        "source", F.explode(normalized_tokens("text")).alias("w")
+    ).distinct()
+    sizes = vw.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        vw.select(F.col("source").alias("source_x"), "w")
+        .join(vw.select(F.col("source").alias("source_y"), "w"), "w")
+        .filter(F.col("source_x") < F.col("source_y"))
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        common.join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("source_x"),
+                             F.col("n").alias("n_a"))
+            ),
+            "source_x",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("source_y"),
+                             F.col("n").alias("n_b"))
+            ),
+            "source_y",
+        )
+        .withColumn("__num__", F.col("c") * F.lit(1000000).cast("long"))
+        .withColumn("__den__", F.col("n_a") + F.col("n_b") - F.col("c"))
+        .select(
+            "source_x",
+            "source_y",
+            F.col("c").alias("n_common"),
+            F.expr("__num__ div __den__").cast("long").alias("jaccard_micro"),
+        )
+    )
