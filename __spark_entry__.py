@@ -209,6 +209,7 @@ _CERTIFY_FIRST = [
     "customer_revenue_gini",
     "dedup_jaccard_histogram",
     "corpus_vocab_overlap_matrix",
+    "corpus_vocab_coverage_curve",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

@@ -15601,3 +15601,61 @@ def corpus_vocab_overlap_matrix_query(spark, sf_dir):
             F.expr("__num__ div __den__").cast("long").alias("jaccard_micro"),
         )
     )
+
+
+_COVERAGE_CURVE_ORACLE = r"""WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY w),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rnk FROM c),
+tops AS (
+  SELECT k, CAST(SUM(n) AS BIGINT) AS covered
+  FROM (VALUES (5), (10), (20)) AS ks(k)
+  JOIN ranked ON ranked.rnk <= ks.k
+  GROUP BY k)
+SELECT k AS vocab_size, covered,
+       CAST(covered * 1000000 // total AS BIGINT) AS coverage_micro
+FROM tops CROSS JOIN tot"""
+
+
+@register(
+    "corpus_vocab_coverage_curve",
+    _COVERAGE_CURVE_ORACLE,
+    "how big a vocabulary you need: token-mass coverage of the top-k "
+    "words at k=5/10/20 — each k is one TakeOrdered over the reduced "
+    "vocab frame (per-partition heaps, no global sort or window), "
+    "coverage in integral micros.  The sizing curve read before "
+    "training a tokenizer",
+)
+def corpus_vocab_coverage_curve_query(spark, sf_dir):
+    from .operators.dedup import normalized_tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    c = documents.select(
+        F.explode(normalized_tokens("text")).alias("w")
+    ).groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    c = c.persist()
+    total = c.agg(F.sum("n").alias("total"))
+    parts = []
+    for k in (5, 10, 20):
+        topk = c.orderBy(F.desc("n"), "w").limit(k)
+        parts.append(
+            topk.agg(F.sum("n").alias("covered")).select(
+                F.lit(k).cast("long").alias("vocab_size"), "covered"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.crossJoin(F.broadcast(total))
+        .withColumn("__num__", F.col("covered") * F.lit(1000000).cast("long"))
+        .select(
+            "vocab_size",
+            "covered",
+            F.expr("__num__ div total").cast("long").alias("coverage_micro"),
+        )
+    )
