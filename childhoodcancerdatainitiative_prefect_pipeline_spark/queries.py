@@ -15659,3 +15659,50 @@ def corpus_vocab_coverage_curve_query(spark, sf_dir):
             F.expr("__num__ div total").cast("long").alias("coverage_micro"),
         )
     )
+
+
+_HOUR_PROFILE_ORACLE = """WITH h AS (
+  SELECT CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour,
+         event_type
+  FROM events)
+SELECT hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+         AS n_purchases,
+       CAST(COUNT(*) * 1000000
+            // (SELECT COUNT(*) FROM h) AS BIGINT) AS share_micro
+FROM h GROUP BY hour"""
+
+
+@register(
+    "events_hour_profile",
+    _HOUR_PROFILE_ORACLE,
+    "hour-of-day traffic profile with integral-micro shares — the "
+    "capacity-planning heatmap row; one aggregation, the total "
+    "broadcast back",
+)
+def events_hour_profile_query(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    hour = F.expr(
+        "(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " % 86400000000) div 3600000000"
+    ).cast("long")
+    h = events.select(hour.alias("hour"), "event_type")
+    tot = h.agg(F.count("*").alias("total"))
+    return (
+        h.groupBy("hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("event_type") == "purchase", True)).alias(
+                "n_purchases"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__num__", F.col("n") * F.lit(1000000).cast("long"))
+        .select(
+            "hour",
+            "n",
+            "n_purchases",
+            F.expr("__num__ div total").cast("long").alias("share_micro"),
+        )
+    )
