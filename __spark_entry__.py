@@ -211,6 +211,7 @@ _CERTIFY_FIRST = [
     "corpus_vocab_overlap_matrix",
     "corpus_vocab_coverage_curve",
     "events_hour_profile",
+    "lineitem_returns_trend",
     # simple aggregate shapes deferred to the round-4 rotation
     # (locally verified every commit by scripts/verify_driver.py)
     "cpi_associated_ids",

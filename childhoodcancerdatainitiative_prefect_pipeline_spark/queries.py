@@ -15706,3 +15706,48 @@ def events_hour_profile_query(spark, sf_dir):
             F.expr("__num__ div total").cast("long").alias("share_micro"),
         )
     )
+
+
+_RETURNS_ORACLE = """WITH m AS (
+  SELECT CAST(epoch_us(l_shipdate) // 2592000000000 AS BIGINT) AS month,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+  FROM lineitem)
+SELECT month,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(r) AS BIGINT) AS n_returns,
+       CAST(SUM(r) * 1000000 // COUNT(*) AS BIGINT) AS return_rate_micro
+FROM m GROUP BY month"""
+
+
+@register(
+    "lineitem_returns_trend",
+    _RETURNS_ORACLE,
+    "returns-rate trend by ship month in integral micros — the "
+    "quality time-series beside WoW growth and the SLA rates; one "
+    "map-side-combined aggregation",
+)
+def lineitem_returns_trend_query(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    month = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " l_shipdate) div 2592000000000"
+    ).cast("long")
+    m = lineitem.select(
+        month.alias("month"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("r"),
+    )
+    return (
+        m.groupBy("month")
+        .agg(F.count("*").alias("n_lines"), F.sum("r").alias("n_returns"))
+        .withColumn(
+            "__num__", F.col("n_returns") * F.lit(1000000).cast("long")
+        )
+        .select(
+            "month",
+            "n_lines",
+            "n_returns",
+            F.expr("__num__ div n_lines")
+            .cast("long")
+            .alias("return_rate_micro"),
+        )
+    )
