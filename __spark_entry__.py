@@ -182,6 +182,8 @@ _CERTIFY_FIRST = [
     "eval_calibration_bins",
     "stats_bootstrap_ci",
     "multimodal_bmp_decode",
+    "multimodal_png_decode",
+    "bam_stats_extract",
     "lineitem_mad_outliers",
     "sql_interface_top_orders",
     "diagnostics_skew_keys",
@@ -251,10 +253,40 @@ _CERTIFY_FIRST = [
 ]
 
 
+def _already_certified() -> set[str]:
+    """Names already green in a past round's CORRECTNESS_r*.json.
+
+    Reading the driver's own artifacts makes the rotation automatic:
+    entries certified in any earlier round sink to the back, so each
+    round's 50-query window lands on never-yet-certified entries
+    without hand-maintaining the list between rounds.
+    """
+    import json
+    from pathlib import Path
+
+    done: set[str] = set()
+    for f in sorted(Path(__file__).parent.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            done.update(
+                k
+                for k, v in data.items()
+                if isinstance(v, dict) and not v.get("err")
+            )
+    return done
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     pos = {n: i for i, n in enumerate(_CERTIFY_FIRST)}
-    names = sorted(REGISTRY, key=lambda n: pos.get(n, len(_CERTIFY_FIRST)))
+    certified = _already_certified()
+    names = sorted(
+        REGISTRY,
+        key=lambda n: (n in certified, pos.get(n, len(_CERTIFY_FIRST)), n),
+    )
     return {name: REGISTRY[name].fn for name in names}
 
 

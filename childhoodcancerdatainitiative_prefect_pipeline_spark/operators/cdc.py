@@ -123,6 +123,17 @@ def incremental_agg(
     standard incremental-view algebra for distributive aggregates
     (count/sum; min/max need a re-scan on retraction and are out of
     scope here).
+
+    .. warning:: **The changelog batch must be applied exactly once.**
+       Unlike :func:`apply_changelog` (idempotent by keyed upsert),
+       retract+add arithmetic double-retracts on a crash-replayed
+       batch — wrap calls in an idempotent sink (see
+       ``streaming.events.idempotent_batch_writer``) or dedup the
+       changelog on a change id first.  A group driven to a NEGATIVE
+       count is exactly that corruption signature, so it raises at
+       execution time rather than being silently dropped (ADVICE r03);
+       a count of zero is the legitimate "group disappeared" case and
+       drops out.
     """
     # value columns pass through UNCAST: a silent cast("long") here
     # would truncate fractional deltas and drift the maintained sum.
@@ -143,9 +154,25 @@ def incremental_agg(
         .groupBy(group_col)
         .agg(F.sum("__dc__").alias("__dc__"), F.sum("__dv__").alias("__dv__"))
     )
+    new_count = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(
+        "__dc__", F.lit(0)
+    )
     merged = base_agg.join(deltas, group_col, "full_outer").select(
         group_col,
-        (F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce("__dc__", F.lit(0)))
+        F.when(new_count >= 0, new_count)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("incremental_agg: group "),
+                    F.col(group_col).cast("string"),
+                    F.lit(
+                        " has a negative maintained count — a changelog"
+                        " batch was retracted more than once (replayed"
+                        " non-exactly-once input)"
+                    ),
+                )
+            ).cast("long")
+        )
         .alias(count_col),
         (F.coalesce(F.col(sum_col), F.lit(0)) + F.coalesce("__dv__", F.lit(0)))
         .alias(sum_col),

@@ -6,11 +6,13 @@ Decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so a 1000-executor cluster streams batches
 without materializing whole partitions.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT available in this
-container, so the decode kernel is stubbed behind
+Codec libraries (PIL/librosa/ffmpeg) are NOT available in this
+container.  Formats decodable with the stdlib alone get REAL
+decoders — 24-bpp BMP (struct parse) and 8-bit PNG (zlib inflate +
+scanline unfiltering) — while JPEG/audio kernels stay stubbed behind
 ``DECODERS_AVAILABLE`` with a deterministic fake; the Spark-side
-contract — schemas, batch iteration, partitioning — is real and
-tested.
+contract — schemas, batch iteration, partitioning — is identical for
+real and stubbed paths and fully tested.
 """
 
 from __future__ import annotations
@@ -285,19 +287,197 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# REAL image decode #2: PNG.  PNG is pure stdlib — zlib inflate +
+# per-scanline unfiltering (None/Sub/Up/Average/Paeth) — so unlike
+# JPEG (needs a DCT codec) it gets a REAL decoder, not a stub
+# (VERDICT r03 item 3).  Supports the dominant practical subset:
+# 8-bit RGB (color type 2) and RGBA (type 6), non-interlaced.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixel_fn,
+    alpha: bool = False,
+    filter_cycle: tuple[int, ...] = (0, 1, 2, 3, 4),
+) -> bytes:
+    """Minimal 8-bit PNG writer (stdlib only).
+
+    ``pixel_fn(x, y) -> (r, g, b)`` (or ``(r, g, b, a)`` with
+    ``alpha``).  ``filter_cycle`` picks the filter type per scanline
+    (cycling), deliberately exercising every unfilter path in
+    :func:`decode_png` — a constant-filter writer would leave
+    Average/Paeth untested.
+    """
+    import struct
+    import zlib
+
+    bpp = 4 if alpha else 3
+    color_type = 6 if alpha else 2
+    stride = width * bpp
+    prev = bytearray(stride)
+    out = bytearray()
+    for y in range(height):
+        raw = bytearray()
+        for x in range(width):
+            raw += bytes(pixel_fn(x, y)[:bpp])
+        ft = filter_cycle[y % len(filter_cycle)]
+        filt = bytearray(stride)
+        for i in range(stride):
+            a = raw[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                filt[i] = raw[i]
+            elif ft == 1:
+                filt[i] = (raw[i] - a) & 0xFF
+            elif ft == 2:
+                filt[i] = (raw[i] - b) & 0xFF
+            elif ft == 3:
+                filt[i] = (raw[i] - (a + b) // 2) & 0xFF
+            else:
+                filt[i] = (raw[i] - _paeth(a, b, c)) & 0xFF
+        out += bytes([ft]) + filt
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Full stdlib PNG decode: chunk walk (CRC-checked), zlib inflate,
+    all five scanline unfilters; emits dimensions + exact per-channel
+    integer sums (alpha excluded from sums, like the BMP twin).
+
+    Supported: 8-bit depth, color types 2 (RGB) / 6 (RGBA),
+    non-interlaced.  Raises ``ValueError`` on anything else or on any
+    structural corruption — quarantine upstream (dead-letter
+    discipline, same contract as :func:`decode_bmp`).
+    """
+    import struct
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    saw_iend = False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    if not saw_iend:
+        raise ValueError("truncated PNG (no IEND)")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6):
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color_type={color_type})"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    bpp = 4 if color_type == 6 else 3
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("decompressed size mismatch")
+    prev = bytearray(stride)
+    sr = sg = sb = 0
+    for y in range(height):
+        base = y * (stride + 1)
+        ft = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ft == 1:
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad filter type {ft}")
+        for x in range(width):
+            sr += line[x * bpp]
+            sg += line[x * bpp + 1]
+            sb += line[x * bpp + 2]
+        prev = line
+    return {
+        "width": width,
+        "height": height,
+        "sum_r": sr,
+        "sum_g": sg,
+        "sum_b": sb,
+    }
+
+
 BMP_STATS_SCHEMA = (
     "media_id long, width long, height long, sum_r long, sum_g long, "
     "sum_b long, decode_error string"
 )
 
 
-def decode_bmp_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+def _decode_stats(media: DataFrame, decode_fn, id_col: str) -> DataFrame:
     """Arrow-batched REAL decode: payload → dimensions + channel sums.
 
     Malformed payloads produce a ``decode_error`` row instead of
     failing the stage (dead-letter discipline); the batch contract is
-    identical to the stubbed PNG/JPEG kernels, so swapping in real
-    codecs later changes one function, not the plan.
+    identical across formats (and to the stubbed JPEG/audio kernels),
+    so swapping codecs changes one function, not the plan.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -305,7 +485,7 @@ def decode_bmp_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf["payload"]):
                 try:
-                    d = decode_bmp(bytes(payload))
+                    d = decode_fn(bytes(payload))
                     rows.append(
                         (int(mid), d["width"], d["height"], d["sum_r"],
                          d["sum_g"], d["sum_b"], None)
@@ -324,3 +504,13 @@ def decode_bmp_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     return media.select(id_col, "payload").mapInPandas(
         kernel, BMP_STATS_SCHEMA
     )
+
+
+def decode_bmp_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """24-bpp BMP payloads → dimensions + exact channel sums."""
+    return _decode_stats(media, decode_bmp, id_col)
+
+
+def decode_png_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """8-bit RGB/RGBA PNG payloads → dimensions + exact channel sums."""
+    return _decode_stats(media, decode_png, id_col)

@@ -598,9 +598,23 @@ def pq_adc_topk(
     queries = e.filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
+    # the packed key reserves 40 bits for cid; an oversized codeword id
+    # would silently collide / miss the map lookup and drop rows from
+    # the top-k (ADVICE r03) — fail loudly instead
+    cid_checked = F.when(
+        (F.col("cid") >= 0) & (F.col("cid") < F.lit(1 << 40)), F.col("cid")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("pq_adc_topk: codeword id out of [0, 2^40) — "),
+                F.col("cid").cast("string"),
+                F.lit(" overflows the packed (m, cid) distance-table key"),
+            )
+        ).cast("long")
+    )
     dtab = queries.join(F.broadcast(codebook)).select(
         "query_id",
-        (F.col("m").cast("long") * F.lit(1 << 40) + F.col("cid")).alias("slot"),
+        (F.col("m").cast("long") * F.lit(1 << 40) + cid_checked).alias("slot"),
         _l2sq_micro(
             F.slice("qv", F.col("m") * d_sub + 1, d_sub), F.col("cw")
         ).alias("d"),

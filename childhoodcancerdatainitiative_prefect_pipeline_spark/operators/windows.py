@@ -157,5 +157,50 @@ def distributed_prefix_sum(
     return (
         d.join(F.broadcast(offsets), "__pid__")
         .withColumn(out_col, F.col("__local__") + F.col("__offset__"))
-        .drop("__pid__", "__local__")
+        .drop("__pid__", "__local__", "__offset__")
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_by: Sequence[Column | str],
+    out_col: str,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Global ``NTILE(n)`` without a single-partition window.
+
+    ``F.ntile(n).over(Window.orderBy(...))`` funnels the entire frame
+    through ONE task.  This twin derives the exact same bucket ids
+    from a distributed global row_number (:func:`distributed_prefix_sum`
+    over a constant 1) plus SQL's NTILE remainder rule: with N rows,
+    the first ``N % n`` buckets get ``N // n + 1`` rows, the rest get
+    ``N // n``.  The order must be TOTAL (include a unique tie-break
+    key) so the row_number — and therefore the tile — is deterministic.
+
+    The only partitionless window left is the n_partitions-row offsets
+    frame inside the prefix sum (the ``orders_abc_pareto_scaled``
+    shape), so the plan scales with data volume.
+    """
+    ranked = distributed_prefix_sum(
+        df.withColumn("__one__", F.lit(1).cast("long")),
+        "__one__",
+        order_by,
+        n_partitions=n_partitions,
+        out_col="__rn__",
+    ).drop("__one__")
+    total = ranked.agg(F.max("__rn__").alias("__n__"))
+    r, n = F.col("__rn__"), F.col("__n__")
+    q = F.floor(n / n_tiles)
+    rem = n % n_tiles
+    cutoff = rem * (q + 1)
+    tile = (
+        F.when(r <= cutoff, F.floor((r - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((r - cutoff - 1) / q) + 1)
+        .cast("int")
+    )
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn(out_col, tile)
+        .drop("__rn__", "__n__")
     )

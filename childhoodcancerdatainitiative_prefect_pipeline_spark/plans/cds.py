@@ -246,6 +246,7 @@ def cds_metadata(
     required_cols: list[str],
     paths: tuple[CdsPath, ...] = CDS_PATHS,
     persist_file: bool = True,
+    persist_nodes: bool = True,
 ) -> DataFrame:
     """The full CDS Metadata frame.
 
@@ -256,17 +257,23 @@ def cds_metadata(
 
     ``persist_file`` materializes the file union once instead of
     re-deriving it for each of the 14 paths — measured 23.8 s → 8.7 s
-    at sf0.1 (the derived-dimension persist is still a loss, see
-    SCALE.md; it's the 14×-re-scanned FACT that pays).  The
-    materialization is EAGER (``localCheckpoint``): a lazy persist
-    races — the 14 path branches of the single downstream job all
-    start before the cache populates and each re-derives the fact.
-    Disable when the fact is a raw partitioned parquet scan whose
-    per-path link pushdown prunes to disjoint row groups —
-    re-reading beats caching 100 TB.
+    at sf0.1.  ``persist_nodes`` does the same for the five node
+    dimensions: each appears in up to 14 path subtrees, and while AQE
+    can reuse identical broadcast exchanges, a derived dimension
+    (e.g. ``participant_level``, itself a 5-table join) is otherwise
+    re-PLANNED 14× — at 100 TB that is 14 redundant dimension builds
+    per run (VERDICT r03 item 4).  Both materializations are EAGER
+    (``localCheckpoint``): a lazy persist races — the 14 path
+    branches of the single downstream job all start before the cache
+    populates and each re-derives the input.  Disable ``persist_file``
+    when the fact is a raw partitioned parquet scan whose per-path
+    link pushdown prunes to disjoint row groups — re-reading beats
+    caching 100 TB.
     """
     if persist_file:
         file_df = file_df.localCheckpoint()
+    if persist_nodes:
+        nodes = {k: v.localCheckpoint() for k, v in nodes.items()}
     flat = flatten_paths(file_df, nodes, paths)
     flat = flat.filter(F.col("personnel_type") == "PI")
     proj = flat.select(

@@ -82,7 +82,7 @@ def break_node(
     columns → ``parent.id`` mints, redundant ``parent.parent_id``
     drops.  No shuffle.
     """
-    passthrough: list[Column] = [F.lit(node).alias("type")]
+    passthrough: dict[str, Column] = {"type": F.lit(node).alias("type")}
     # minted id columns keyed by alias: two dotted columns for the same
     # parent both target "<parent>.id" — keep the LAST one, matching
     # the reference's pandas column assignment (last write wins,
@@ -94,7 +94,7 @@ def break_node(
         parent = c.split(".", 1)[0] if dotted else None
         redundant_link = dotted and c.split(".", 1)[1] == f"{parent}_id"
         if not redundant_link:
-            passthrough.append(F.col(f"`{c}`"))
+            passthrough[c] = F.col(f"`{c}`")
         # F.concat (not concat_ws) so a null key yields a null name →
         # null id, matching the reference's pd.isna passthrough
         # (s3_ccdi_to_tabbreakery.py:35-36)
@@ -108,7 +108,12 @@ def break_node(
                 f"{study_id}::{parent}::", F.col(f"`{c}`"), surrogate, seed,
                 multi_value,
             ).alias(f"{parent}.id")
-    return sheet.select(*passthrough, *minted.values())
+    # a sheet that already carries a literal "id" / "<parent>.id"
+    # column must not survive next to the minted sibling: the
+    # reference's pandas assignment OVERWRITES it (last write wins),
+    # so the minted alias supersedes the passthrough (ADVICE r03)
+    kept = [col for name, col in passthrough.items() if name not in minted]
+    return sheet.select(*kept, *minted.values())
 
 
 def keep_sheet(sheet: DataFrame, node: str) -> bool:

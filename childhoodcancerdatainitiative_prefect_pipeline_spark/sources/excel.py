@@ -61,6 +61,49 @@ def _iter_sheets(path: str):
     wb.close()
 
 
+def workbook_version(path: str) -> str:
+    """Extract the embedded template version from the ``README and
+    INSTRUCTIONS`` sheet.
+
+    The version string (``v1.9.1``) lives in the THIRD cell of the
+    sheet's first row; the reference reads it as
+    ``readme_df.columns[2][1:]`` — i.e. the leading ``v`` is stripped
+    (``CheckCCDI.get_version`` src/utils.py:1119-1122,
+    ``check_ccdi_version`` src/utils.py:335-345).  Raises
+    ``ValueError`` when the sheet or the cell is missing/malformed.
+    """
+    for title, rows in _iter_sheets(path):
+        if title != "README and INSTRUCTIONS":
+            continue
+        first = next(rows, None)
+        if not first or len(first) < 3 or first[2] is None:
+            raise ValueError(
+                "README and INSTRUCTIONS sheet has no version cell "
+                "(expected 'v<semver>' in the third cell of row 1)"
+            )
+        cell = str(first[2]).strip()
+        if not cell.startswith("v"):
+            raise ValueError(
+                f"embedded version cell {cell!r} does not start with 'v'"
+            )
+        return cell[1:]
+    raise ValueError("workbook has no 'README and INSTRUCTIONS' sheet")
+
+
+def check_workbook_version(path: str, template_version: str) -> str:
+    """The runner's step-2 gate (workflows/s3-Prefect-Pipeline.py:79-131):
+    the manifest's embedded version must match the template the run
+    was resolved against — mismatches abort before any node data is
+    read.  Delegates the comparison (and its error text) to
+    :func:`.schema_registry.version_gate`; returns the manifest
+    version on success."""
+    from .schema_registry import version_gate
+
+    manifest_version = workbook_version(path)
+    version_gate(manifest_version, template_version)
+    return manifest_version
+
+
 def workbook_to_tables(
     spark: SparkSession,
     path: str,

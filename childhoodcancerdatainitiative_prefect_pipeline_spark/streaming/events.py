@@ -135,6 +135,17 @@ def attribution_join(
     emission REQUIRES the watermark + time bound (state must provably
     close before a null can be final); in batch mode it degrades to a
     plain left join.
+
+    .. warning:: **left_outer requires both event types to keep
+       flowing.**  Both branches derive from ONE watermarked source,
+       and each branch's watermark only advances with its own event
+       type; if either type goes quiet the shared watermark stalls,
+       join state stops expiring, and unmatched-trigger nulls are
+       NEVER emitted — the outer feed silently dries up while the
+       inner results keep flowing.  In production either inject
+       per-type heartbeat events, or pre-filter each type into its
+       own source with its own watermark before calling this with
+       ``how != "inner"``.
     """
     # watermark attached before the type filters — but note the sharp
     # edge: Catalyst pushes the filters BELOW the watermark node, so

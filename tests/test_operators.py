@@ -1399,6 +1399,37 @@ def test_distributed_prefix_sum_matches_global_window(spark):
         assert got == expected, f"mismatch at n_partitions={n_parts}"
 
 
+def test_distributed_ntile_matches_global_ntile(spark):
+    """distributed_ntile must reproduce F.ntile bit-for-bit, including
+    SQL's remainder rule (first N%n buckets one row larger), for
+    bucket counts that divide and don't divide N, across partition
+    counts."""
+    from pyspark.sql import Window
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.windows import (
+        distributed_ntile,
+    )
+
+    rows = [(i, (i * 7919) % 13) for i in range(1, 38)]  # 37 rows, ties
+    df = spark.createDataFrame(rows, "id bigint, val int")
+    order = [F.col("val").asc(), F.col("id").asc()]
+    for n_tiles in (3, 5, 37, 50):
+        expected = {
+            r["id"]: r["t"]
+            for r in df.withColumn(
+                "t", F.ntile(n_tiles).over(Window.orderBy(*order))
+            ).collect()
+        }
+        for n_parts in (1, 4, 16):
+            got = {
+                r["id"]: r["t"]
+                for r in distributed_ntile(
+                    df, n_tiles, order, out_col="t", n_partitions=n_parts
+                ).collect()
+            }
+            assert got == expected, (n_tiles, n_parts)
+
+
 def test_idempotent_batch_sink_replay_safe(spark, tmp_path):
     """Replaying a micro-batch with the same batch_id (at-least-once
     delivery after a crash) must not duplicate rows; distinct batch
@@ -2068,3 +2099,55 @@ def test_bmp_encode_decode_roundtrip_and_quarantine(spark):
     rows = {r["media_id"]: r for r in decode_bmp_stats(media).collect()}
     assert rows[1]["decode_error"] is None and rows[1]["sum_b"] == 768
     assert rows[2]["decode_error"] is not None  # quarantined, stage survives
+
+
+def test_png_encode_decode_all_filters_and_quarantine(spark):
+    """Real (stdlib) PNG decode: zlib inflate + all five scanline
+    unfilters (None/Sub/Up/Average/Paeth), RGB and RGBA, exact channel
+    sums; structural corruption (bad magic, truncation, CRC damage)
+    dead-letters instead of failing the stage."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.multimodal import (
+        decode_png,
+        decode_png_stats,
+        encode_png,
+    )
+
+    def pf(x, y):
+        return ((x * 7 + y * 3) % 256, (x * 13 + y * 29) % 256, (x * 31) % 256)
+
+    # each single-filter encoding must decode identically — pins every
+    # unfilter branch in isolation, then the cycling default
+    expected = {
+        "r": sum(pf(x, y)[0] for x in range(17) for y in range(11)),
+        "g": sum(pf(x, y)[1] for x in range(17) for y in range(11)),
+        "b": sum(pf(x, y)[2] for x in range(17) for y in range(11)),
+    }
+    for cycle in ((0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)):
+        d = decode_png(encode_png(17, 11, pf, filter_cycle=cycle))
+        assert (d["width"], d["height"]) == (17, 11), cycle
+        assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (
+            expected["r"], expected["g"], expected["b"],
+        ), cycle
+
+    # RGBA: alpha channel present in the payload, excluded from sums
+    d = decode_png(encode_png(5, 4, lambda x, y: (*pf(x, y), 200), alpha=True))
+    assert d["sum_r"] == sum(pf(x, y)[0] for x in range(5) for y in range(4))
+
+    good = encode_png(6, 3, pf)
+    crc_damaged = bytearray(good)
+    crc_damaged[20] ^= 0xFF  # flip a bit inside IHDR → CRC mismatch
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(b"not a png at all")),
+            (3, bytearray(good[:-6])),  # truncated: IEND cut off
+            (4, crc_damaged),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_png_stats(media).collect()}
+    assert rows[1]["decode_error"] is None
+    assert rows[1]["sum_r"] == sum(pf(x, y)[0] for x in range(6) for y in range(3))
+    for bad in (2, 3, 4):
+        assert rows[bad]["decode_error"] is not None, bad
+        assert rows[bad]["width"] is None

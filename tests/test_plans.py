@@ -389,3 +389,22 @@ def test_token_entropy_is_shuffle_free(spark, sf_dir):
     plan = _plan(REGISTRY["text_token_entropy"].fn(spark, sf_dir))
     tree = plan.split("(1)")[0]
     assert "Exchange" not in tree
+
+
+def test_rfm_has_no_global_ntile_window(spark, sf_dir):
+    """customer_rfm_segments must not funnel the per-customer frame
+    through one task (VERDICT r03 item 2): the quintile scores come
+    from distributed_ntile (range-partitioned row_number + the NTILE
+    remainder rule), so no `ntile` window function survives in the
+    plan and every remaining single-partition window sits on the
+    n_partitions-row offsets frame of the prefix sums."""
+    plan = _plan(REGISTRY["customer_rfm_segments"].fn(spark, sf_dir))
+    assert "ntile" not in plan.lower()
+    # the range partitioning itself is pinned behind the prefix sums'
+    # localCheckpoint (plan shows the checkpointed RDD scan); what must
+    # remain visible is that every window is a pid-partitioned local
+    # prefix or the tiny offsets window -- no window sorts the full
+    # customer frame by a score column.
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__pid__" in line, line
