@@ -1,0 +1,110 @@
+"""DCC manifest-join: GUID → business-key translation, multi-valued.
+
+Reference: src/join_tsv_to_manifest_dcc.py — the DCC flavor of the
+TSV→manifest join.  Where the non-DCC flow translates surrogate
+``<parent>.id`` columns through a per-node (id → key) map
+(src/join_tsv_to_manifest.py:111-192; engine twin
+``surrogate_key_translate``), the DCC flow:
+
+1. builds ONE global ``guid → <type>_id`` mapping from every node TSV
+   that carries both a ``guid`` and its ``<type>_id`` column
+   (``build_guid_to_id_mapping``);
+2. maps each ``<parent>.guid`` column to ``<parent>.<parent>_id`` —
+   but cells are **multi-valued**: ``;``-joined GUID lists whose items
+   are trimmed, looked up individually, and re-joined.  An unmapped
+   GUID becomes the empty string (the reference logs a warning and
+   appends ``""``); null/blank cells become ``""``;
+3. blanks the consumed ``<parent>.guid`` columns and the node's own
+   ``guid`` column before writing back into the template sheet.
+
+Spark-first design: the mapping is submission-sized (the reference
+holds it as a Python dict), so it collapses into ONE ``map``-typed
+literal row broadcast to every task; the per-cell translation is then
+a row-local ``transform`` over the split array — no explode, no
+shuffle, no UDF.  For mappings too large to broadcast, posexplode +
+broadcast-join + re-``string_agg`` by position is the drop-in
+alternative (same null/missing semantics); the row-local path is the
+right default because a guid map bigger than executor memory implies
+a submission bigger than any the reference flow can process at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def build_guid_mapping(nodes: dict[str, DataFrame]) -> DataFrame:
+    """Global ``guid → node_id`` frame from all node tables.
+
+    Mirrors ``build_guid_to_id_mapping``
+    (src/join_tsv_to_manifest_dcc.py:212-228): only nodes exposing
+    both ``guid`` and ``<node>_id`` contribute; values are trimmed and
+    null pairs dropped.  GUIDs are unique by construction; if a guid
+    somehow repeats, the max id wins deterministically (the reference
+    dict's last-file-wins is directory-order-dependent).
+    """
+    parts = []
+    for node, df in nodes.items():
+        id_col = f"{node}_id"
+        if "guid" in df.columns and id_col in df.columns:
+            parts.append(
+                df.select(
+                    F.trim(F.col("guid")).alias("guid"),
+                    F.trim(F.col(id_col)).alias("node_id"),
+                ).filter(
+                    F.col("guid").isNotNull() & F.col(id_col).isNotNull()
+                )
+            )
+    if not parts:
+        raise ValueError("no node table carries both guid and <node>_id")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("guid").agg(F.max("node_id").alias("node_id"))
+
+
+def _remap_cell(col: Column, guid_map: Column) -> Column:
+    """One multi-valued cell through the broadcast map.
+
+    Split on ``;``, trim items, drop empties, look each up (missing →
+    ``""``), re-join — null/blank cells collapse to ``""``
+    (src/join_tsv_to_manifest_dcc.py:293-316).
+    """
+    items = F.filter(
+        F.transform(F.split(col, ";"), F.trim), lambda x: x != ""
+    )
+    mapped = F.transform(
+        items, lambda g: F.coalesce(F.element_at(guid_map, g), F.lit(""))
+    )
+    return F.coalesce(F.array_join(mapped, ";"), F.lit(""))
+
+
+def remap_guid_columns(
+    df: DataFrame, mapping: DataFrame, guid_cols: list[str] | None = None
+) -> DataFrame:
+    """Translate every ``<parent>.guid`` column of ``df`` to
+    ``<parent>.<parent>_id`` business keys and blank the guid columns.
+
+    ``mapping`` is the :func:`build_guid_mapping` frame.  The output
+    keeps all other columns; each consumed ``<parent>.guid`` column is
+    set to ``""`` and the node's own ``guid`` column (if present) is
+    blanked too, matching the reference's sheet-write discipline.
+    """
+    if guid_cols is None:
+        guid_cols = [c for c in df.columns if c.endswith(".guid")]
+    gm = mapping.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("guid", "node_id"))
+        ).alias("__gm__")
+    )
+    out = df.join(F.broadcast(gm))
+    for gcol in guid_cols:
+        parent = gcol.split(".", 1)[0]
+        target = f"{parent}.{parent}_id"
+        out = out.withColumn(
+            target, _remap_cell(F.col(f"`{gcol}`"), F.col("__gm__"))
+        ).withColumn(gcol, F.lit(""))
+    if "guid" in df.columns:
+        out = out.withColumn("guid", F.lit(""))
+    return out.drop("__gm__")
