@@ -274,7 +274,13 @@ def _already_certified() -> set[str]:
             done.update(
                 k
                 for k, v in data.items()
-                if isinstance(v, dict) and not v.get("err")
+                if isinstance(v, dict)
+                and not v.get("err")
+                and v.get("rows_match")
+                and v.get("schema_match")
+                # rows-only entries record hash_match=None; a recorded
+                # False is a real failure and must rotate back to front.
+                and v.get("hash_match") is not False
             )
     return done
 

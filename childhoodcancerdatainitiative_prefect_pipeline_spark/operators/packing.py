@@ -33,19 +33,27 @@ def pack_sequences(
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
     n_groups: int = 64,
+    shard_col: "F.Column | None" = None,
 ) -> DataFrame:
     """First-fit-decreasing packing within hash shards.
 
     Returns ``(pack_id, <id_col>, <token_col>)`` — every input doc
     exactly once, each pack's token total ≤ ``budget`` (singleton
     packs may exceed it when one doc alone does).
+
+    ``shard_col`` overrides the default ``xxhash64(id) % n_groups``
+    salt with a caller-supplied expression — used by the certified
+    registry twin, which shards on a portable ``id % n_groups`` so a
+    SQL oracle can replay the identical FFD loop (same trick as the
+    ``_md5`` dedup entries: pin the algorithm by substituting a
+    portable salt).
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if shard_col is None:
+        shard_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups))
     salted = docs.select(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups))
-        .cast("int")
-        .alias("__shard__"),
+        shard_col.cast("int").alias("__shard__"),
         F.col(id_col),
         F.col(token_col).cast("long").alias(token_col),
     )

@@ -71,8 +71,12 @@ def _remap_cell(col: Column, guid_map: Column) -> Column:
     ``""``), re-join — null/blank cells collapse to ``""``
     (src/join_tsv_to_manifest_dcc.py:293-316).
     """
+    # NB: the callback must be a single-arg lambda — passing F.trim
+    # directly would let transform bind its (element, index) form and
+    # resolve the deprecated two-argument TRIM(str, trimChars).
     items = F.filter(
-        F.transform(F.split(col, ";"), F.trim), lambda x: x != ""
+        F.transform(F.split(col, ";"), lambda x: F.trim(x)),
+        lambda x: x != "",
     )
     mapped = F.transform(
         items, lambda g: F.coalesce(F.element_at(guid_map, g), F.lit(""))

@@ -4171,6 +4171,78 @@ def surrogate_key_translate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# DCC manifest GUID remap (src/join_tsv_to_manifest_dcc.py:212-316):
+# the DCC flavor builds ONE global guid → <type>_id map and translates
+# MULTI-VALUED `;`-joined guid cells — items trimmed, unmapped guids
+# becoming "", null/blank cells collapsing to "" — then blanks the
+# consumed guid columns.  Exercises plans/dcc.py end-to-end.
+# ---------------------------------------------------------------------------
+
+_DCC_REMAP_ORACLE = """WITH mapping AS (
+  SELECT 'guid-' || md5(CAST(c_custkey AS VARCHAR)) AS guid,
+         'C' || CAST(c_custkey AS VARCHAR) AS node_id
+  FROM customer),
+m1 AS (
+  SELECT map_from_entries(list(row(guid, node_id))) AS gm FROM mapping),
+src AS (
+  SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS orders_id,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+              WHEN o_orderkey % 5 = 0 THEN
+                ' guid-' || md5(CAST(o_custkey AS VARCHAR))
+                || ' ; guid-unknown-' || CAST(o_orderkey AS VARCHAR)
+              ELSE 'guid-' || md5(CAST(o_custkey AS VARCHAR)) END AS cell
+  FROM orders)
+SELECT s.orders_id,
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(
+             list_transform(string_split(coalesce(s.cell, ''), ';'),
+                            x -> trim(x)),
+             x -> x <> ''),
+           g -> coalesce(gm[g][1], '')), ';'), '')
+         AS "customer.customer_id",
+       '' AS "customer.guid"
+FROM src s, m1"""
+
+
+@register(
+    "dcc_manifest_guid_remap",
+    _DCC_REMAP_ORACLE,
+    "DCC manifest join: global guid→<type>_id map over multi-valued "
+    "`;`-joined cells, items trimmed, unmapped → '', guid columns "
+    "blanked (src/join_tsv_to_manifest_dcc.py:212-316)",
+)
+def dcc_manifest_guid_remap(spark, sf_dir):
+    from .plans.dcc import build_guid_mapping, remap_guid_columns
+
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    ck = F.md5(F.encode(F.col("c_custkey").cast("string"), "UTF-8"))
+    node = customer.select(
+        F.concat(F.lit("guid-"), ck).alias("guid"),
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias(
+            "customer_id"
+        ),
+    )
+    mapping = build_guid_mapping({"customer": node})
+    ok = F.col("o_orderkey")
+    omd5 = F.md5(F.encode(F.col("o_custkey").cast("string"), "UTF-8"))
+    child = orders.select(
+        F.concat(F.lit("O"), ok.cast("string")).alias("orders_id"),
+        F.when(ok % 13 == 0, F.lit(None).cast("string"))
+        .when(
+            ok % 5 == 0,
+            F.concat(
+                F.lit(" guid-"), omd5,
+                F.lit(" ; guid-unknown-"), ok.cast("string"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("guid-"), omd5))
+        .alias("customer.guid"),
+    )
+    return remap_guid_columns(child, mapping)
+
+
+# ---------------------------------------------------------------------------
 # CPI associated-id crosswalk (workflows/ccdi_cpi_query.py:126-200):
 # for each (participant, domain) fetch the participant's ids in every
 # OTHER domain — a self-join of the crosswalk on the global id.
@@ -4939,12 +5011,55 @@ def corpus_curation_pipeline(spark, sf_dir):
     )
 
 
+# FFD is deterministic given the shard salt and the (tokens desc, id)
+# in-shard order, so the oracle replays the exact first-fit loop as a
+# recursive CTE whose state is the per-shard list of pack totals: each
+# step places the next doc in the FIRST pack it fits (index lambda
+# over the totals list) or opens a new one (r03 VERDICT item 8).  The
+# certified twin shards on portable `doc_id % 16` instead of xxhash64
+# — same algorithm-pinning-by-portable-salt trick as the _md5 dedup
+# entries; the operator default stays hash-salted.
+_PACK_ORACLE = r"""WITH RECURSIVE base AS (
+  SELECT doc_id % 16 AS shard, doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents),
+docs AS (
+  SELECT shard, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM base),
+rec AS (
+  SELECT shard, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
+         CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS INTEGER) AS pack,
+         CAST([] AS BIGINT[]) AS totals
+  FROM (SELECT DISTINCT shard FROM docs)
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         CAST(coalesce(f.idx - 1, len(r.totals)) AS INTEGER) AS pack,
+         CASE WHEN f.idx IS NULL THEN list_append(r.totals, d.n_tokens)
+              ELSE list_transform(r.totals,
+                     (x, j) -> CASE WHEN j = f.idx THEN x + d.n_tokens
+                               ELSE x END)
+         END AS totals
+  FROM rec r
+  JOIN docs d ON d.shard = r.shard AND d.rn = r.rn + 1
+  LEFT JOIN LATERAL (
+    SELECT list_filter(range(1, len(r.totals) + 1),
+                       i -> r.totals[i] + d.n_tokens <= 2048)[1] AS idx
+  ) f ON TRUE
+)
+SELECT CAST(shard AS VARCHAR) || '-' || CAST(pack AS VARCHAR) AS pack_id,
+       doc_id, n_tokens
+FROM rec WHERE rn > 0"""
+
+
 @register(
     "corpus_pack_sequences",
-    None,  # packing assignment is engine-specific → rows-only;
-    # invariants (budget respected, every doc once) unit-tested
-    "sequence packing (LLM-data op): first-fit-decreasing within hash "
-    "shards via one applyInPandas; packs ≤ 2048-token budget",
+    _PACK_ORACLE,
+    "sequence packing (LLM-data op): first-fit-decreasing within "
+    "shards via one applyInPandas; packs ≤ 2048-token budget; oracle "
+    "replays the identical FFD loop as a recursive CTE over the "
+    "per-shard pack-totals list (portable doc_id %% 16 salt)",
 )
 def corpus_pack_sequences(spark, sf_dir):
     from .operators.packing import pack_sequences
@@ -4954,7 +5069,12 @@ def corpus_pack_sequences(spark, sf_dir):
     docs = documents.select(
         "doc_id", token_count("text").cast("long").alias("n_tokens")
     )
-    return pack_sequences(docs, budget=2048, n_groups=16)
+    return pack_sequences(
+        docs,
+        budget=2048,
+        n_groups=16,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(16)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -7626,15 +7746,48 @@ def dedup_incremental_batch(spark, sf_dir):
     )
 
 
+# 5 bounded iterations unroll into 5 chained CTE pairs (contribution
+# sum → rank refresh).  The graph is symmetric (every node appears as
+# a src), so the dangling term is identically zero in both engines and
+# the float ranks agree to ~1e-15 relative — far inside the driver's
+# %.6g normalization (r03 VERDICT item 8: rows-only → oracle).
+_PAGERANK_ITER = """, s{k} AS (
+  SELECT e.dst, SUM(p.rank / d.out_deg) AS in_sum
+  FROM r{p} p JOIN edges e ON p.node = e.src
+  JOIN deg d ON d.src = p.node
+  GROUP BY e.dst
+), r{k} AS (
+  SELECT nd.node,
+         0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.in_sum, 0) AS rank
+  FROM nodes nd LEFT JOIN s{k} s ON nd.node = s.dst
+)"""
+
+_PAGERANK_ORACLE = (
+    """WITH pairs AS (
+  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c,
+                  'S' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    + "".join(_PAGERANK_ITER.format(k=k, p=k - 1) for k in range(1, 6))
+    + "\nSELECT node, rank FROM r5 ORDER BY rank DESC, node LIMIT 20"
+)
+
+
 @register(
     "graph_pagerank_topk",
-    None,  # bounded-iteration float ranks → rows-only; pinned against
-    # a pure-Python reference in tests/test_operators.py
+    _PAGERANK_ORACLE,
     "5-iteration PageRank over the customer↔supplier order graph "
     "(directed both ways): per iteration ONE join + ONE aggregation "
     "with eager checkpointing, job count scales with iterations not "
     "nodes; dangling mass redistributed so ranks stay a probability "
-    "distribution.  Top-20 by rank",
+    "distribution.  Top-20 by rank; oracle unrolls the 5 iterations "
+    "as chained CTEs (symmetric graph → zero dangling term)",
 )
 def graph_pagerank_topk(spark, sf_dir):
     from .operators.graph import pagerank

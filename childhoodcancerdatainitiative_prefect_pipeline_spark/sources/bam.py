@@ -14,15 +14,16 @@ four statistics from the BAM *bytes* with the stdlib alone:
   (``operators/multimodal.py``).
 - **BAM layer** (:func:`decode_bam_stats`): ``BAM\\1`` magic, header
   text, reference dictionary, then fixed-layout alignment records
-  (SAM spec §4.2); per record we read ``flag`` and ``l_seq`` and
-  accumulate counts/bases (everything else is skipped by offset, so
-  the parse is O(records), not O(bytes)).
+  (SAM spec §4.2); per record we read ``flag``, ``l_seq`` and the
+  CIGAR ops and accumulate counts/bases (sequence/qual/tags are
+  skipped by offset, so the parse is O(records), not O(bytes)).
 
 Outputs stay integral (milli-units for the two ratios) so the stats
 are hash-certifiable: ``avg_read_len_milli = 1000·bases div reads``
 and ``coverage_milli = 1000·mapped_bases div total_ref_len`` — the
-latter matches ``samtools coverage``'s meandepth definition (mapped
-bases over reference length).
+latter matches ``samtools coverage``'s meandepth definition: mapped
+bases are the CIGAR reference-aligned op lengths (M/=/X/D), so
+soft-clipped or inserted read bases do not inflate coverage.
 
 Scale: one BAM payload per row, parsed inside ``mapInPandas`` — a
 manifest of 100k BAMs fans out across executors with constant memory
@@ -132,7 +133,9 @@ def encode_bam(
     """Minimal BAM writer for fixtures/oracles.
 
     Each read dict: ``name`` (str), ``seq`` (str over ACGTN...),
-    optional ``flag`` (int, default 0), ``ref_id``/``pos``/``mapq``.
+    optional ``flag`` (int, default 0), ``ref_id``/``pos``/``mapq``,
+    optional ``cigar`` as ``[(op_char, length), ...]`` — defaults to
+    one all-M op over the full sequence.
     """
     body = bytearray(b"BAM\x01")
     text = header_text.encode()
@@ -150,7 +153,11 @@ def encode_bam(
             hi = _SEQ_CODE.index(seq[i])
             lo = _SEQ_CODE.index(seq[i + 1]) if i + 1 < l_seq else 0
             packed.append((hi << 4) | lo)
-        cigar = struct.pack("<I", (l_seq << 4) | _CIGAR_OPS.index("M"))
+        ops = r.get("cigar") or [("M", l_seq)]
+        cigar = b"".join(
+            struct.pack("<I", (length << 4) | _CIGAR_OPS.index(op))
+            for op, length in ops
+        )
         rec = struct.pack(
             "<iiBBHHHiiii",
             r.get("ref_id", 0),
@@ -158,7 +165,7 @@ def encode_bam(
             len(name),
             r.get("mapq", 60),
             0,  # bin
-            1,  # n_cigar_op
+            len(ops),  # n_cigar_op
             r.get("flag", 0),
             l_seq,
             -1,  # next_refID
@@ -200,14 +207,24 @@ def decode_bam_stats(payload: bytes) -> dict:
         (block_size,) = struct.unpack_from("<I", data, pos)
         if pos + 4 + block_size > n or block_size < 32:
             raise ValueError("truncated/garbled BAM record")
+        l_read_name, _mapq = struct.unpack_from("<BB", data, pos + 4 + 8)
+        (n_cigar_op,) = struct.unpack_from("<H", data, pos + 4 + 12)
         flag, l_seq = struct.unpack_from("<HI", data, pos + 4 + 14)
         n_reads += 1
         total_bases += l_seq
-        if flag & 0x4:  # unmapped
-            pass
-        else:
+        if not flag & 0x4:  # mapped
             n_mapped += 1
-            mapped_bases += l_seq
+            # samtools-coverage meandepth counts CIGAR reference-aligned
+            # bases (ops M/=/X/D), not l_seq — soft-clips and insertions
+            # consume the read but not the reference.
+            cig_off = pos + 4 + 32 + l_read_name
+            if cig_off + 4 * n_cigar_op > pos + 4 + block_size:
+                raise ValueError("CIGAR overruns BAM record")
+            for k in range(n_cigar_op):
+                (val,) = struct.unpack_from("<I", data, cig_off + 4 * k)
+                op = val & 0xF
+                if op in (0, 2, 7, 8):  # M, D, =, X consume reference
+                    mapped_bases += val >> 4
         if flag & 0x400:
             n_dup += 1
         pos += 4 + block_size

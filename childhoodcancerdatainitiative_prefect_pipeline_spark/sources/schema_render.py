@@ -228,6 +228,11 @@ def dcc_node_order(
         if not parents_of.get(n):
             sorted_nodes.append(n)
             break
+    if not sorted_nodes:
+        # The reference's _get_sorted_node_list ends up with a [None]
+        # root and asserts — a model with no parentless node (cyclic
+        # parent edges) must fail loud, not silently reorder.
+        raise ValueError("model has no root node (cyclic parents_of)")
     sorted_nodes += [
         n for n in nodes if n.startswith("study_") and n not in sorted_nodes
     ]

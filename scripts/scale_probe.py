@@ -125,6 +125,13 @@ def main():
         "repair_fd_violations", "lineitem_trimmed_mean",
         "features_target_encode_loo", "eval_auc_by_source",
         "text_bpe_fertility",
+        # round-4/5 ops: the de-weakened scale fixes (rfm distributed
+        # ntile, cds persist, dashboard cache) plus the new kernels
+        "customer_rfm_segments", "cds_flatten", "ccdi_release_dashboard",
+        "bam_stats_extract", "multimodal_png_decode",
+        "dcc_manifest_guid_remap", "corpus_pack_sequences",
+        "graph_pagerank_topk", "dedup_minhash_pairs",
+        "dedup_simhash_pairs",
     )
     timings = {}
     for name in queries:

@@ -1106,6 +1106,23 @@ def test_bam_stats_kernel_and_quarantine(spark):
     assert d["total_ref_len"] == 1500
     assert d["coverage_milli"] == (10 + 5 + 151) * 1000 // 1500
 
+    # CIGAR-aware coverage (ADVICE r04): soft-clips and insertions
+    # consume the read but not the reference; deletions the reverse.
+    clipped = [
+        # 100S in a 151-read: only 51 aligned bases count
+        {"name": "c1", "seq": "A" * 151, "flag": 0,
+         "cigar": [("S", 100), ("M", 51)]},
+        # 10M 5I 10M 3D: 10+10 M + 3 D = 23 reference bases, l_seq 25
+        {"name": "c2", "seq": "C" * 25, "flag": 0,
+         "cigar": [("M", 10), ("I", 5), ("M", 10), ("D", 3)]},
+        # =/X count like M
+        {"name": "c3", "seq": "G" * 20, "flag": 0,
+         "cigar": [("=", 12), ("X", 8)]},
+    ]
+    dc = decode_bam_stats(encode_bam([("chr1", 1000)], clipped))
+    assert dc["total_bases"] == 151 + 25 + 20
+    assert dc["coverage_milli"] == (51 + 23 + 20) * 1000 // 1000
+
     # BGZF multi-block roundtrip (payload larger than one block)
     big = bytes(range(256)) * 1024
     assert b"".join(bgzf_blocks(encode_bgzf(big))) == big
