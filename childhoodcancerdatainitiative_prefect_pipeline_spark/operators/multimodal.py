@@ -514,3 +514,130 @@ def decode_bmp_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
 def decode_png_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     """8-bit RGB/RGBA PNG payloads → dimensions + exact channel sums."""
     return _decode_stats(media, decode_png, id_col)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: WAV (RIFF PCM).  Like BMP/PNG, the container's
+# lack of codec libraries gates only the *compressed* formats — PCM
+# WAV is a pure struct walk, so the audio leg of the media pipeline
+# gets a REAL end-to-end kernel too: RIFF header, fmt chunk, data
+# chunk, 16-bit little-endian samples.  Outputs stay integral
+# (sample sums, milli-duration) so the stats hash-certify, the same
+# discipline as the image and BAM kernels.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(
+    sample_fn, n_samples: int, sample_rate: int = 16_000, n_channels: int = 1
+) -> bytes:
+    """Minimal PCM16 WAV writer for fixtures/oracles.
+
+    ``sample_fn(i, ch) -> int`` in [-32768, 32767]; frames interleave
+    channels per the RIFF spec.
+    """
+    import struct
+
+    data = bytearray()
+    for i in range(n_samples):
+        for ch in range(n_channels):
+            data += struct.pack("<h", sample_fn(i, ch))
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a PCM16 WAV: format fields + exact sample sums.
+
+    Walks the RIFF chunk list (tolerating extra chunks like LIST),
+    requires audio format 1 (PCM) at 16 bits, and accumulates
+    ``sum_samples`` / ``sum_abs`` over every sample of every channel.
+    Raises ``ValueError`` on corruption — the kernel dead-letters.
+    """
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + clen > n:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_channels, sample_rate, _br, _ba, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV format {audio_fmt}/{bits}-bit")
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError("garbled fmt fields")
+    if len(data) % (2 * n_channels):
+        raise ValueError("data chunk not frame-aligned")
+    total = len(data) // 2
+    s = sa = 0
+    for (v,) in struct.iter_unpack("<h", data):
+        s += v
+        sa += v if v >= 0 else -v
+    n_frames = total // n_channels
+    return {
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "n_frames": n_frames,
+        "duration_milli": n_frames * 1000 // sample_rate,
+        "sum_samples": s,
+        "sum_abs": sa,
+    }
+
+
+WAV_STATS_SCHEMA = (
+    "media_id long, n_channels long, sample_rate long, n_frames long, "
+    "duration_milli long, sum_samples long, sum_abs long, "
+    "decode_error string"
+)
+
+
+def decode_wav_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Arrow-batched REAL WAV decode with dead-letter discipline."""
+
+    cols = [
+        id_col, "n_channels", "sample_rate", "n_frames", "duration_milli",
+        "sum_samples", "sum_abs", "decode_error",
+    ]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    d = decode_wav(bytes(payload))
+                    rows.append(
+                        (int(mid), d["n_channels"], d["sample_rate"],
+                         d["n_frames"], d["duration_milli"],
+                         d["sum_samples"], d["sum_abs"], None)
+                    )
+                except Exception as ex:  # noqa: BLE001
+                    rows.append(
+                        (int(mid),) + (None,) * 6
+                        + (f"{type(ex).__name__}: {ex}",)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        kernel, WAV_STATS_SCHEMA
+    )

@@ -112,3 +112,119 @@ def remap_guid_columns(
     if "guid" in df.columns:
         out = out.withColumn("guid", F.lit(""))
     return out.drop("__gm__")
+
+
+# ---------------------------------------------------------------------------
+# COG/IGM → DCC mapping postprocess (src/cog_igm_mapping_dcc.py:85-146).
+# The rule-engine transform itself is plans/cog.py; after it, the DCC
+# flow applies a per-node cleanup battery before the manifest append:
+#
+#   diagnosis           value repair on submitted_diagnosis
+#   treatment_response  drop 'Not Reported' (null-safe keep)
+#   treatment_surgery   drop 'Not Applicable'
+#   treatment_chemo.    drop null chemotherapy_type, then merge rows
+#                       sharing a treatment_chemotherapy_id: firsts
+#                       for scalar columns, ;-set-union for the agent
+#   treatment_other     same merge on other_treatment_type
+#
+# The reference merges with pandas groupby(first) + ";".join(set(...))
+# — group order = TSV row order, set order = CPython hash.  Spark-first
+# re-expression: ONE groupBy whose scalar columns use min_by over an
+# explicit order column (first NON-null in order, exactly pandas
+# "first") and whose multi-valued column is collect_list → sort →
+# split/flatten → drop empties → array_distinct (first-occurrence
+# order — deterministic where the reference is hash-order-dependent,
+# same documented policy as plans/cog.py).
+# ---------------------------------------------------------------------------
+
+
+def merge_multivalued_node(
+    df: DataFrame,
+    key_col: str,
+    merge_col: str,
+    first_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Collapse rows sharing ``key_col`` the DCC-postprocess way.
+
+    ``first_cols`` each take their first non-null value in
+    ``order_col`` order (pandas ``groupby().agg("first")`` twin);
+    ``merge_col`` items are ``;``-split across the group in order,
+    empties dropped, first-occurrence-deduped and re-joined.  Null
+    merge cells contribute nothing (the reference's list comprehension
+    would crash on NaN — deterministic superset, documented).  One
+    shuffle on the key; everything after the aggregation is row-local.
+    """
+    def _c(name: str):  # node columns carry dots (`participant.x`)
+        return F.col(f"`{name}`")
+
+    o = _c(order_col)
+    firsts = [
+        F.min_by(_c(c), F.when(_c(c).isNotNull(), o)).alias(c)
+        for c in first_cols
+    ]
+    pairs = F.sort_array(
+        F.collect_list(F.struct(o.alias("o"), _c(merge_col).alias("v")))
+    )
+    agg = df.groupBy(_c(key_col)).agg(*firsts, pairs.alias("__pairs__"))
+    items = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("__pairs__"),
+                lambda s: F.coalesce(F.split(s["v"], ";"), F.array()),
+            )
+        ),
+        lambda x: x != "",
+    )
+    return agg.withColumn(
+        merge_col, F.array_join(F.array_distinct(items), ";")
+    ).drop("__pairs__")
+
+
+def dcc_postprocess_node(node: str, df: DataFrame, order_col: str) -> DataFrame:
+    """Apply the DCC post-transform cleanup for one node output.
+
+    Mirrors src/cog_igm_mapping_dcc.py:85-146 rule-for-rule; nodes
+    without a rule pass through unchanged.
+    """
+    if node == "diagnosis":
+        bad = "Neoplasm, uncertain whether benign or malignant#Neoplasm, NOS"
+        return df.withColumn(
+            "submitted_diagnosis",
+            F.when(F.col("submitted_diagnosis") == bad, "Neoplasm, NOS")
+            .otherwise(F.col("submitted_diagnosis")),
+        )
+    if node == "treatment_response":
+        return df.filter(
+            F.col("response").isNull() | (F.col("response") != "Not Reported")
+        )
+    if node == "treatment_surgery":
+        return df.filter(
+            F.col("surgery_type").isNull()
+            | (F.col("surgery_type") != "Not Applicable")
+        )
+    if node == "treatment_chemotherapy":
+        # the reference's boolean keeps '' but drops null (its comment
+        # says "drop empty" — code over comment, replicated exactly)
+        kept = df.filter(F.col("chemotherapy_type").isNotNull())
+        first_cols = [
+            c
+            for c in df.columns
+            if c
+            not in ("treatment_chemotherapy_id", "chemotherapy_agent", order_col)
+        ]
+        return merge_multivalued_node(
+            kept, "treatment_chemotherapy_id", "chemotherapy_agent",
+            first_cols, order_col,
+        )
+    if node == "treatment_other":
+        first_cols = [
+            c
+            for c in df.columns
+            if c not in ("treatment_other_id", "other_treatment_type", order_col)
+        ]
+        return merge_multivalued_node(
+            df, "treatment_other_id", "other_treatment_type",
+            first_cols, order_col,
+        )
+    return df

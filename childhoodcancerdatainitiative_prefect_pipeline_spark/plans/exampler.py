@@ -90,13 +90,24 @@ def create_linkage(
 
     Deterministic: each child row picks parent ``hash(child) mod
     n_parents`` via a broadcast join on the bucket — no driver
-    collection of parent keys at scale.
+    collection of parent keys at scale, and the dense 0..n-1 parent
+    index comes from the range-partitioned distributed row_number
+    (``distributed_prefix_sum`` over a constant 1), not a
+    single-partition global window, so a million-parent linkage
+    still parallelizes.
     """
-    from pyspark.sql import Window
+    from ..operators.windows import distributed_prefix_sum
 
-    w = Window.orderBy(parent_key)
-    parents = parent.select(F.col(parent_key)).distinct().withColumn(
-        "__bucket__", F.row_number().over(w) - 1
+    parents = (
+        distributed_prefix_sum(
+            parent.select(F.col(parent_key))
+            .distinct()
+            .withColumn("__one__", F.lit(1).cast("long")),
+            "__one__",
+            [parent_key],
+            out_col="__rn__",
+        )
+        .select(parent_key, (F.col("__rn__") - 1).alias("__bucket__"))
     )
     n = parents.count()
     out_col = link_col or f"{parent_key}"
@@ -109,6 +120,71 @@ def create_linkage(
         .withColumnRenamed(parent_key, out_col)
         .drop("__bucket__")
     )
+
+
+# ---------------------------------------------------------------------------
+# DCC exampler deltas (src/template_exampler_ccdi_dcc.py vs
+# src/template_exampler.py): the DCC template drops the ``guid``
+# surrogate instead of ``id`` (:24-25), caps study_status at ONE
+# example row and consent_group at TWO (:165-168), and wires every
+# ``consent_group.consent_group_id`` column by sampling the generated
+# consent-group ids (:201-205) — the same create_linkage shape, just a
+# second sampled parent.
+# ---------------------------------------------------------------------------
+
+#: per-node example-row caps the DCC exampler applies after generation
+DCC_EXAMPLE_CAPS = {"study_status": 1, "consent_group": 2}
+
+#: surrogate column the variant strips from the rendered column list
+DCC_SURROGATE = "guid"
+
+
+def dcc_example_rows(node: str, n_rows: int) -> int:
+    """Row count for one node under the DCC caps.
+
+    The reference generates then ``head(n)``s; generating the capped
+    count directly is the deterministic Spark twin (same rows, since
+    generation is seeded by row index).
+    """
+    return min(n_rows, DCC_EXAMPLE_CAPS.get(node, n_rows))
+
+
+def generate_dcc_example_set(
+    spark: SparkSession,
+    schemas: list[NodeSchema],
+    n_rows: int,
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """Generate the DCC example workbook's node frames.
+
+    Applies the caps, strips the ``guid`` surrogate from generated
+    columns, and links any ``consent_group.consent_group_id`` child
+    column to the generated consent-group ids via
+    :func:`create_linkage`.
+    """
+    nodes: dict[str, DataFrame] = {}
+    for schema in schemas:
+        df = generate_node(
+            spark, schema, dcc_example_rows(schema.node, n_rows), seed
+        )
+        if DCC_SURROGATE in df.columns:
+            df = df.drop(DCC_SURROGATE)
+        nodes[schema.node] = df
+    cg = nodes.get("consent_group")
+    if cg is not None and "consent_group_id" in cg.columns:
+        for name, df in nodes.items():
+            if name == "consent_group":
+                continue
+            if "consent_group.consent_group_id" in df.columns:
+                df = df.drop("`consent_group.consent_group_id`")
+            nodes[name] = create_linkage(
+                df,
+                cg,
+                "consent_group_id",
+                link_col="consent_group.consent_group_id",
+                seed=seed,
+            )
+    return nodes
 
 
 def seeded_error_variant(

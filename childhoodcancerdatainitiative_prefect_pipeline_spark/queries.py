@@ -1615,6 +1615,54 @@ def exampler_validate(spark, sf_dir):
     return validate(dirty, schema)
 
 
+@register(
+    "exampler_dcc_generate",
+    None,  # xxhash-seeded generation is Spark-specific → rows-only;
+    # caps/linkage/surrogate invariants pinned in tests/test_dcc.py
+    "§2.12 DCC exampler variant (src/template_exampler_ccdi_dcc.py): "
+    "study_status capped at 1 and consent_group at 2 example rows, "
+    "guid surrogate stripped, consent_group.consent_group_id wired by "
+    "sampling the generated consent ids (create_linkage)",
+)
+def exampler_dcc_generate(spark, sf_dir):
+    from .plans.exampler import generate_dcc_example_set
+    from .plans.rules import NodeSchema, PropertyRule
+
+    schemas = [
+        NodeSchema(
+            node="consent_group",
+            rules=[
+                PropertyRule("consent_group_id", type="string", key=True,
+                             required=True),
+                PropertyRule("consent_group_name", type="string"),
+            ],
+            key_props=["consent_group_id"],
+        ),
+        NodeSchema(
+            node="study_status",
+            rules=[
+                PropertyRule("study_status_id", type="string", key=True,
+                             required=True),
+                PropertyRule("status", type="enum",
+                             enum_terms=("Open", "Closed")),
+            ],
+            key_props=["study_status_id"],
+        ),
+        NodeSchema(
+            node="participant",
+            rules=[
+                PropertyRule("participant_id", type="string", key=True,
+                             required=True),
+                PropertyRule("sex_at_birth", type="enum",
+                             enum_terms=("Male", "Female", "Unknown")),
+            ],
+            key_props=["participant_id"],
+        ),
+    ]
+    nodes = generate_dcc_example_set(spark, schemas, n_rows=200)
+    return nodes["participant"]
+
+
 # ---------------------------------------------------------------------------
 # Coverage pack 2 (SURVEY §2 gaps): J9-J11, L3, F7/F12/F13/F15/F16,
 # A8, O1, proband rule, streaming sessions/dedup, embedding near-dup
@@ -4240,6 +4288,114 @@ def dcc_manifest_guid_remap(spark, sf_dir):
         .alias("customer.guid"),
     )
     return remap_guid_columns(child, mapping)
+
+
+# ---------------------------------------------------------------------------
+# COG/IGM → DCC postprocess merge (src/cog_igm_mapping_dcc.py:104-131):
+# after the rule-engine transform, chemotherapy rows sharing a
+# treatment_chemotherapy_id collapse — pandas groupby "first" for the
+# scalar columns and ";".join(set(split)) for the agent.  The engine
+# pins pandas-first as min_by over an explicit order column and the
+# set join as first-occurrence array_distinct (plans/dcc.py policy).
+# Order key = md5 of the source tuple, portable to DuckDB.
+# ---------------------------------------------------------------------------
+
+_DCC_POSTPROCESS_ORACLE = """WITH src AS (
+  SELECT 'TC' || CAST(l_orderkey % 997 AS VARCHAR) AS key,
+         'P' || CAST(l_orderkey % 211 AS VARCHAR) AS pid,
+         CASE WHEN l_partkey % 17 = 0 THEN NULL
+              ELSE 'ct' || CAST(l_partkey % 3 AS VARCHAR) END AS ctype,
+         CASE WHEN l_suppkey % 7 = 0 THEN NULL
+              WHEN l_suppkey % 11 = 0 THEN
+                'ag' || CAST(l_partkey % 5 AS VARCHAR)
+                || ';;ag' || CAST(l_suppkey % 9 AS VARCHAR)
+              ELSE 'ag' || CAST(l_partkey % 5 AS VARCHAR)
+                || ';ag' || CAST(l_suppkey % 9 AS VARCHAR) END AS agent,
+         'tt' || CAST(l_linenumber % 2 AS VARCHAR) AS ttype,
+         CASE WHEN l_partkey % 13 = 0 THEN NULL
+              ELSE CAST(l_partkey % 50 AS VARCHAR) END AS dose,
+         md5(CAST(l_orderkey AS VARCHAR) || '-'
+             || CAST(l_linenumber AS VARCHAR) || '-'
+             || CAST(l_partkey AS VARCHAR) || '-'
+             || CAST(l_suppkey AS VARCHAR)) AS ord
+  FROM lineitem),
+kept AS (SELECT * FROM src WHERE ctype IS NOT NULL),
+g AS (
+  SELECT key,
+         arg_min(pid, CASE WHEN pid IS NOT NULL THEN ord END) AS pid,
+         arg_min(ctype, ord) AS ctype,
+         arg_min(ttype, CASE WHEN ttype IS NOT NULL THEN ord END) AS ttype,
+         arg_min(dose, CASE WHEN dose IS NOT NULL THEN ord END) AS dose,
+         flatten(list(coalesce(string_split(agent, ';'), []) ORDER BY ord))
+           AS fl
+  FROM kept GROUP BY key),
+f AS (SELECT key, pid, ctype, ttype, dose,
+             list_filter(fl, x -> x <> '') AS fl2 FROM g)
+SELECT key AS treatment_chemotherapy_id,
+       pid AS "participant.participant_id",
+       ctype AS chemotherapy_type, ttype AS treatment_type, dose,
+       coalesce(array_to_string(
+         list_filter(fl2, (x, i) -> list_position(fl2, x) = i), ';'), '')
+         AS chemotherapy_agent
+FROM f"""
+
+
+@register(
+    "cog_dcc_postprocess_merge",
+    _DCC_POSTPROCESS_ORACLE,
+    "COG/IGM→DCC chemotherapy postprocess "
+    "(src/cog_igm_mapping_dcc.py:104-131): null-type rows dropped, "
+    "rows per treatment_chemotherapy_id collapsed — min_by firsts "
+    "(pandas-first twin) + ;-set-union of agents in first-occurrence "
+    "order; ONE shuffle on the id",
+)
+def cog_dcc_postprocess_merge(spark, sf_dir):
+    from .plans.dcc import dcc_postprocess_node
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    s = lambda c: F.col(c).cast("string")  # noqa: E731
+    src = lineitem.select(
+        F.concat(F.lit("TC"), (F.col("l_orderkey") % 997).cast("string"))
+        .alias("treatment_chemotherapy_id"),
+        F.concat(F.lit("P"), (F.col("l_orderkey") % 211).cast("string"))
+        .alias("participant.participant_id"),
+        F.when(F.col("l_partkey") % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(F.lit("ct"), (F.col("l_partkey") % 3).cast("string"))
+        )
+        .alias("chemotherapy_type"),
+        F.when(F.col("l_suppkey") % 7 == 0, F.lit(None).cast("string"))
+        .when(
+            F.col("l_suppkey") % 11 == 0,
+            F.concat(
+                F.lit("ag"), (F.col("l_partkey") % 5).cast("string"),
+                F.lit(";;ag"), (F.col("l_suppkey") % 9).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("ag"), (F.col("l_partkey") % 5).cast("string"),
+                F.lit(";ag"), (F.col("l_suppkey") % 9).cast("string"),
+            )
+        )
+        .alias("chemotherapy_agent"),
+        F.concat(F.lit("tt"), (F.col("l_linenumber") % 2).cast("string"))
+        .alias("treatment_type"),
+        F.when(F.col("l_partkey") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise((F.col("l_partkey") % 50).cast("string"))
+        .alias("dose"),
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    "-",
+                    s("l_orderkey"), s("l_linenumber"),
+                    s("l_partkey"), s("l_suppkey"),
+                ),
+                "UTF-8",
+            )
+        ).alias("__ord__"),
+    )
+    return dcc_postprocess_node("treatment_chemotherapy", src, "__ord__")
 
 
 # ---------------------------------------------------------------------------
@@ -7775,7 +7931,12 @@ nn AS (SELECT COUNT(*) AS n FROM nodes),
 deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
 r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
     + "".join(_PAGERANK_ITER.format(k=k, p=k - 1) for k in range(1, 6))
-    + "\nSELECT node, rank FROM r5 ORDER BY rank DESC, node LIMIT 20"
+    # round(_, 9) before the cut: engines agree to ~1e-15 relative,
+    # but at small SFs the top-20 boundary can land inside a plateau
+    # of near-tied ranks — rounding collapses ulp noise into EXACT
+    # ties that the `node` tie-break then orders identically.
+    + "\nSELECT node, round(rank, 9) AS rank FROM r5"
+    + "\nORDER BY rank DESC, node LIMIT 20"
 )
 
 
@@ -7809,7 +7970,14 @@ def graph_pagerank_topk(spark, sf_dir):
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
     ranks = pagerank(edges, n_iter=5)
-    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
+    # round BEFORE the cut (see the oracle comment): collapses float
+    # ulp noise into exact ties so both engines select the same top-20
+    # when the boundary lands inside a near-tie plateau.
+    return (
+        ranks.withColumn("rank", F.round("rank", 9))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -9439,10 +9607,25 @@ def lineitem_median_twopass(spark, sf_dir):
     return spark.createDataFrame([(v,)], "median_price double")
 
 
+# The ES rank key ln(u)/w is a float, but certification is safe here:
+# the measured key gap at the k=50 boundary is ~1e-5 (sf0.001 and
+# sf0.01) — ten orders of magnitude above any libm ln() ulp skew — and
+# the SELECTED rows carry only exact values (ids/strings/integral w).
+_WSAMPLE_ORACLE = r"""WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS w
+  FROM documents),
+k AS (
+  SELECT doc_id, source, w,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT)
+            / 4503599627370496.0) / w AS key
+  FROM d)
+SELECT doc_id, source, w FROM k ORDER BY key DESC, doc_id LIMIT 50"""
+
+
 @register(
     "corpus_weighted_sample",
-    None,  # rank keys are floating logs → rows-only by convention;
-    # determinism + weight-proportionality pinned in unit tests
+    _WSAMPLE_ORACLE,
     "weighted sampling without replacement (Efraimidis-Spirakis): "
     "rank by ln(u)/w with u = md5-uniform per doc, keep the top-50 "
     "by token-count weight via ONE TakeOrdered (per-partition heaps, "
@@ -13937,6 +14120,81 @@ def multimodal_png_decode_query(spark, sf_dir):
 
     media = meta.mapInPandas(synth, "media_id long, payload binary")
     return decode_png_stats(media)
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV decode, certified: the audio leg of the media pipeline gets
+# the same treatment as BMP/PNG/BAM — PCM16 RIFF files synthesized
+# per row (rule-driven samples over frame index, channel and media
+# id), walked chunk-by-chunk and summed by the stdlib kernel; the
+# oracle recomputes every stat from a range() frame×channel grid, so
+# a wrong interleave or sign handling cannot hash-match.
+# ---------------------------------------------------------------------------
+
+_WAV_ORACLE = """WITH m AS (
+  SELECT o_orderkey AS k,
+         50 + o_orderkey % 64 AS nf,
+         1 + o_orderkey % 2 AS nc
+  FROM orders WHERE o_orderkey % 301 = 0),
+s AS (
+  SELECT k, nf, nc,
+         ((i * 37 + ch * 1001 + k) % 4001) - 2000 AS v
+  FROM m
+  JOIN range(114) ti(i) ON i < nf
+  JOIN range(2) tc(ch) ON ch < nc)
+SELECT k AS media_id,
+       CAST(nc AS BIGINT) AS n_channels,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(nf * 1000 // 8000 AS BIGINT) AS duration_milli,
+       CAST(SUM(v) AS BIGINT) AS sum_samples,
+       CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM s GROUP BY k, nf, nc"""
+
+
+@register(
+    "multimodal_wav_decode",
+    _WAV_ORACLE,
+    "REAL audio decode end-to-end with no codec libs (PCM WAV is a "
+    "pure RIFF struct walk): per-row mono/stereo PCM16 files with "
+    "rule-driven samples are encoded and decoded to frame counts, "
+    "milli-duration and exact sample/abs sums inside Arrow stages; "
+    "the oracle recomputes the sums from the same sample formula "
+    "over a range() frame×channel grid "
+    "(operators/multimodal.py::decode_wav_stats; closes the audio "
+    "stub seam from r03)",
+)
+def multimodal_wav_decode_query(spark, sf_dir):
+    from .operators.multimodal import decode_wav_stats, encode_wav
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    meta = orders.filter(F.col("o_orderkey") % 301 == 0).select(
+        F.col("o_orderkey").alias("media_id"),
+        (50 + F.col("o_orderkey") % 64).cast("int").alias("nf"),
+        (1 + F.col("o_orderkey") % 2).cast("int").alias("nc"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                encode_wav(
+                    lambda i, ch, k=int(k): ((i * 37 + ch * 1001 + k) % 4001)
+                    - 2000,
+                    n_samples=int(nf),
+                    sample_rate=8000,
+                    n_channels=int(nc),
+                )
+                for k, nf, nc in zip(pdf["media_id"], pdf["nf"], pdf["nc"])
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = meta.mapInPandas(synth, "media_id long, payload binary")
+    return decode_wav_stats(media)
 
 
 # ---------------------------------------------------------------------------

@@ -105,6 +105,119 @@ def test_dcc_node_order_prefers_root_then_study(monkeypatch):
     assert sorted(order) == ["participant", "sample", "study", "study_admin"]
 
 
+def test_dcc_postprocess_filters(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.plans.dcc import (
+        dcc_postprocess_node,
+    )
+
+    diag = spark.createDataFrame(
+        [("d1", "Neoplasm, uncertain whether benign or malignant#Neoplasm, NOS"),
+         ("d2", "Glioma"), ("d3", None)],
+        ["diagnosis_id", "submitted_diagnosis"],
+    )
+    got = {
+        r["diagnosis_id"]: r["submitted_diagnosis"]
+        for r in dcc_postprocess_node("diagnosis", diag, "__o__").collect()
+    }
+    assert got == {"d1": "Neoplasm, NOS", "d2": "Glioma", "d3": None}
+
+    resp = spark.createDataFrame(
+        [("r1", "Not Reported"), ("r2", "CR"), ("r3", None)],
+        ["id", "response"],
+    )
+    kept = {r["id"] for r in
+            dcc_postprocess_node("treatment_response", resp, "__o__").collect()}
+    assert kept == {"r2", "r3"}  # null-safe keep, 'Not Reported' dropped
+
+    surg = spark.createDataFrame(
+        [("s1", "Not Applicable"), ("s2", "Resection"), ("s3", None), ("s4", "")],
+        ["id", "surgery_type"],
+    )
+    kept = {r["id"] for r in
+            dcc_postprocess_node("treatment_surgery", surg, "__o__").collect()}
+    assert kept == {"s2", "s3", "s4"}
+
+    passthrough = dcc_postprocess_node("sample", surg, "__o__")
+    assert passthrough.collect() == surg.collect()
+
+
+def test_dcc_postprocess_chemotherapy_merge(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.plans.dcc import (
+        dcc_postprocess_node,
+    )
+
+    rows = [
+        # key, ctype, agent, ttype, ord — group tc1 merges 3 rows
+        ("tc1", "ct1", "a;b", "t1", "1"),
+        ("tc1", "ct1", "b;;c", None, "2"),   # empty item dropped, null ttype
+        ("tc1", None, "zzz", "tX", "0"),     # null type row dropped pre-merge
+        ("tc2", "ct2", None, "t2", "3"),     # null agent → ""
+    ]
+    df = spark.createDataFrame(
+        rows,
+        ["treatment_chemotherapy_id", "chemotherapy_type",
+         "chemotherapy_agent", "treatment_type", "__ord__"],
+    )
+    got = {
+        r["treatment_chemotherapy_id"]: r
+        for r in dcc_postprocess_node(
+            "treatment_chemotherapy", df, "__ord__"
+        ).collect()
+    }
+    assert set(got) == {"tc1", "tc2"}
+    # first-occurrence set union across the group in __ord__ order
+    assert got["tc1"]["chemotherapy_agent"] == "a;b;c"
+    # pandas-"first" = first NON-null in order (ord "1" has t1)
+    assert got["tc1"]["treatment_type"] == "t1"
+    assert got["tc1"]["chemotherapy_type"] == "ct1"
+    assert got["tc2"]["chemotherapy_agent"] == ""
+
+
+def test_dcc_exampler_caps_and_linkage(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.plans.exampler import (
+        generate_dcc_example_set,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.plans.rules import (
+        NodeSchema,
+        PropertyRule,
+    )
+
+    schemas = [
+        NodeSchema(
+            node="consent_group",
+            rules=[PropertyRule("consent_group_id", type="string", key=True,
+                                required=True)],
+            key_props=["consent_group_id"],
+        ),
+        NodeSchema(
+            node="study_status",
+            rules=[PropertyRule("study_status_id", type="string", key=True,
+                                required=True)],
+            key_props=["study_status_id"],
+        ),
+        NodeSchema(
+            node="participant",
+            rules=[PropertyRule("participant_id", type="string", key=True,
+                                required=True)],
+            key_props=["participant_id"],
+        ),
+    ]
+    nodes = generate_dcc_example_set(spark, schemas, n_rows=50)
+    assert nodes["study_status"].count() == 1      # DCC cap
+    assert nodes["consent_group"].count() == 2     # DCC cap
+    part = nodes["participant"]
+    assert part.count() == 50
+    assert "consent_group.consent_group_id" in part.columns
+    cg_ids = {r["consent_group_id"] for r in nodes["consent_group"].collect()}
+    linked = {
+        r["consent_group.consent_group_id"] for r in part.collect()
+    }
+    assert linked <= cg_ids and linked  # sampled from generated ids
+    # deterministic across reruns (seeded)
+    again = generate_dcc_example_set(spark, schemas, n_rows=50)
+    assert sorted(part.collect()) == sorted(again["participant"].collect())
+
+
 def test_dcc_node_order_raises_without_root():
     # cyclic parents: the reference's _get_sorted_node_list asserts on
     # the [None] root; we must fail loud too, not silently reorder.

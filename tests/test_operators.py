@@ -2151,3 +2151,52 @@ def test_png_encode_decode_all_filters_and_quarantine(spark):
     for bad in (2, 3, 4):
         assert rows[bad]["decode_error"] is not None, bad
         assert rows[bad]["width"] is None
+
+
+def test_wav_encode_decode_roundtrip_and_quarantine(spark):
+    """Real (stdlib) WAV decode: RIFF walk + PCM16 sample sums, stereo
+    interleave, word-aligned extra chunks tolerated; structural
+    corruption dead-letters instead of failing the stage."""
+    import struct
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        decode_wav_stats,
+        encode_wav,
+    )
+
+    def sf(i, ch):
+        return ((i * 37 + ch * 1001) % 4001) - 2000
+
+    blob = encode_wav(sf, n_samples=100, sample_rate=8000, n_channels=2)
+    d = decode_wav(blob)
+    assert d["n_channels"] == 2 and d["sample_rate"] == 8000
+    assert d["n_frames"] == 100
+    assert d["duration_milli"] == 100 * 1000 // 8000
+    exp = [sf(i, ch) for i in range(100) for ch in range(2)]
+    assert d["sum_samples"] == sum(exp)
+    assert d["sum_abs"] == sum(abs(v) for v in exp)
+
+    # extra LIST chunk before data: the RIFF walk must skip it
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    data = struct.pack("<3h", 10, -20, 30)
+    body = (b"WAVE" + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    extra = b"RIFF" + struct.pack("<I", len(body)) + body
+    d2 = decode_wav(extra)
+    assert (d2["sum_samples"], d2["sum_abs"], d2["n_frames"]) == (20, 60, 3)
+
+    bad_fmt = encode_wav(sf, 4)  # corrupt the audio-format field
+    bad_fmt = bad_fmt[:20] + b"\x55" + bad_fmt[21:]
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"not audio at all")),
+         (3, bytearray(blob[:-7])), (4, bytearray(bad_fmt))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_wav_stats(media).collect()}
+    assert rows[1]["decode_error"] is None
+    assert rows[1]["sum_abs"] == sum(abs(v) for v in exp)
+    for bad in (2, 3, 4):
+        assert rows[bad]["decode_error"] is not None, bad
+        assert rows[bad]["n_frames"] is None
