@@ -74,3 +74,67 @@ def uniquify_filename(name: Column | str, md5: Column | str, is_dup: Column) -> 
     (src/s3_ccdi_to_sra.py:1297-1331)."""
     n, m = _c(name), _c(md5)
     return F.when(is_dup, F.concat(F.substring(m, -4, 4), F.lit("_"), n)).otherwise(n)
+
+
+# ---------------------------------------------------------------------------
+# Web-URL canonicalization (LLM-data op: crawl dedup keys).  A
+# CommonCrawl-style corpus carries the same page under many spellings
+# — scheme/host case, www. prefix, tracking query params, fragments,
+# trailing slashes.  Canonicalizing BEFORE the dedup groupBy collapses
+# them into one key.  All built-ins (regexp + split/filter HOFs), so
+# the whole normalization is row-local codegen and the only wide op
+# downstream is the dedup aggregation itself.
+# ---------------------------------------------------------------------------
+
+#: query parameters that never identify content (tracking/session)
+TRACKING_PARAMS = ("utm_", "ref", "fbclid", "gclid", "mc_cid", "sessionid")
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical dedup key for a web URL.
+
+    Rules (each a deliberate, documented choice — the same set most
+    crawl pipelines apply):
+
+    - drop the ``#fragment``;
+    - fold the scheme to ``http`` and lowercase it (https/http serve
+      the same document in a crawl corpus);
+    - lowercase the host and strip one leading ``www.``;
+    - drop tracking query params (:data:`TRACKING_PARAMS` prefixes),
+      keep the rest in their original order;
+    - strip a trailing ``/`` from the path.
+    """
+    u = F.substring_index(_c(url), "#", 1)  # defragment
+    base = F.substring_index(u, "?", 1)
+    query = F.when(
+        u.contains("?"), F.substring_index(u, "?", -1)
+    ).otherwise(F.lit(""))
+    # lowercase FIRST, then strip www. — the other order leaves an
+    # uppercase "WWW." prefix intact (caught by the unit battery)
+    host = F.regexp_replace(
+        F.lower(
+            F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1)
+        ),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", 1),
+        r"/$",
+        "",
+    )
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.exists(
+            F.array(*[F.lit(t) for t in TRACKING_PARAMS]),
+            lambda t: p.startswith(t),
+        ),
+    )
+    qjoin = F.array_join(kept, "&")
+    return F.concat(
+        F.lit("http://"),
+        host,
+        path,
+        F.when(qjoin != "", F.concat(F.lit("?"), qjoin)).otherwise(F.lit("")),
+    )

@@ -84,8 +84,20 @@ def _remap_cell(col: Column, guid_map: Column) -> Column:
     return F.coalesce(F.array_join(mapped, ";"), F.lit(""))
 
 
+#: above this mapping size the row-local map path switches to the
+#: explode+hash-join path — Spark's ``element_at`` on a MAP is a
+#: LINEAR scan of the map (no hash index in UnsafeMapData), so the
+#: map path costs O(rows × items × |mapping|).  The 10× scale probe
+#: caught exactly this: a 1.5M-entry guid map turned the remap into
+#: hours of interpreted GetMapValue scans.
+MAP_PATH_MAX_ENTRIES = 10_000
+
+
 def remap_guid_columns(
-    df: DataFrame, mapping: DataFrame, guid_cols: list[str] | None = None
+    df: DataFrame,
+    mapping: DataFrame,
+    guid_cols: list[str] | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Translate every ``<parent>.guid`` column of ``df`` to
     ``<parent>.<parent>_id`` business keys and blank the guid columns.
@@ -94,24 +106,92 @@ def remap_guid_columns(
     keeps all other columns; each consumed ``<parent>.guid`` column is
     set to ``""`` and the node's own ``guid`` column (if present) is
     blanked too, matching the reference's sheet-write discipline.
+
+    ``strategy``: ``"map"`` — ONE map-typed literal broadcast to every
+    task, per-cell row-local ``transform`` (no shuffle, no explode);
+    correct choice for submission-sized mappings, but ``element_at``
+    on a map is a LINEAR scan, so cost is O(rows·items·|mapping|).
+    ``"join"`` — posexplode + broadcast HASH join + positional
+    re-assembly: O(1) hash probes, one aggregation shuffle; the scale
+    path.  ``"auto"`` (default) counts the mapping once and picks.
+    Both paths produce byte-identical cells (unit-pinned).
     """
     if guid_cols is None:
         guid_cols = [c for c in df.columns if c.endswith(".guid")]
-    gm = mapping.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("guid", "node_id"))
-        ).alias("__gm__")
+    if strategy == "auto":
+        strategy = (
+            "map" if mapping.count() <= MAP_PATH_MAX_ENTRIES else "join"
+        )
+    if strategy == "map":
+        gm = mapping.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("guid", "node_id"))
+            ).alias("__gm__")
+        )
+        out = df.join(F.broadcast(gm))
+        for gcol in guid_cols:
+            parent = gcol.split(".", 1)[0]
+            target = f"{parent}.{parent}_id"
+            out = out.withColumn(
+                target, _remap_cell(F.col(f"`{gcol}`"), F.col("__gm__"))
+            ).withColumn(gcol, F.lit(""))
+        if "guid" in df.columns:
+            out = out.withColumn("guid", F.lit(""))
+        return out.drop("__gm__")
+    if strategy != "join":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    # join path: pin row ids ONCE (monotonically_increasing_id is
+    # partition-layout-dependent, and the frame feeds two plan
+    # branches), explode trimmed items per column, hash-probe the
+    # broadcast mapping, re-assemble by position.
+    base = df.withColumn(
+        "__rid__", F.monotonically_increasing_id()
+    ).localCheckpoint()
+    m = F.broadcast(
+        mapping.select(F.col("guid").alias("__g__"), "node_id")
     )
-    out = df.join(F.broadcast(gm))
+    out = base
     for gcol in guid_cols:
         parent = gcol.split(".", 1)[0]
         target = f"{parent}.{parent}_id"
-        out = out.withColumn(
-            target, _remap_cell(F.col(f"`{gcol}`"), F.col("__gm__"))
-        ).withColumn(gcol, F.lit(""))
+        items = F.filter(
+            F.transform(F.split(F.col(f"`{gcol}`"), ";"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+        exploded = base.select(
+            "__rid__", F.posexplode_outer(items).alias("__pos__", "__g__")
+        )
+        cells = (
+            exploded.join(m, "__g__", "left")
+            .select(
+                "__rid__", "__pos__",
+                F.coalesce("node_id", F.lit("")).alias("__v__"),
+            )
+            .groupBy("__rid__")
+            .agg(
+                # empty/null cells explode to one (null pos, null g)
+                # row whose '' value array_joins back to '' — same
+                # collapse as the map path
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("__pos__", "__v__"))
+                        ),
+                        lambda s: s["__v__"],
+                    ),
+                    ";",
+                ).alias("__cell__")
+            )
+        )
+        out = (
+            out.join(cells, "__rid__", "left")
+            .withColumn(target, F.coalesce(F.col("__cell__"), F.lit("")))
+            .drop("__cell__")
+            .withColumn(gcol, F.lit(""))
+        )
     if "guid" in df.columns:
         out = out.withColumn("guid", F.lit(""))
-    return out.drop("__gm__")
+    return out.drop("__rid__")
 
 
 # ---------------------------------------------------------------------------

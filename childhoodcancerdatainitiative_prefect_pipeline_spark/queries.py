@@ -4399,6 +4399,213 @@ def cog_dcc_postprocess_merge(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Crawl-URL canonicalization dedup (LLM-data op): the same page under
+# many spellings — scheme/host case, www., tracking params, fragments,
+# trailing slash — collapses to one canonical key BEFORE the dedup
+# aggregation.  The normalization is row-local codegen
+# (functions/urls.py::canonicalize_url); the only wide op is the
+# groupBy on the canonical key (never the raw text/URL variants).
+# ---------------------------------------------------------------------------
+
+_URL_DEDUP_ORACLE = r"""WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'http://example' || CAST(doc_id % 37 AS VARCHAR)
+        || '.com/p/' || CAST(doc_id % 211 AS VARCHAR)
+      WHEN 1 THEN 'HTTPS://WWW.EXAMPLE' || CAST(doc_id % 37 AS VARCHAR)
+        || '.COM/p/' || CAST(doc_id % 211 AS VARCHAR) || '/'
+      WHEN 2 THEN 'http://example' || CAST(doc_id % 37 AS VARCHAR)
+        || '.com/p/' || CAST(doc_id % 211 AS VARCHAR)
+        || '?utm_source=feed&q=' || CAST(doc_id % 5 AS VARCHAR)
+        || '&ref=tw'
+      ELSE 'https://example' || CAST(doc_id % 37 AS VARCHAR)
+        || '.com/p/' || CAST(doc_id % 211 AS VARCHAR)
+        || '#sec-' || CAST(doc_id % 9 AS VARCHAR)
+    END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+         split_part(split_part(url, '#', 1), '?', 1) AS base,
+         CASE WHEN contains(split_part(url, '#', 1), '?')
+              THEN split_part(split_part(url, '#', 1), '?', 2)
+              ELSE '' END AS query
+  FROM u),
+c AS (
+  SELECT doc_id,
+    'http://'
+    || regexp_replace(
+         lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1)),
+         '^www\.', '')
+    || regexp_replace(
+         regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$', 1),
+         '/$', '')
+    || CASE WHEN array_to_string(list_filter(string_split(query, '&'),
+              p -> p <> '' AND NOT (starts_with(p, 'utm_')
+                OR starts_with(p, 'ref') OR starts_with(p, 'fbclid')
+                OR starts_with(p, 'gclid') OR starts_with(p, 'mc_cid')
+                OR starts_with(p, 'sessionid'))), '&') <> ''
+         THEN '?' || array_to_string(list_filter(string_split(query, '&'),
+              p -> p <> '' AND NOT (starts_with(p, 'utm_')
+                OR starts_with(p, 'ref') OR starts_with(p, 'fbclid')
+                OR starts_with(p, 'gclid') OR starts_with(p, 'mc_cid')
+                OR starts_with(p, 'sessionid'))), '&')
+         ELSE '' END AS canon
+  FROM parts)
+SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_variants,
+       MIN(doc_id) AS keep_id
+FROM c GROUP BY canon"""
+
+
+@register(
+    "corpus_url_canonical_dedup",
+    _URL_DEDUP_ORACLE,
+    "crawl-URL canonicalization dedup (LLM-data op): defragment, "
+    "scheme fold, host lowercase + www. strip, tracking-param drop "
+    "(order-preserving keep of the rest), trailing-slash strip — all "
+    "row-local codegen — then ONE groupBy on the canonical key "
+    "keeping min doc_id (functions/urls.py::canonicalize_url)",
+)
+def corpus_url_canonical_dedup(spark, sf_dir):
+    from .functions.urls import canonicalize_url
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host_k = (d % 37).cast("string")
+    page_k = (d % 211).cast("string")
+    url = (
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("http://example"), host_k, F.lit(".com/p/"), page_k),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("HTTPS://WWW.EXAMPLE"), host_k, F.lit(".COM/p/"),
+                page_k, F.lit("/"),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("http://example"), host_k, F.lit(".com/p/"), page_k,
+                F.lit("?utm_source=feed&q="), (d % 5).cast("string"),
+                F.lit("&ref=tw"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example"), host_k, F.lit(".com/p/"), page_k,
+                F.lit("#sec-"), (d % 9).cast("string"),
+            )
+        )
+    )
+    withc = documents.select(
+        "doc_id", canonicalize_url(url).alias("canon")
+    )
+    return withc.groupBy("canon").agg(
+        F.count("*").alias("n_variants"),
+        F.min("doc_id").alias("keep_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel conversion (events analytics): per user, the first
+# view, the first click AT OR AFTER that view, and the first purchase
+# at or after that click — three chained conditional mins over the
+# SAME user partition, so Catalyst plans ONE exchange and three
+# Window nodes (no re-shuffle between steps).  Counts + integral
+# micro conversion rates aggregate to a single summary row.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_CONV_ORACLE = """WITH w AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id),
+c AS (
+  SELECT w.user_id, w.t_view,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts >= w.t_view
+                  THEN e.ts END) AS t_click
+  FROM w JOIN events e USING (user_id)
+  GROUP BY w.user_id, w.t_view),
+p AS (
+  SELECT c.user_id, c.t_view, c.t_click,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.t_click
+                  THEN e.ts END) AS t_purchase
+  FROM c JOIN events e USING (user_id)
+  GROUP BY c.user_id, c.t_view, c.t_click)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(t_view) AS BIGINT) AS n_view,
+       CAST(COUNT(t_click) AS BIGINT) AS n_view_click,
+       CAST(COUNT(t_purchase) AS BIGINT) AS n_view_click_purchase,
+       CAST(COUNT(t_click) * 1000000 // COUNT(t_view) AS BIGINT)
+         AS click_conv_micro,
+       CAST(COUNT(t_purchase) * 1000000 // COUNT(t_click) AS BIGINT)
+         AS purchase_conv_micro
+FROM p"""
+
+
+@register(
+    "events_funnel_conversion",
+    _FUNNEL_CONV_ORACLE,
+    "ordered view→click→purchase funnel with conversion rates: the "
+    "WINDOW-CHAINED twin of events_funnel's collect_list shape — "
+    "three chained conditional mins over ONE user partition (one "
+    "exchange, three Window nodes, no per-user array buffering, so "
+    "power-user histories never exceed a window buffer), then a "
+    "single summary aggregation with integral micro rates",
+)
+def events_funnel_conversion(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    e = events.select("user_id", "event_type", "ts")
+    staged = (
+        e.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_view_click_purchase"),
+        F.expr(
+            "CAST(count(t_click) * 1000000 div count(t_view) AS BIGINT)"
+        ).alias("click_conv_micro"),
+        F.expr(
+            "CAST(count(t_purchase) * 1000000 div count(t_click) AS BIGINT)"
+        ).alias("purchase_conv_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # CPI associated-id crosswalk (workflows/ccdi_cpi_query.py:126-200):
 # for each (participant, domain) fetch the participant's ids in every
 # OTHER domain — a self-join of the crosswalk on the global id.

@@ -78,10 +78,15 @@ def main():
     spark = build_session(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(DEST, exist_ok=True)
-    counts = {}
-    for name in KEY_SHIFTS:
-        counts[name] = replicate(spark, name)
-    print(json.dumps({"replicated_rows": counts}), file=sys.stderr)
+    if os.environ.get("SCALE_SKIP_REPLICATE") and all(
+        os.path.exists(f"{DEST}/{n}.parquet/_SUCCESS") for n in KEY_SHIFTS
+    ):
+        print("reusing existing replicated tables", file=sys.stderr)
+    else:
+        counts = {}
+        for name in KEY_SHIFTS:
+            counts[name] = replicate(spark, name)
+        print(json.dumps({"replicated_rows": counts}), file=sys.stderr)
 
     queries = (
         "q1_pricing_summary", "q3_revenue_by_order", "q5_region_revenue",

@@ -79,6 +79,36 @@ def test_remap_multivalued_with_spaces_and_unmapped(spark, mapping):
         assert r["guid"] == ""
 
 
+def test_remap_join_strategy_matches_map_path(spark, mapping):
+    # the scale path (posexplode + broadcast hash join) must produce
+    # byte-identical cells to the row-local map path — including the
+    # null/blank collapse and the unmapped→"" rule (the 10x probe
+    # caught the map path's O(|mapping|) element_at linear scan)
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.plans.dcc import (
+        remap_guid_columns,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("r1", "g1; g2 ;unknown", "x"),
+            ("r2", None, "x"),
+            ("r3", "", "x"),
+            ("r4", " ; ; ", "x"),
+            ("r5", "g3;g1", "x"),
+        ],
+        ["row_id", "participant.guid", "guid"],
+    )
+    a = remap_guid_columns(df, mapping, strategy="map")
+    b = remap_guid_columns(df, mapping, strategy="join")
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    ka = sorted(tuple(r[c] for c in cols) for r in a.collect())
+    kb = sorted(tuple(r[c] for c in cols) for r in b.collect())
+    assert ka == kb
+    with pytest.raises(ValueError):
+        remap_guid_columns(df, mapping, strategy="nope")
+
+
 def test_remap_multiple_parent_columns(spark, mapping):
     df = spark.createDataFrame(
         [("r1", "g1", "g3;g1")],

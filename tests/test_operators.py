@@ -2200,3 +2200,36 @@ def test_wav_encode_decode_roundtrip_and_quarantine(spark):
     for bad in (2, 3, 4):
         assert rows[bad]["decode_error"] is not None, bad
         assert rows[bad]["n_frames"] is None
+
+
+def test_canonicalize_url_rules(spark):
+    """Crawl-URL canonicalization: each rule in isolation and combined;
+    URLs already canonical pass through unchanged."""
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.functions.urls import (
+        canonicalize_url,
+    )
+
+    cases = [
+        # (input, expected canonical)
+        ("http://example.com/a", "http://example.com/a"),
+        ("HTTPS://WWW.Example.COM/a/", "http://example.com/a"),
+        ("http://example.com/a#frag", "http://example.com/a"),
+        ("http://example.com/a?utm_source=x&q=1&ref=tw", "http://example.com/a?q=1"),
+        ("http://example.com/a?utm_source=x&utm_medium=y", "http://example.com/a"),
+        ("http://example.com/?q=2", "http://example.com?q=2"),
+        ("http://example.com", "http://example.com"),
+        # param order preserved for kept params
+        ("http://example.com/p?b=2&a=1", "http://example.com/p?b=2&a=1"),
+        # Path case is content-significant and must survive
+        ("http://example.com/CaseSensitive", "http://example.com/CaseSensitive"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               ["i", "url"])
+    got = {
+        r["i"]: r["canon"]
+        for r in df.select("i", canonicalize_url(F.col("url")).alias("canon")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
