@@ -8109,6 +8109,132 @@ def dedup_incremental_batch(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup ingestion (the MinHash twin of
+# dedup_incremental_batch): the corpus side is a persisted band-key
+# INDEX (distinct (band, key) — signature-store-sized, not
+# corpus-sized), the arriving batch computes signatures and
+# semi-probes it, plus an in-batch band collision check.  This is the
+# production shape for continuous crawl ingestion: the corpus is never
+# re-signatured, and the join carries band keys only.  md5-hashed so
+# the whole pipeline (signature → banding → index probe → admit flags)
+# hash-certifies; the xxhash64 swap is the scale path.
+# ---------------------------------------------------------------------------
+
+_INCR_MINHASH_ORACLE = rf"""WITH {_TOKS_CTE},
+g AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+ds AS (SELECT DISTINCT doc_id, g FROM g),
+hashes AS (
+  SELECT doc_id, i,
+         MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || g), 1, 15))
+               ::BIGINT) AS mh
+  FROM ds CROSS JOIN UNNEST(range(0, 16)) AS t(i)
+  GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
+  FROM hashes GROUP BY doc_id, i // 4),
+corpus_keys AS (
+  SELECT DISTINCT band, key FROM bands WHERE doc_id % 10 <> 0),
+batch AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+in_batch AS (
+  SELECT band, key, COUNT(DISTINCT doc_id) AS cnt
+  FROM batch GROUP BY band, key),
+flags AS (
+  SELECT b.doc_id,
+         MAX(CASE WHEN ck.band IS NOT NULL THEN 1 ELSE 0 END) AS corp,
+         MAX(CASE WHEN ib.cnt > 1 THEN 1 ELSE 0 END) AS wb
+  FROM batch b
+  LEFT JOIN corpus_keys ck ON b.band = ck.band AND b.key = ck.key
+  LEFT JOIN in_batch ib ON b.band = ib.band AND b.key = ib.key
+  GROUP BY b.doc_id)
+SELECT doc_id, corp = 1 AS dup_of_corpus, wb = 1 AS dup_within_batch,
+       (corp = 0 AND wb = 0) AS admit
+FROM flags"""
+
+
+@register(
+    "dedup_incremental_minhash_md5",
+    _INCR_MINHASH_ORACLE,
+    "incremental NEAR-dup ingestion (MinHash twin of "
+    "dedup_incremental_batch): arriving docs (doc_id %% 10 == 0) "
+    "signature-probe the existing corpus's distinct band-key index — "
+    "signature-store-sized, never the corpus — plus an in-batch band "
+    "collision check; admit = no hit either way.  16 md5 min-hashes, "
+    "4 bands of 4; hash-certified end-to-end, xxhash64 swaps in at "
+    "scale",
+)
+def dedup_incremental_minhash_md5(spark, sf_dir):
+    from .operators.dedup import with_shingles
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    staged = with_shingles(documents, "text", "__sh__", 3).select(
+        "doc_id", "__sh__"
+    )
+    minh = lambda i: F.array_min(  # noqa: E731
+        F.transform(
+            F.col("__sh__"),
+            lambda gr: F.conv(
+                F.substring(
+                    F.md5(F.concat(i.cast("string"), F.lit("|"), gr)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+    sig = staged.filter(F.size("__sh__") > 0).withColumn(
+        "sig", F.transform(F.sequence(F.lit(0), F.lit(15)), minh)
+    )
+    band_key = F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(F.col("sig"), F.col("band") * 4 + 1, 4),
+            lambda m: m.cast("string"),
+        ),
+    )
+    bands = (
+        sig.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+            "sig",
+        )
+        .withColumn("key", band_key)
+        .select("doc_id", "band", "key")
+    )
+    corpus_keys = (
+        bands.filter(F.col("doc_id") % 10 != 0)
+        .select("band", "key")
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    batch = bands.filter(F.col("doc_id") % 10 == 0)
+    in_batch = batch.groupBy("band", "key").agg(
+        F.countDistinct("doc_id").alias("__cnt__")
+    )
+    flags = (
+        batch.join(corpus_keys, ["band", "key"], "left")
+        .join(in_batch, ["band", "key"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.coalesce(F.col("__hit__"), F.lit(0))).alias("corp"),
+            F.max(
+                F.when(F.col("__cnt__") > 1, 1).otherwise(0)
+            ).alias("wb"),
+        )
+    )
+    return flags.select(
+        "doc_id",
+        (F.col("corp") == 1).alias("dup_of_corpus"),
+        (F.col("wb") == 1).alias("dup_within_batch"),
+        ((F.col("corp") == 0) & (F.col("wb") == 0)).alias("admit"),
+    )
+
+
 # 5 bounded iterations unroll into 5 chained CTE pairs (contribution
 # sum → rank refresh).  The graph is symmetric (every node appears as
 # a src), so the dangling term is identically zero in both engines and
