@@ -408,3 +408,46 @@ def test_rfm_has_no_global_ntile_window(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "__pid__" in line, line
+
+
+def test_funnel_conversion_single_user_exchange(spark, sf_dir):
+    """The three chained conditional mins must share ONE user-keyed
+    exchange (three Window nodes, no re-shuffle between steps)."""
+    plan = _plan(REGISTRY["events_funnel_conversion"].fn(spark, sf_dir))
+    assert plan.count("(3) Window") + plan.count("Window") >= 3
+    # exchanges: user partition + the final single-row aggregation
+    assert plan.count("+- Exchange") <= 2
+
+
+def test_wav_decode_is_shuffle_free_arrow(spark, sf_dir):
+    plan = _plan(REGISTRY["multimodal_wav_decode"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas (") == 2  # synth + decode stages
+    assert "BatchEvalPython" not in plan
+
+
+def test_guid_remap_fact_side_never_shuffles(spark, sf_dir):
+    """The map strategy broadcasts the aggregated guid map; the fact
+    (orders-derived) side must reach the join without an Exchange."""
+    plan = _plan(REGISTRY["dcc_manifest_guid_remap"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # both exchanges belong to the tiny mapping aggregation
+    assert plan.count("+- Exchange") <= 2
+
+
+def test_url_dedup_single_aggregation_shuffle(spark, sf_dir):
+    plan = _plan(REGISTRY["corpus_url_canonical_dedup"].fn(spark, sf_dir))
+    assert plan.count("+- Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dcc_postprocess_merge_one_shuffle(spark, sf_dir):
+    plan = _plan(REGISTRY["cog_dcc_postprocess_merge"].fn(spark, sf_dir))
+    assert plan.count("+- Exchange") == 1  # the id-keyed aggregation
+    assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_no_single_partition_window(spark, sf_dir):
+    """The rank refresh must never funnel nodes through one task."""
+    plan = _plan(REGISTRY["graph_pagerank_topk"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan or "TakeOrderedAndProject" in plan
