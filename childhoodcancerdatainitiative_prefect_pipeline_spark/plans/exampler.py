@@ -176,7 +176,9 @@ def generate_dcc_example_set(
             if name == "consent_group":
                 continue
             if "consent_group.consent_group_id" in df.columns:
-                df = df.drop("`consent_group.consent_group_id`")
+                # NB: drop() matches the string literally (no backtick
+                # parsing) — the plain dotted name is correct here
+                df = df.drop("consent_group.consent_group_id")
             nodes[name] = create_linkage(
                 df,
                 cg,

@@ -120,6 +120,49 @@ def test_remap_multiple_parent_columns(spark, mapping):
     assert row["participant.guid"] == "" and row["sample.guid"] == ""
 
 
+def test_dcc_exampler_replaces_preexisting_linkage_column(spark):
+    # a schema that already renders consent_group.consent_group_id must
+    # get the column REPLACED by the sampled linkage, not duplicated —
+    # df.drop() matches names literally, so the dotted (unbackticked)
+    # form is required (regression for a silent-no-op drop)
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.plans.exampler import (
+        generate_dcc_example_set,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.plans.rules import (
+        NodeSchema,
+        PropertyRule,
+    )
+
+    schemas = [
+        NodeSchema(
+            node="consent_group",
+            rules=[PropertyRule("consent_group_id", type="string", key=True,
+                                required=True)],
+            key_props=["consent_group_id"],
+        ),
+        NodeSchema(
+            node="participant",
+            rules=[
+                PropertyRule("participant_id", type="string", key=True,
+                             required=True),
+                PropertyRule("consent_group.consent_group_id", type="string"),
+            ],
+            key_props=["participant_id"],
+        ),
+    ]
+    part = generate_dcc_example_set(spark, schemas, n_rows=10)["participant"]
+    assert part.columns.count("consent_group.consent_group_id") == 1
+    cg_ids = {
+        r["consent_group_id"]
+        for r in generate_dcc_example_set(spark, schemas, 10)[
+            "consent_group"
+        ].collect()
+    }
+    assert {
+        r["consent_group.consent_group_id"] for r in part.collect()
+    } <= cg_ids
+
+
 def test_dcc_node_order_prefers_root_then_study(monkeypatch):
     order = dcc_node_order(
         ["sample", "study_admin", "study", "participant"],
