@@ -440,3 +440,97 @@ def test_incremental_agg_equals_recompute(spark, raw_changes):
         for r in incremental_agg(base_agg, ch, "grp", "val").collect()
     }
     assert got == {g: v for g, v in expected.items() if v[0] > 0}
+
+
+# ---------------------------------------------------------------------------
+# canonicalize_url — the oracle query only exercises 4 synthetic URL
+# spellings; this pins the normalization against an INDEPENDENT pure-
+# Python reference over compositionally-generated URLs (scheme case,
+# www. prefix, path depth, trailing slash, tracking/content params in
+# arbitrary order, fragments), plus idempotence: a canonical key must
+# be a fixed point.
+# ---------------------------------------------------------------------------
+
+_HOSTSEG = st.text(alphabet="abcdefgxyzABXZ0123456789-", min_size=1, max_size=8)
+_PATHSEG = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABC0123456789._-", min_size=1, max_size=8
+)
+_TRACKING = ("utm_source=feed", "utm_medium=x", "ref=tw", "refid=9",
+             "fbclid=Ab1", "gclid=z", "mc_cid=77", "sessionid=s1")
+_CONTENT = ("q=1", "id=ab", "page=2", "lang=en", "v=2.1")
+
+
+def _py_canonicalize_url(url):
+    """Independent reference for functions/urls.py::canonicalize_url
+    (same documented rules, different machinery)."""
+    import re as _re
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.functions.urls import (
+        TRACKING_PARAMS,
+    )
+
+    u = url.split("#", 1)[0]
+    if "?" in u:
+        base, _, query = u.rpartition("?")
+    else:
+        base, query = u, ""
+    m = _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", base)
+    host = _re.sub(r"^www\.", "", m.group(1).lower()) if m else ""
+    m2 = _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", base)
+    path = (m2.group(1) or "") if m2 else ""
+    path = _re.sub(r"/$", "", path)
+    kept = [
+        p for p in query.split("&")
+        if p and not any(p.startswith(t) for t in TRACKING_PARAMS)
+    ]
+    return "http://" + host + path + ("?" + "&".join(kept) if kept else "")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    urls=st.lists(
+        st.builds(
+            lambda scheme, www, segs, path, slash, params, frag: (
+                scheme
+                + "://"
+                + www
+                + ".".join(segs)
+                + ("/" + "/".join(path) if path else "")
+                + (slash if path else "")
+                + ("?" + "&".join(params) if params else "")
+                + frag
+            ),
+            scheme=st.sampled_from(["http", "https", "HTTP", "HTTPS", "HtTpS"]),
+            www=st.sampled_from(["", "www.", "WWW.", "wWw."]),
+            segs=st.lists(_HOSTSEG, min_size=1, max_size=3),
+            path=st.lists(_PATHSEG, min_size=0, max_size=3),
+            slash=st.sampled_from(["", "/"]),
+            params=st.lists(
+                st.sampled_from(_TRACKING + _CONTENT), min_size=0, max_size=4
+            ),
+            frag=st.sampled_from(["", "#top", "#sec-2"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_canonicalize_url_matches_python_reference(spark, urls):
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.functions.urls import (
+        canonicalize_url,
+    )
+
+    df = spark.createDataFrame([(u,) for u in set(urls)], "url: string")
+    rows = df.select(
+        "url",
+        canonicalize_url("url").alias("c1"),
+        canonicalize_url(canonicalize_url("url")).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r["c1"] == _py_canonicalize_url(r["url"]), r["url"]
+        assert r["c2"] == r["c1"], f"not idempotent: {r['url']}"
