@@ -287,6 +287,171 @@ def plan_moves(
     )
 
 
+#: S9 execution result schema — one row per attempted transfer.
+MOVE_RESULT_SCHEMA = StructType(
+    [
+        StructField("src_url", StringType(), False),
+        StructField("dest_url", StringType(), False),
+        StructField("status", StringType(), False),
+        StructField("bytes_copied", LongType(), True),
+    ]
+)
+
+MULTIPART_THRESHOLD = 5 * 1024**3  # 5 GiB (src/file_mover.py:186)
+MULTIPART_PART_BYTES = 100 * 1024 * 1024  # 100 MiB parts (src/file_mover.py:102)
+
+
+def execute_moves(
+    moves: DataFrame,
+    client_factory=None,
+    multipart_threshold: int = MULTIPART_THRESHOLD,
+    part_bytes: int = MULTIPART_PART_BYTES,
+    delete_source: bool = False,
+) -> DataFrame:
+    """S9 execution — apply a :func:`plan_moves` frame.
+
+    Reference semantics (src/file_mover.py:94-290, ``copy_file_task``
+    / ``copy_file_by_size`` / ``copy_large_file``):
+
+    - HEAD the source for its size; if the destination already exists
+      with the SAME size, skip (idempotent restart — the reference's
+      "had already been copied" branch);
+    - at or under ``multipart_threshold`` use one server-side
+      ``copy_object``; above it, ``upload_part_copy`` in
+      ``part_bytes`` ranges + ``complete_multipart_upload`` (aborted
+      on any part failure, as the reference does);
+    - ``delete_source=True`` gives move semantics: the source is
+      deleted only after THIS run verified the destination (fresh
+      copy completed, or size-matched skip) — the reference's
+      copy→verify→delete flow (workflows/file_mover_delete.py);
+    - per-object isolation: one bad object yields a ``failed`` row,
+      never a task failure (parity with probe_objects/streaming_md5).
+
+    One client per partition; ``client_factory`` is picklable and
+    injection-testable exactly like S7/S8.  Status values:
+    ``copied`` | ``copied_multipart`` | ``skipped`` | ``failed``.
+    """
+    client_factory = client_factory or _default_client
+
+    def kernel(rows: Iterator) -> Iterator[tuple]:
+        client = client_factory()
+        for row in rows:
+            src, dest = row["src_url"], row["dest_url"]
+            try:
+                sb, sk = src.replace("s3://", "", 1).split("/", 1)
+                db, dk = dest.replace("s3://", "", 1).split("/", 1)
+                size = int(
+                    client.head_object(Bucket=sb, Key=sk)["ContentLength"]
+                )
+                already = False
+                try:
+                    d = client.head_object(Bucket=db, Key=dk)
+                    already = int(d["ContentLength"]) == size
+                except Exception:
+                    pass
+                if already:
+                    status, copied = "skipped", 0
+                elif size > multipart_threshold:
+                    upload_id = client.create_multipart_upload(
+                        Bucket=db, Key=dk
+                    )["UploadId"]
+                    try:
+                        parts = []
+                        for num, start in enumerate(
+                            range(0, size, part_bytes), start=1
+                        ):
+                            end = min(start + part_bytes, size) - 1
+                            resp = client.upload_part_copy(
+                                Bucket=db,
+                                Key=dk,
+                                CopySource={"Bucket": sb, "Key": sk},
+                                PartNumber=num,
+                                UploadId=upload_id,
+                                CopySourceRange=f"bytes={start}-{end}",
+                            )
+                            parts.append(
+                                {
+                                    "PartNumber": num,
+                                    "ETag": resp["CopyPartResult"]["ETag"],
+                                }
+                            )
+                        client.complete_multipart_upload(
+                            Bucket=db,
+                            Key=dk,
+                            UploadId=upload_id,
+                            MultipartUpload={"Parts": parts},
+                        )
+                    except Exception:
+                        client.abort_multipart_upload(
+                            Bucket=db, Key=dk, UploadId=upload_id
+                        )
+                        raise
+                    status, copied = "copied_multipart", size
+                else:
+                    client.copy_object(
+                        Bucket=db, CopySource=f"{sb}/{sk}", Key=dk
+                    )
+                    status, copied = "copied", size
+                if delete_source:
+                    client.delete_object(Bucket=sb, Key=sk)
+                yield (src, dest, status, copied)
+            except Exception:
+                yield (src, dest, "failed", None)
+
+    return (
+        moves.select("src_url", "dest_url")
+        .rdd.mapPartitions(kernel)
+        .toDF(MOVE_RESULT_SCHEMA)
+    )
+
+
+def verify_transfers(
+    moves: DataFrame,
+    client_factory=None,
+    chunk_bytes: int = MD5_CHUNK_BYTES,
+) -> DataFrame:
+    """S9 verify — the reference's ``compare_md5sum_flow``
+    (src/file_mover.py:319-381): streaming md5 of source AND
+    destination (two distributed S8 kernels), joined back to the move
+    plan.  Status parity: ``Pass`` (digests equal), ``Fail``
+    (differ), ``Error`` (either side unreadable — the kernel's null
+    md5).  The join carries url+digest rows only, never object bytes.
+    """
+    src_md5 = (
+        streaming_md5(
+            moves.select(F.col("src_url").alias("file_url")),
+            client_factory=client_factory,
+            chunk_bytes=chunk_bytes,
+        )
+        .withColumnRenamed("file_url", "src_url")
+        .withColumnRenamed("md5sum", "src_md5")
+    )
+    dest_md5 = (
+        streaming_md5(
+            moves.select(F.col("dest_url").alias("file_url")),
+            client_factory=client_factory,
+            chunk_bytes=chunk_bytes,
+        )
+        .withColumnRenamed("file_url", "dest_url")
+        .withColumnRenamed("md5sum", "dest_md5")
+    )
+    joined = (
+        moves.select("src_url", "dest_url")
+        .join(src_md5, "src_url")
+        .join(dest_md5, "dest_url")
+    )
+    status = (
+        F.when(
+            F.col("src_md5").isNull() | F.col("dest_md5").isNull(), "Error"
+        )
+        .when(F.col("src_md5") == F.col("dest_md5"), "Pass")
+        .otherwise("Fail")
+    )
+    return joined.select(
+        "src_url", "dest_url", "src_md5", "dest_md5", status.alias("status")
+    )
+
+
 def split_s3_url(url: "Column | str") -> "Column":
     """``s3://bucket/path/to/file`` → struct(bucket, path).
 

@@ -1232,3 +1232,263 @@ def test_node_sheet_columns_and_dcc_order():
         "study", "study_admin", "participant", "diagnosis", "sample",
         "weird_extra",
     ]
+
+
+# ---------------------------------------------------------------------------
+# S9 execution — execute_moves with a filesystem-backed fake client
+# (files survive the executor process boundary, so the tests can
+# assert on the store AFTER the Spark job, unlike the dict-backed
+# fake used for the read-only S7/S8 kernels)
+# ---------------------------------------------------------------------------
+
+
+def _make_fs_client_factory(root):
+    """In-filesystem object store: key layout <root>/<bucket>/<key>.
+    Implements exactly the client surface execute_moves touches."""
+
+    def factory():
+        import os
+
+        class Client:
+            def _path(self, bucket, key):
+                return os.path.join(root, bucket, key)
+
+            def head_object(self, Bucket, Key):
+                p = self._path(Bucket, Key)
+                if not os.path.exists(p):
+                    raise KeyError(Key)
+                return {"ContentLength": os.path.getsize(p)}
+
+            def get_object(self, Bucket, Key, Range):
+                class Body:
+                    def __init__(self, data):
+                        self._data, self._pos = data, 0
+
+                    def read(self, n):
+                        out = self._data[self._pos : self._pos + n]
+                        self._pos += n
+                        return out
+
+                s, e = (
+                    int(x) for x in Range.replace("bytes=", "").split("-")
+                )
+                with open(self._path(Bucket, Key), "rb") as f:
+                    return {"Body": Body(f.read()[s : e + 1])}
+
+            def copy_object(self, Bucket, CopySource, Key):
+                sb, sk = CopySource.split("/", 1)
+                dest = self._path(Bucket, Key)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                with open(self._path(sb, sk), "rb") as f:
+                    data = f.read()
+                with open(dest, "wb") as f:
+                    f.write(data)
+
+            def create_multipart_upload(self, Bucket, Key):
+                return {"UploadId": "up-" + Key.replace("/", "_")}
+
+            def upload_part_copy(
+                self, Bucket, Key, CopySource, PartNumber, UploadId,
+                CopySourceRange,
+            ):
+                s, e = (
+                    int(x)
+                    for x in CopySourceRange.replace("bytes=", "").split("-")
+                )
+                with open(
+                    self._path(CopySource["Bucket"], CopySource["Key"]), "rb"
+                ) as f:
+                    data = f.read()[s : e + 1]
+                part = self._path(Bucket, Key) + f".part{PartNumber}"
+                os.makedirs(os.path.dirname(part), exist_ok=True)
+                with open(part, "wb") as f:
+                    f.write(data)
+                return {"CopyPartResult": {"ETag": f"etag-{PartNumber}"}}
+
+            def complete_multipart_upload(
+                self, Bucket, Key, UploadId, MultipartUpload
+            ):
+                dest = self._path(Bucket, Key)
+                with open(dest, "wb") as out:
+                    for p in sorted(
+                        MultipartUpload["Parts"],
+                        key=lambda x: x["PartNumber"],
+                    ):
+                        part = dest + f".part{p['PartNumber']}"
+                        with open(part, "rb") as f:
+                            out.write(f.read())
+                        os.remove(part)
+
+            def abort_multipart_upload(self, Bucket, Key, UploadId):
+                import glob
+
+                for p in glob.glob(self._path(Bucket, Key) + ".part*"):
+                    os.remove(p)
+
+            def delete_object(self, Bucket, Key):
+                os.remove(self._path(Bucket, Key))
+
+        return Client()
+
+    return factory
+
+
+def _seed_store(root, objects):
+    import os
+
+    for (bucket, key), data in objects.items():
+        p = os.path.join(root, bucket, key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(data)
+
+
+def test_execute_moves_copy_skip_and_fail(spark, tmp_path):
+    import os
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.s3 import (
+        execute_moves,
+    )
+
+    root = str(tmp_path)
+    _seed_store(
+        root,
+        {
+            ("src", "d/a.txt"): b"alpha",
+            ("src", "d/b.txt"): b"bravo!",
+            ("dst", "d/b.txt"): b"123456",  # same size -> skip
+            ("src", "d/c.txt"): b"charlie",
+            ("dst", "d/c.txt"): b"stale",  # size mismatch -> recopy
+        },
+    )
+    moves = spark.createDataFrame(
+        [
+            ("s3://src/d/a.txt", "s3://dst/d/a.txt"),
+            ("s3://src/d/b.txt", "s3://dst/d/b.txt"),
+            ("s3://src/d/c.txt", "s3://dst/d/c.txt"),
+            ("s3://src/d/missing.txt", "s3://dst/d/missing.txt"),
+        ],
+        "src_url string, dest_url string",
+    )
+    got = {
+        r["src_url"]: (r["status"], r["bytes_copied"])
+        for r in execute_moves(
+            moves, client_factory=_make_fs_client_factory(root)
+        ).collect()
+    }
+    assert got["s3://src/d/a.txt"] == ("copied", 5)
+    assert got["s3://src/d/b.txt"] == ("skipped", 0)
+    assert got["s3://src/d/c.txt"] == ("copied", 7)
+    assert got["s3://src/d/missing.txt"] == ("failed", None)
+    with open(os.path.join(root, "dst", "d", "a.txt"), "rb") as f:
+        assert f.read() == b"alpha"
+    with open(os.path.join(root, "dst", "d", "c.txt"), "rb") as f:
+        assert f.read() == b"charlie"  # stale dest was replaced
+    with open(os.path.join(root, "dst", "d", "b.txt"), "rb") as f:
+        assert f.read() == b"123456"  # skip left the dest untouched
+
+
+def test_execute_moves_multipart_assembles_ranges(spark, tmp_path):
+    import glob
+    import os
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.s3 import (
+        execute_moves,
+    )
+
+    root = str(tmp_path)
+    payload = bytes(range(256)) * 5  # 1280 bytes
+    _seed_store(root, {("src", "big.bin"): payload})
+    moves = spark.createDataFrame(
+        [("s3://src/big.bin", "s3://dst/big.bin")],
+        "src_url string, dest_url string",
+    )
+    [r] = execute_moves(
+        moves,
+        client_factory=_make_fs_client_factory(root),
+        multipart_threshold=100,
+        part_bytes=300,
+    ).collect()
+    assert r["status"] == "copied_multipart"
+    assert r["bytes_copied"] == len(payload)
+    with open(os.path.join(root, "dst", "big.bin"), "rb") as f:
+        assert f.read() == payload
+    assert not glob.glob(os.path.join(root, "dst", "big.bin.part*"))
+
+
+def test_execute_moves_delete_source_only_after_verify(spark, tmp_path):
+    import os
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.s3 import (
+        execute_moves,
+    )
+
+    root = str(tmp_path)
+    _seed_store(
+        root,
+        {
+            ("src", "m/a.txt"): b"aaaa",
+            ("src", "m/b.txt"): b"bb",
+            ("dst", "m/b.txt"): b"xx",  # size match -> verified skip
+        },
+    )
+    moves = spark.createDataFrame(
+        [
+            ("s3://src/m/a.txt", "s3://dst/m/a.txt"),
+            ("s3://src/m/b.txt", "s3://dst/m/b.txt"),
+            ("s3://src/m/gone.txt", "s3://dst/m/gone.txt"),
+        ],
+        "src_url string, dest_url string",
+    )
+    got = {
+        r["src_url"]: r["status"]
+        for r in execute_moves(
+            moves,
+            client_factory=_make_fs_client_factory(root),
+            delete_source=True,
+        ).collect()
+    }
+    assert got["s3://src/m/a.txt"] == "copied"
+    assert got["s3://src/m/b.txt"] == "skipped"
+    assert got["s3://src/m/gone.txt"] == "failed"
+    # copied + verified-skip sources are gone; the failed one never was
+    assert not os.path.exists(os.path.join(root, "src", "m", "a.txt"))
+    assert not os.path.exists(os.path.join(root, "src", "m", "b.txt"))
+    assert os.path.exists(os.path.join(root, "dst", "m", "a.txt"))
+
+
+def test_verify_transfers_pass_fail_error(spark, tmp_path):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.s3 import (
+        verify_transfers,
+    )
+
+    root = str(tmp_path)
+    _seed_store(
+        root,
+        {
+            ("src", "v/ok.bin"): b"same-bytes",
+            ("dst", "v/ok.bin"): b"same-bytes",
+            ("src", "v/bad.bin"): b"original!!",
+            ("dst", "v/bad.bin"): b"corrupted!",  # same size, diff bytes
+            ("src", "v/lost.bin"): b"never copied",
+        },
+    )
+    moves = spark.createDataFrame(
+        [
+            ("s3://src/v/ok.bin", "s3://dst/v/ok.bin"),
+            ("s3://src/v/bad.bin", "s3://dst/v/bad.bin"),
+            ("s3://src/v/lost.bin", "s3://dst/v/lost.bin"),
+        ],
+        "src_url string, dest_url string",
+    )
+    got = {
+        r["src_url"]: r["status"]
+        for r in verify_transfers(
+            moves, client_factory=_make_fs_client_factory(root), chunk_bytes=4
+        ).collect()
+    }
+    assert got == {
+        "s3://src/v/ok.bin": "Pass",
+        "s3://src/v/bad.bin": "Fail",
+        "s3://src/v/lost.bin": "Error",
+    }
