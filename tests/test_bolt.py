@@ -1,0 +1,328 @@
+"""Bolt connector tests: PackStream golden vectors (byte-level, from
+the public PackStream spec — these pin the codec so the client and
+the fake server cannot drift together), a threaded in-process bolt
+server, and the distributed fetch_cypher kernel."""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+import threading
+
+from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.bolt import (
+    MSG_FAILURE,
+    MSG_HELLO,
+    MSG_PULL,
+    MSG_RECORD,
+    MSG_RESET,
+    MSG_RUN,
+    MSG_SUCCESS,
+    BoltClient,
+    BoltError,
+    Structure,
+    fetch_cypher,
+    pack,
+    unpack,
+)
+
+# ---------------------------------------------------------------------------
+# PackStream codec
+# ---------------------------------------------------------------------------
+
+GOLDEN = [
+    (None, b"\xc0"),
+    (True, b"\xc3"),
+    (False, b"\xc2"),
+    (0, b"\x00"),
+    (42, b"\x2a"),
+    (-1, b"\xff"),
+    (-16, b"\xf0"),
+    (-17, b"\xc8\xef"),
+    (-128, b"\xc8\x80"),
+    (128, b"\xc9\x00\x80"),
+    (-129, b"\xc9\xff\x7f"),
+    (32767, b"\xc9\x7f\xff"),
+    (32768, b"\xca\x00\x00\x80\x00"),
+    (2147483648, b"\xcb\x00\x00\x00\x00\x80\x00\x00\x00"),
+    (1.23, b"\xc1" + struct.pack(">d", 1.23)),
+    ("", b"\x80"),
+    ("A", b"\x81A"),
+    ("hello", b"\x85hello"),
+    ("a" * 16, b"\xd0\x10" + b"a" * 16),
+    ([], b"\x90"),
+    ([1, 2, 3], b"\x93\x01\x02\x03"),
+    ({}, b"\xa0"),
+    ({"one": "eins"}, b"\xa1\x83one\x84eins"),
+]
+
+
+def test_packstream_golden_vectors():
+    for value, expected in GOLDEN:
+        assert pack(value) == expected, value
+        got, pos = unpack(expected)
+        assert got == value and pos == len(expected), value
+
+
+def test_packstream_structure_and_nesting_roundtrip():
+    node = Structure(0x4E, [7, ["participant"], {"id": "p1", "n": 3}])
+    msg = Structure(MSG_RECORD, [[node, "x", [1, None, True], {"k": 2.5}]])
+    blob = pack(msg)
+    back, pos = unpack(blob)
+    assert pos == len(blob)
+    assert back == msg
+    assert back.fields[0][0].fields[2]["id"] == "p1"
+
+
+def test_packstream_large_collections_roundtrip():
+    big = {
+        "list": list(range(300)),
+        "text": "x" * 70000,
+        "map": {str(i): i for i in range(20)},
+    }
+    back, _ = unpack(pack(big))
+    assert back == big
+
+
+# ---------------------------------------------------------------------------
+# Fake bolt server: accepts connections in a thread, speaks the same
+# wire format through the SPEC-PINNED codec above
+# ---------------------------------------------------------------------------
+
+
+def _read_message(conn):
+    payload = bytearray()
+    while True:
+        size_b = b""
+        while len(size_b) < 2:
+            part = conn.recv(2 - len(size_b))
+            if not part:
+                return None
+            size_b += part
+        (size,) = struct.unpack(">H", size_b)
+        if size == 0:
+            if payload:
+                break
+            continue
+        while size:
+            part = conn.recv(size)
+            payload += part
+            size -= len(part)
+    msg, _ = unpack(bytes(payload))
+    return msg
+
+
+def _write_message(conn, msg):
+    blob = pack(msg)
+    conn.sendall(struct.pack(">H", len(blob)) + blob + b"\x00\x00")
+
+
+def start_fake_bolt_server(results, require_password=None):
+    """``results``: {cypher: (fields, rows)}; unknown cypher → FAILURE.
+    Returns (port, stop_fn)."""
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(16)
+    port = srv.getsockname()[1]
+    stopping = threading.Event()
+
+    def serve_conn(conn):
+        with conn:
+            magic = conn.recv(4)
+            if magic != b"\x60\x60\xb0\x17":
+                return
+            conn.recv(16)  # proposed versions
+            conn.sendall(b"\x00\x00\x04\x04")  # agree bolt 4.4
+            pending_run = None
+            while True:
+                msg = _read_message(conn)
+                if msg is None:
+                    return
+                if msg.tag == MSG_HELLO:
+                    auth = msg.fields[0]
+                    if (
+                        require_password is not None
+                        and auth.get("credentials") != require_password
+                    ):
+                        _write_message(
+                            conn,
+                            Structure(
+                                MSG_FAILURE,
+                                [
+                                    {
+                                        "code": "Neo.ClientError.Security"
+                                        ".Unauthorized",
+                                        "message": "bad credentials",
+                                    }
+                                ],
+                            ),
+                        )
+                        continue
+                    _write_message(
+                        conn,
+                        Structure(MSG_SUCCESS, [{"server": "FakeNeo4j/4.4"}]),
+                    )
+                elif msg.tag == MSG_RUN:
+                    cypher = msg.fields[0]
+                    if cypher in results:
+                        pending_run = results[cypher]
+                        _write_message(
+                            conn,
+                            Structure(
+                                MSG_SUCCESS, [{"fields": pending_run[0]}]
+                            ),
+                        )
+                    else:
+                        pending_run = None
+                        _write_message(
+                            conn,
+                            Structure(
+                                MSG_FAILURE,
+                                [
+                                    {
+                                        "code": "Neo.ClientError.Statement"
+                                        ".SyntaxError",
+                                        "message": f"unknown: {cypher}",
+                                    }
+                                ],
+                            ),
+                        )
+                elif msg.tag == MSG_PULL:
+                    if pending_run is None:
+                        _write_message(
+                            conn,
+                            Structure(
+                                MSG_FAILURE,
+                                [{"code": "Neo.Error", "message": "no run"}],
+                            ),
+                        )
+                    else:
+                        for row in pending_run[1]:
+                            _write_message(
+                                conn, Structure(MSG_RECORD, [row])
+                            )
+                        _write_message(conn, Structure(MSG_SUCCESS, [{}]))
+                        pending_run = None
+                elif msg.tag == MSG_RESET:
+                    pending_run = None
+                    _write_message(conn, Structure(MSG_SUCCESS, [{}]))
+                else:  # GOODBYE et al.
+                    return
+
+    def accept_loop():
+        while not stopping.is_set():
+            try:
+                srv.settimeout(0.2)
+                conn, _ = srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            threading.Thread(
+                target=serve_conn, args=(conn,), daemon=True
+            ).start()
+
+    t = threading.Thread(target=accept_loop, daemon=True)
+    t.start()
+
+    def stop():
+        stopping.set()
+        srv.close()
+
+    return port, stop
+
+
+_EAV_CYPHER = (
+    'MATCH (n:participant {study_id: "phs1"}) '
+    "UNWIND keys(properties(n)) AS p "
+    "RETURN n.id, p, n[p], n.study_id"
+)
+_EAV_FIELDS = ["startNodeId", "propertyName", "propertyValue", "accession"]
+_EAV_ROWS = [
+    ["p1", "sex", "Female", "phs1"],
+    ["p1", "age", 9, "phs1"],
+    ["p2", "sex", "Male", "phs1"],
+]
+
+
+def test_bolt_client_run_and_failure_reset():
+    port, stop = start_fake_bolt_server(
+        {_EAV_CYPHER: (_EAV_FIELDS, _EAV_ROWS)}
+    )
+    try:
+        c = BoltClient("127.0.0.1", port)
+        fields, rows = c.run(_EAV_CYPHER)
+        assert fields == _EAV_FIELDS
+        assert rows == _EAV_ROWS
+        # a bad query FAILUREs, the session RESETs and stays usable
+        try:
+            c.run("MATCH (oops)")
+            raise AssertionError("expected BoltError")
+        except BoltError as ex:
+            assert "SyntaxError" in str(ex)
+        fields2, rows2 = c.run(_EAV_CYPHER)
+        assert rows2 == _EAV_ROWS and fields2 == _EAV_FIELDS
+        c.close()
+    finally:
+        stop()
+
+
+def test_bolt_client_rejects_bad_credentials():
+    port, stop = start_fake_bolt_server({}, require_password="s3cret")
+    try:
+        try:
+            BoltClient("127.0.0.1", port, password="wrong")
+            raise AssertionError("expected BoltError")
+        except BoltError as ex:
+            assert "Unauthorized" in str(ex)
+        ok = BoltClient("127.0.0.1", port, password="s3cret")
+        ok.close()
+    finally:
+        stop()
+
+
+def test_fetch_cypher_distributed(spark):
+    nodes_cypher = "MATCH (n) RETURN DISTINCT labels(n) AS uniqueNodes"
+    port, stop = start_fake_bolt_server(
+        {
+            _EAV_CYPHER: (_EAV_FIELDS, _EAV_ROWS),
+            nodes_cypher: (
+                ["uniqueNodes"],
+                [[["participant"]], [["sample"]]],
+            ),
+        }
+    )
+    try:
+        work = spark.createDataFrame(
+            [
+                ("phs1:participant", _EAV_CYPHER),
+                ("node_labels", nodes_cypher),
+                ("broken", "MATCH (oops)"),
+            ],
+            "item_id string, cypher string",
+        )
+
+        def factory(p=port):
+            return BoltClient("127.0.0.1", p)
+
+        out = fetch_cypher(work, client_factory=factory).collect()
+        by_item = {}
+        for r in out:
+            by_item.setdefault(r["item_id"], []).append(r)
+        assert len(by_item["phs1:participant"]) == 3
+        got_rows = sorted(
+            json.loads(r["row_json"]) for r in by_item["phs1:participant"]
+        )
+        assert got_rows == sorted(_EAV_ROWS)
+        assert json.loads(by_item["phs1:participant"][0]["fields_json"]) == (
+            _EAV_FIELDS
+        )
+        assert [
+            json.loads(r["row_json"]) for r in by_item["node_labels"]
+        ] == [[["participant"]], [["sample"]]]
+        [err] = by_item["broken"]
+        assert err["error"] and "SyntaxError" in err["error"]
+        assert err["row_json"] is None
+    finally:
+        stop()
