@@ -425,3 +425,37 @@ def fetch_cypher(
         .rdd.mapPartitions(kernel)
         .toDF(CYPHER_RESULT_SCHEMA)
     )
+
+
+def cypher_results_to_eav(results: DataFrame) -> DataFrame:
+    """:func:`fetch_cypher` rows from the reference's 7-column EAV
+    projection → the ``sources/eav.py`` intake frame.
+
+    The reference's per-study pull returns ``(startNodeId,
+    startNodeLabels, propertyName, propertyValue, linkedNodeId,
+    linkedNodeLabels, dbgap_accession)`` where the label columns are
+    Cypher ``labels(n)`` lists (src/neo4j_data_tools.py:60-71);
+    single-label graph nodes unwrap to ``labels[0]``, matching the
+    staged-CSV intake's plain label strings.  Positional
+    ``get_json_object`` extraction is row-local codegen — error rows
+    and empty result sets are dropped here, not downstream.
+    """
+
+    def j(path: str):
+        return F.get_json_object("row_json", path)
+
+    def label(idx: int):
+        # list-valued labels(n) → first element; scalar passes through
+        return F.coalesce(j(f"$[{idx}][0]"), j(f"$[{idx}]"))
+
+    return results.filter(
+        F.col("error").isNull() & F.col("row_json").isNotNull()
+    ).select(
+        j("$[0]").alias("startNodeId"),
+        label(1).alias("startNodeLabels"),
+        j("$[2]").alias("startNodePropertyName"),
+        j("$[3]").alias("startNodePropertyValue"),
+        j("$[4]").alias("linkedNodeId"),
+        label(5).alias("linkedNodeLabels"),
+        j("$[6]").alias("dbgap_accession"),
+    )

@@ -326,3 +326,93 @@ def test_fetch_cypher_distributed(spark):
         assert err["row_json"] is None
     finally:
         stop()
+
+
+def test_cypher_results_to_eav_feeds_pivot(spark):
+    """End-to-end: live pull through the fake server → EAV frame →
+    the existing pivot path (the reference's pull_neo4j_data shape)."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.bolt import (
+        cypher_results_to_eav,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.eav import (
+        pivot_node_properties,
+    )
+
+    eav_cypher = (
+        'MATCH (n:participant)-[*0..5]-(s:study {study_id: "phs9"}) '
+        "UNWIND keys(properties(n)) AS p RETURN n.id, labels(n), p, n[p], "
+        "NULL, NULL, s.study_id"
+    )
+    rows = [
+        ["p1", ["participant"], "sex", "Female", None, None, "phs9"],
+        ["p1", ["participant"], "age", 9, None, None, "phs9"],
+        ["p2", ["participant"], "sex", "Male", None, None, "phs9"],
+        ["p2", ["participant"], "age", 11, None, None, "phs9"],
+    ]
+    port, stop = start_fake_bolt_server(
+        {
+            eav_cypher: (
+                [
+                    "startNodeId", "startNodeLabels",
+                    "startNodePropertyName", "startNodePropertyValue",
+                    "linkedNodeId", "linkedNodeLabels", "dbgap_accession",
+                ],
+                rows,
+            )
+        }
+    )
+    try:
+        work = spark.createDataFrame(
+            [("phs9:participant", eav_cypher)], "item_id string, cypher string"
+        )
+
+        def factory(p=port):
+            return BoltClient("127.0.0.1", p)
+
+        eav = cypher_results_to_eav(fetch_cypher(work, client_factory=factory))
+        got = {
+            (r["startNodeId"], r["startNodePropertyName"]):
+                r["startNodePropertyValue"]
+            for r in eav.collect()
+        }
+        assert got[("p1", "age")] == "9"  # ints stringify like the CSV path
+        assert got[("p2", "sex")] == "Male"
+        assert all(
+            r["startNodeLabels"] == "participant" for r in eav.collect()
+        )
+        wide = pivot_node_properties(
+            eav, "participant", prop_values=["sex", "age"]
+        )
+        w = {r["startNodeId"]: (r["sex"], r["age"]) for r in wide.collect()}
+        assert w == {"p1": ("Female", "9"), "p2": ("Male", "11")}
+    finally:
+        stop()
+
+
+# ---------------------------------------------------------------------------
+# PackStream round-trip property over arbitrary nested values
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as hst  # noqa: E402
+
+_PS_VALUES = hst.recursive(
+    hst.none()
+    | hst.booleans()
+    | hst.integers(min_value=-(2**63), max_value=2**63 - 1)
+    | hst.floats(allow_nan=False, allow_infinity=False)
+    | hst.text(max_size=40)
+    | hst.binary(max_size=40),
+    lambda children: hst.lists(children, max_size=5)
+    | hst.dictionaries(hst.text(max_size=8), children, max_size=5),
+    max_leaves=25,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(v=_PS_VALUES)
+def test_packstream_roundtrip_property(v):
+    blob = pack(v)
+    back, pos = unpack(blob)
+    assert pos == len(blob)
+    assert back == v
