@@ -427,6 +427,43 @@ def fetch_cypher(
     )
 
 
+def apply_index_statements(
+    client: BoltClient, script_text: str
+) -> list[tuple[str, str, str | None]]:
+    """Run a CypherL index-management script, statement by statement.
+
+    Reference parity (workflows/db_index_creation.py:60-89): one
+    statement per line; blank lines and ``#``/``//`` comments skip;
+    lines not ending with ``;`` skip with a warning status; only
+    ``CREATE INDEX`` / ``DROP INDEX`` statements execute, each with
+    per-query isolation.  DDL is tiny and inherently serial, so this
+    is a driver-side loop over ONE session — the distributed path is
+    for data pulls, not schema management.
+
+    Returns ``(statement, status, error)`` rows; status ∈
+    ``executed | failed | skipped_comment | skipped_no_semicolon |
+    skipped_not_index``.
+    """
+    out: list[tuple[str, str, str | None]] = []
+    for line in script_text.splitlines():
+        query = line.strip()
+        if not query:
+            continue
+        if query.startswith("#") or query.startswith("//"):
+            out.append((query, "skipped_comment", None))
+        elif not query.endswith(";"):
+            out.append((query, "skipped_no_semicolon", None))
+        elif query.startswith(("CREATE INDEX", "DROP INDEX")):
+            try:
+                client.run(query)
+                out.append((query, "executed", None))
+            except Exception as ex:  # noqa: BLE001 — per-query isolation
+                out.append((query, "failed", f"{type(ex).__name__}: {ex}"))
+        else:
+            out.append((query, "skipped_not_index", None))
+    return out
+
+
 def cypher_results_to_eav(results: DataFrame) -> DataFrame:
     """:func:`fetch_cypher` rows from the reference's 7-column EAV
     projection → the ``sources/eav.py`` intake frame.

@@ -416,3 +416,42 @@ def test_packstream_roundtrip_property(v):
     back, pos = unpack(blob)
     assert pos == len(blob)
     assert back == v
+
+
+def test_apply_index_statements_reference_parity():
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.bolt import (
+        apply_index_statements,
+    )
+
+    ok = "CREATE INDEX p_id FOR (n:participant) ON (n.id);"
+    bad = "DROP INDEX does_not_exist;"
+    port, stop = start_fake_bolt_server({ok: ([], [])})
+    try:
+        client = BoltClient("127.0.0.1", port)
+        script = "\n".join(
+            [
+                "# comment line",
+                "// другой comment",
+                "",
+                ok,
+                "CREATE INDEX missing_semicolon FOR (n:x) ON (n.y)",
+                "MATCH (n) RETURN n;",
+                bad,
+            ]
+        )
+        got = apply_index_statements(client, script)
+        client.close()
+    finally:
+        stop()
+    by_status = {q: (s, e) for q, s, e in got}
+    assert by_status[ok] == ("executed", None)
+    assert by_status["# comment line"][0] == "skipped_comment"
+    assert by_status["// другой comment"][0] == "skipped_comment"
+    assert (
+        by_status["CREATE INDEX missing_semicolon FOR (n:x) ON (n.y)"][0]
+        == "skipped_no_semicolon"
+    )
+    assert by_status["MATCH (n) RETURN n;"][0] == "skipped_not_index"
+    status, err = by_status[bad]
+    assert status == "failed" and "SyntaxError" in err
+    assert len(got) == 6  # the blank line vanished entirely
