@@ -1,0 +1,595 @@
+"""Baseline JPEG codec — pure stdlib, no codec libraries.
+
+Closes the last declared multimodal stub (`multimodal.py`'s JPEG
+seam): like the BMP/PNG/WAV/BAM kernels, the container's lack of
+PIL/libjpeg gates nothing that the stdlib plus the PUBLIC JPEG
+specification (ITU-T T.81, baseline sequential DCT) can't express:
+
+- :func:`encode_jpeg` — fixture/oracle writer: RGB pixels → YCbCr
+  (JFIF), optional 4:2:0 chroma subsampling, forward DCT, uniform
+  quantization, canonical Huffman entropy coding with self-describing
+  DHT segments (the decoder reads whatever tables the stream declares
+  — fixtures deliberately use non-Annex-K tables so the general DHT
+  path is what gets exercised).
+- :func:`decode_jpeg` — general baseline decoder: marker parse,
+  DQT/DHT/SOF0/DRI/SOS, Huffman + run-length entropy decode, dequant,
+  IDCT, sampling-factor upsampling (4:4:4 / 4:2:2 / 4:2:0), YCbCr→RGB,
+  restart-marker resync.  Progressive (SOF2) and 12-bit streams
+  raise ``ValueError`` — the kernel dead-letters them.
+
+Exactness: images that are CONSTANT within each MCU decode
+bit-exactly at quantization 1 (a flat block's DCT is a lone DC
+coefficient, preserved exactly), and grayscale content survives the
+color transform unchanged — so analytically-generated flat-block
+fixtures give exact channel sums, the same certification trick as
+the BMP/PNG entries.  General content round-trips within ±2/pixel
+(quantization + color-transform rounding), pinned in unit tests.
+
+Reference capability: src/sra_metadata.py and the DCC image manifest
+flows treat JPEG attachments as opaque; this makes the decode leg
+real for the multimodal pipeline (operators/multimodal.py:82 seam).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# ---------------------------------------------------------------------------
+# Shared constants
+# ---------------------------------------------------------------------------
+
+#: zigzag scan: position in scan order → index in the 8×8 block
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_M = [
+    [
+        0.5 * (1 / math.sqrt(2) if u == 0 else 1.0)
+        * math.cos((2 * x + 1) * u * math.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def _fdct(block: list[float]) -> list[float]:
+    """Forward 8×8 DCT-II (F = M·f·Mᵀ), block in row-major order."""
+    tmp = [0.0] * 64
+    for u in range(8):
+        for x in range(8):
+            m = _M[u][x]
+            if m:
+                for y in range(8):
+                    tmp[u * 8 + y] += m * block[x * 8 + y]
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for y in range(8):
+                s += tmp[u * 8 + y] * _M[v][y]
+            out[u * 8 + v] = s
+    return out
+
+
+def _idct(coef: list[float]) -> list[float]:
+    """Inverse 8×8 DCT (f = Mᵀ·F·M)."""
+    tmp = [0.0] * 64
+    for x in range(8):
+        for u in range(8):
+            m = _M[u][x]
+            if m:
+                for v in range(8):
+                    tmp[x * 8 + v] += m * coef[u * 8 + v]
+    out = [0.0] * 64
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for v in range(8):
+                s += tmp[x * 8 + v] * _M[v][y]
+            out[x * 8 + y] = s
+    return out
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + value bits for a DC diff / AC coef."""
+    s = abs(v).bit_length()
+    bits = v if v >= 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _extend(bits: int, s: int) -> int:
+    """Inverse of :func:`_magnitude` (T.81 figure F.12)."""
+    if s == 0:
+        return 0
+    if bits < (1 << (s - 1)):
+        return bits - (1 << s) + 1
+    return bits
+
+
+# ---------------------------------------------------------------------------
+# Fixture Huffman tables: every category/(run,size) symbol at one
+# canonical code length — compact to declare, decodes through the
+# same general path as any Annex-K stream.
+# ---------------------------------------------------------------------------
+
+_DC_SYMBOLS = list(range(12))  # categories 0..11, 4-bit codes
+_AC_SYMBOLS = [0x00, 0xF0] + [  # EOB, ZRL, then (run,size) pairs
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]  # 162 symbols, 8-bit codes
+
+
+def _canonical_codes(symbols: list[int], length: int) -> dict[int, tuple[int, int]]:
+    return {sym: (i, length) for i, sym in enumerate(symbols)}
+
+
+_ENC_DC = _canonical_codes(_DC_SYMBOLS, 4)
+_ENC_AC = _canonical_codes(_AC_SYMBOLS, 8)
+
+
+def _dht_segment(tc: int, th: int, symbols: list[int], length: int) -> bytes:
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(symbols)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # 1-fill to byte boundary
+
+
+def _rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    clamp = lambda v: min(255, max(0, int(round(v))))  # noqa: E731
+    return clamp(y), clamp(cb), clamp(cr)
+
+
+def _encode_block(
+    plane: list[list[int]], bx: int, by: int, quant: int, pred: int,
+    writer: _BitWriter,
+) -> int:
+    """FDCT + quantize + entropy-code one 8×8 block; returns new DC pred."""
+    h = len(plane)
+    w = len(plane[0])
+    block = [0.0] * 64
+    for y in range(8):
+        sy = min(by + y, h - 1)
+        for x in range(8):
+            block[y * 8 + x] = plane[sy][min(bx + x, w - 1)] - 128.0
+    coef = _fdct(block)
+    q = [int(round(c / quant)) for c in coef]
+    zz = [q[ZIGZAG[i]] for i in range(64)]
+    diff = zz[0] - pred
+    s, bits = _magnitude(diff)
+    code, length = _ENC_DC[s]
+    writer.write(code, length)
+    if s:
+        writer.write(bits, s)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = _ENC_AC[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        s, bits = _magnitude(v)
+        if s > 10:
+            raise ValueError("coefficient category >10 (raise quant)")
+        code, length = _ENC_AC[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(bits, s)
+        run = 0
+    if last_nz < 63:
+        code, length = _ENC_AC[0x00]  # EOB
+        writer.write(code, length)
+    return zz[0]
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixel_fn,
+    quant: int = 1,
+    subsample: str = "444",
+    grayscale: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline JPEG writer for fixtures/oracles.
+
+    ``pixel_fn(x, y) -> (r, g, b)`` (or a single int when
+    ``grayscale``); ``quant`` is a uniform quantizer (1 = the exact
+    regime for flat-block images); ``subsample`` ``"444"`` or
+    ``"420"`` (3-component streams only); ``restart_interval`` emits
+    DRI + RSTn markers every N MCUs (decoder resync coverage).
+    """
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    if grayscale:
+        yp = [
+            [int(pixel_fn(x, y)) & 0xFF for x in range(width)]
+            for y in range(height)
+        ]
+        planes = [yp]
+        sampling = [(1, 1)]
+    else:
+        yp, cb, cr = (
+            [[0] * width for _ in range(height)] for _ in range(3)
+        )
+        for y in range(height):
+            for x in range(width):
+                yv, cbv, crv = _rgb_to_ycbcr(*pixel_fn(x, y))
+                yp[y][x], cb[y][x], cr[y][x] = yv, cbv, crv
+        if subsample == "420":
+            ch = (height + 1) // 2
+            cw = (width + 1) // 2
+
+            def _down(p):
+                out = [[0] * cw for _ in range(ch)]
+                for sy in range(ch):
+                    for sx in range(cw):
+                        acc = n = 0
+                        for dy in range(2):
+                            for dx in range(2):
+                                py, px = sy * 2 + dy, sx * 2 + dx
+                                if py < height and px < width:
+                                    acc += p[py][px]
+                                    n += 1
+                        out[sy][sx] = (acc + n // 2) // n
+                return out
+
+            planes = [yp, _down(cb), _down(cr)]
+            sampling = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [yp, cb, cr]
+            sampling = [(1, 1), (1, 1), (1, 1)]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    qt = bytes([0]) + bytes(min(255, quant) for _ in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", len(qt) + 2) + qt  # DQT
+    ncomp = len(planes)
+    sof = bytearray([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
+    for i, (hs, vs) in enumerate(sampling):
+        sof += bytes([i + 1, (hs << 4) | vs, 0])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + bytes(sof)
+    out += _dht_segment(0, 0, _DC_SYMBOLS, 4)
+    out += _dht_segment(1, 0, _AC_SYMBOLS, 8)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytearray([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + bytes(sos)
+
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    mcu_index = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_index and (
+                mcu_index % restart_interval == 0
+            ):
+                writer.flush()
+                writer.out += bytes(
+                    [0xFF, 0xD0 + (mcu_index // restart_interval - 1) % 8]
+                )
+                preds = [0] * ncomp
+            mcu_index += 1
+            for ci, (hs, vs) in enumerate(sampling):
+                for by in range(vs):
+                    for bx in range(hs):
+                        preds[ci] = _encode_block(
+                            planes[ci],
+                            (mx * hs + bx) * 8,
+                            (my * vs + by) * 8,
+                            quant,
+                            preds[ci],
+                            writer,
+                        )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy data exhausted")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("dangling 0xFF in entropy data")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("marker inside entropy data")
+            self._acc = byte
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Byte-align and consume one RSTn/other marker; returns it."""
+        self._n = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0:
+                marker = self.data[self.pos + 1]
+                self.pos += 2
+                return marker
+            self.pos += 1
+        raise ValueError("expected marker, hit end of stream")
+
+
+def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical table: (length, code) → symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline JPEG → dimensions + exact per-channel sums.
+
+    Returns the BMP/PNG stats contract: ``{width, height, sum_r,
+    sum_g, sum_b}`` (grayscale streams report the gray sum in all
+    three channels).  Raises ``ValueError`` on anything outside
+    baseline sequential 8-bit — the Arrow kernel dead-letters.
+    """
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    n = len(payload)
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:  # stray RST
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                off += 1
+                if pq == 0:
+                    vals = list(seg[off : off + 64])
+                    off += 64
+                else:
+                    vals = [
+                        struct.unpack_from(">H", seg, off + 2 * i)[0]
+                        for i in range(64)
+                    ]
+                    off += 128
+                qtables[tq] = vals
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(+extended) DCT
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError(f"unsupported precision {precision}")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG process (SOF marker 0x{marker:02X})"
+            )
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0x0F
+                bits = list(seg[off + 1 : off + 17])
+                cnt = sum(bits)
+                vals = seg[off + 17 : off + 17 + cnt]
+                htables[(tc, th)] = _build_huffman(bits, vals)
+                off += 17 + cnt
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i : 3 + 2 * i]
+                scan.append({"id": cid, "td": tt >> 4, "ta": tt & 0x0F})
+            pos += seglen
+            break
+        # APPn / COM / others: skip
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["cols"] = mcux * c["h"] * 8
+        c["rows"] = mcuy * c["v"] * 8
+        c["plane"] = bytearray(c["cols"] * c["rows"])
+        if c["tq"] not in qtables:
+            raise ValueError(f"missing quant table {c['tq']}")
+    for sc in scan:
+        if (0, sc["td"]) not in htables or (1, sc["ta"]) not in htables:
+            raise ValueError("missing Huffman table for scan")
+
+    reader = _BitReader(payload, pos)
+    preds = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                marker = reader.align_to_marker()
+                if not 0xD0 <= marker <= 0xD7:
+                    raise ValueError(f"expected RST, got 0x{marker:02X}")
+                preds = {c["id"]: 0 for c in comps}
+            for sc in scan:
+                comp = by_id[sc["id"]]
+                dc_t = htables[(0, sc["td"])]
+                ac_t = htables[(1, sc["ta"])]
+                qt = qtables[comp["tq"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        s = _huff_decode(reader, dc_t)
+                        diff = _extend(reader.read_bits(s), s)
+                        preds[comp["id"]] += diff
+                        zz = [0] * 64
+                        zz[0] = preds[comp["id"]]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(reader, ac_t)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overrun")
+                            zz[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+                        coef = [0.0] * 64
+                        for i in range(64):
+                            coef[ZIGZAG[i]] = zz[i] * qt[i]
+                        px = _idct(coef)
+                        base_y = (my * comp["v"] + by) * 8
+                        base_x = (mx * comp["h"] + bx) * 8
+                        cols = comp["cols"]
+                        plane = comp["plane"]
+                        for yy in range(8):
+                            row = (base_y + yy) * cols + base_x
+                            for xx in range(8):
+                                v = int(round(px[yy * 8 + xx])) + 128
+                                plane[row + xx] = min(255, max(0, v))
+            mcu_count += 1
+
+    sum_r = sum_g = sum_b = 0
+    if len(comps) == 1:
+        c = comps[0]
+        cols = c["cols"]
+        plane = c["plane"]
+        for y in range(h):
+            row = y * cols
+            s = sum(plane[row : row + w])
+            sum_r += s
+        sum_g = sum_b = sum_r
+    elif len(comps) == 3:
+        cy, ccb, ccr = comps
+        for y in range(h):
+            yy = {
+                id(c): (y * c["v"] // vmax) * c["cols"] for c in comps
+            }
+            for x in range(w):
+                lum = cy["plane"][yy[id(cy)] + (x * cy["h"] // hmax)]
+                cb = ccb["plane"][yy[id(ccb)] + (x * ccb["h"] // hmax)]
+                cr = ccr["plane"][yy[id(ccr)] + (x * ccr["h"] // hmax)]
+                r = lum + 1.402 * (cr - 128)
+                g = lum - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+                b = lum + 1.772 * (cb - 128)
+                sum_r += min(255, max(0, int(round(r))))
+                sum_g += min(255, max(0, int(round(g))))
+                sum_b += min(255, max(0, int(round(b))))
+    else:
+        raise ValueError(f"unsupported component count {len(comps)}")
+    return {
+        "width": w,
+        "height": h,
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+    }

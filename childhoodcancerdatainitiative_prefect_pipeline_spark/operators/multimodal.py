@@ -8,8 +8,10 @@ without materializing whole partitions.
 
 Codec libraries (PIL/librosa/ffmpeg) are NOT available in this
 container.  Formats decodable with the stdlib alone get REAL
-decoders — 24-bpp BMP (struct parse) and 8-bit PNG (zlib inflate +
-scanline unfiltering) — while JPEG/audio kernels stay stubbed behind
+decoders — 24-bpp BMP (struct parse), 8-bit PNG (zlib inflate +
+scanline unfiltering), baseline JPEG (``operators/jpeg.py``: Huffman
++ dequant + IDCT + chroma upsampling) and PCM WAV — while
+video/compressed-audio kernels stay stubbed behind
 ``DECODERS_AVAILABLE`` with a deterministic fake; the Spark-side
 contract — schemas, batch iteration, partitioning — is identical for
 real and stubbed paths and fully tested.
@@ -514,6 +516,14 @@ def decode_bmp_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
 def decode_png_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     """8-bit RGB/RGBA PNG payloads → dimensions + exact channel sums."""
     return _decode_stats(media, decode_png, id_col)
+
+
+def decode_jpeg_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Baseline JPEG payloads → dimensions + channel sums (exact for
+    MCU-flat grayscale content; see ``operators/jpeg.py``)."""
+    from .jpeg import decode_jpeg
+
+    return _decode_stats(media, decode_jpeg, id_col)
 
 
 # ---------------------------------------------------------------------------

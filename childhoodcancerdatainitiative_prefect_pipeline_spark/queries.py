@@ -14531,6 +14531,89 @@ def multimodal_wav_decode_query(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# REAL baseline-JPEG decode, certified: the last codec seam closed
+# with the stdlib alone (operators/jpeg.py: Huffman entropy decode +
+# dequant + IDCT + 4:2:0 chroma upsampling + restart-marker resync).
+# Certification uses the exact regime: images FLAT within each 8×8
+# block (a flat block's DCT is a lone DC coefficient, preserved
+# exactly at quant 1) with grayscale values (the YCbCr transform is
+# identity for r=g=b), pushed through the FULL color path — 3
+# components, 4:2:0 subsampling, restart markers — so the oracle can
+# predict the channel sums analytically from the block-value formula.
+# ---------------------------------------------------------------------------
+
+_JPEG_ORACLE = """WITH m AS (
+  SELECT o_orderkey AS k,
+         8 + (o_orderkey % 3) * 8 AS w,
+         8 + (o_orderkey % 2) * 8 AS h
+  FROM orders WHERE o_orderkey % 301 = 0),
+px AS (
+  SELECT k, w, h,
+         (37 * (x // 8) + 91 * (y // 8) + k) % 256 AS v
+  FROM m
+  JOIN range(24) tx(x) ON x < w
+  JOIN range(16) ty(y) ON y < h)
+SELECT k AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS sum_r,
+       CAST(SUM(v) AS BIGINT) AS sum_g,
+       CAST(SUM(v) AS BIGINT) AS sum_b,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM px GROUP BY k, w, h"""
+
+
+@register(
+    "multimodal_jpeg_decode",
+    _JPEG_ORACLE,
+    "REAL baseline-JPEG decode end-to-end with no codec libs "
+    "(operators/jpeg.py: marker parse, Huffman entropy decode, "
+    "dequant, IDCT, 4:2:0 upsampling, restart-marker resync): "
+    "per-row images flat within each 8x8 block and grayscale-valued "
+    "are encoded through the FULL color path (3 components, 4:2:0, "
+    "DRI/RST) — the regime where DCT+quant-1 is bit-exact — and "
+    "decoded to dimensions + channel sums in Arrow stages; the "
+    "oracle recomputes the sums from the block-value formula over a "
+    "range() grid (operators/multimodal.py::decode_jpeg_stats; "
+    "closes the final codec stub from r03)",
+)
+def multimodal_jpeg_decode_query(spark, sf_dir):
+    from .operators.jpeg import encode_jpeg
+    from .operators.multimodal import decode_jpeg_stats
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    meta = orders.filter(F.col("o_orderkey") % 301 == 0).select(
+        F.col("o_orderkey").alias("media_id"),
+        (8 + (F.col("o_orderkey") % 3) * 8).cast("int").alias("w"),
+        (8 + (F.col("o_orderkey") % 2) * 8).cast("int").alias("h"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                encode_jpeg(
+                    int(w),
+                    int(h),
+                    lambda x, y, k=int(k): (
+                        ((37 * (x // 8) + 91 * (y // 8) + k) % 256,) * 3
+                    ),
+                    quant=1,
+                    subsample="420",
+                    restart_interval=2,
+                )
+                for k, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"])
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = meta.mapInPandas(synth, "media_id long, payload binary")
+    return decode_jpeg_stats(media)
+
+
+# ---------------------------------------------------------------------------
 # REAL BAM stats, certified: the reference greps reads/bases/average
 # length/coverage out of `samtools stats`/`samtools coverage` text per
 # BAM (src/sra_metadata.py:30-90, pysam).  Here the same four stats

@@ -2233,3 +2233,73 @@ def test_canonicalize_url_rules(spark):
     }
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_jpeg_encode_decode_exact_flat_blocks_and_quarantine(spark):
+    """Real (stdlib) baseline JPEG: flat-8×8-block grayscale content
+    decodes bit-exactly at quant 1 across 1-component, 4:4:4 and
+    4:2:0 streams with and without restart markers; arbitrary color
+    content round-trips within ±2/pixel; structural corruption and
+    progressive streams dead-letter instead of failing the stage."""
+    import random
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.multimodal import (
+        decode_jpeg_stats,
+    )
+
+    def v(x, y):
+        return (37 * (x // 8) + 91 * (y // 8) + 5) % 256
+
+    W, H = 24, 16
+    exp = sum(v(x, y) for x in range(W) for y in range(H))
+    for kwargs in (
+        {"grayscale": True},
+        {"subsample": "444"},
+        {"subsample": "420"},
+        {"subsample": "420", "restart_interval": 2},
+        {"grayscale": True, "restart_interval": 3},
+    ):
+        pf = v if kwargs.get("grayscale") else (lambda x, y: (v(x, y),) * 3)
+        d = decode_jpeg(encode_jpeg(W, H, pf, quant=1, **kwargs))
+        assert (d["width"], d["height"]) == (W, H), kwargs
+        assert d["sum_r"] == d["sum_g"] == d["sum_b"] == exp, kwargs
+
+    # non-multiple-of-8 dims crop correctly (edge padding replicates
+    # inside the same flat block, so still exact)
+    d = decode_jpeg(encode_jpeg(13, 9, v, grayscale=True))
+    assert (d["width"], d["height"]) == (13, 9)
+    assert d["sum_r"] == sum(v(x, y) for x in range(13) for y in range(9))
+
+    rnd = random.Random(11)
+    img = [
+        [tuple(rnd.randrange(256) for _ in range(3)) for _ in range(16)]
+        for _ in range(16)
+    ]
+    d = decode_jpeg(encode_jpeg(16, 16, lambda x, y: img[y][x], quant=1))
+    for ch, key in enumerate(("sum_r", "sum_g", "sum_b")):
+        exact = sum(img[y][x][ch] for x in range(16) for y in range(16))
+        assert abs(d[key] - exact) <= 2 * 256, key
+
+    good = encode_jpeg(8, 8, v, grayscale=True)
+    progressive = bytearray(good)
+    sof = progressive.find(b"\xff\xc0")
+    progressive[sof + 1] = 0xC2  # masquerade as progressive
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(b"not a jpeg")),
+            (3, bytearray(good[:25])),
+            (4, progressive),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_jpeg_stats(media).collect()}
+    assert rows[1]["decode_error"] is None
+    assert rows[1]["sum_r"] == sum(v(x, y) for x in range(8) for y in range(8))
+    for bad in (2, 3, 4):
+        assert rows[bad]["decode_error"] is not None, bad
+        assert rows[bad]["width"] is None
