@@ -10,9 +10,10 @@ Codec libraries (PIL/librosa/ffmpeg) are NOT available in this
 container.  Formats decodable with the stdlib alone get REAL
 decoders — 24-bpp BMP (struct parse), 8-bit PNG (zlib inflate +
 scanline unfiltering), baseline JPEG (``operators/jpeg.py``: Huffman
-+ dequant + IDCT + chroma upsampling) and PCM WAV — while
-video/compressed-audio kernels stay stubbed behind
-``DECODERS_AVAILABLE`` with a deterministic fake; the Spark-side
++ dequant + IDCT + chroma upsampling), PCM WAV and MJPEG-in-AVI
+video (``operators/video.py``) — while compressed-audio kernels stay
+stubbed behind ``DECODERS_AVAILABLE`` with a deterministic fake; the
+Spark-side
 contract — schemas, batch iteration, partitioning — is identical for
 real and stubbed paths and fully tested.
 """

@@ -14614,6 +14614,89 @@ def multimodal_jpeg_decode_query(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# REAL video decode, certified: MJPEG-in-AVI is the video format the
+# stdlib can own end-to-end — the container is a RIFF chunk walk
+# (operators/video.py) and every frame is a baseline JPEG through the
+# operators/jpeg.py decoder.  Per-row clips with rule-driven
+# MCU-flat grayscale frames decode to exact channel sums over ALL
+# frames; the oracle recomputes them over a frame×pixel grid.
+# ---------------------------------------------------------------------------
+
+_MJPEG_ORACLE = """WITH m AS (
+  SELECT o_orderkey AS k,
+         2 + o_orderkey % 3 AS nf,
+         8 + (o_orderkey % 2) * 8 AS w
+  FROM orders WHERE o_orderkey % 301 = 0),
+px AS (
+  SELECT k, nf, w,
+         (37 * (x // 8) + 13 * f + k) % 256 AS v
+  FROM m
+  JOIN range(4) tf(f) ON f < nf
+  JOIN range(16) tx(x) ON x < w
+  JOIN range(8) ty(y) ON y < 8)
+SELECT k AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(SUM(v) AS BIGINT) AS sum_r,
+       CAST(SUM(v) AS BIGINT) AS sum_g,
+       CAST(SUM(v) AS BIGINT) AS sum_b,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM px GROUP BY k, nf, w"""
+
+
+@register(
+    "multimodal_mjpeg_video_decode",
+    _MJPEG_ORACLE,
+    "REAL video decode end-to-end with no codec libs (MJPEG-in-AVI: "
+    "RIFF chunk walk + per-frame baseline JPEG through "
+    "operators/jpeg.py): per-row clips of rule-driven MCU-flat "
+    "grayscale frames through the full 4:2:0 color path, decoded to "
+    "frame counts + exact channel sums over all frames in Arrow "
+    "stages; the oracle recomputes the sums over a frame x pixel "
+    "grid (operators/video.py::decode_mjpeg_stats; closes the video "
+    "stub — frame_sample_plan fans long videos out per frame first)",
+)
+def multimodal_mjpeg_video_decode_query(spark, sf_dir):
+    from .operators.jpeg import encode_jpeg
+    from .operators.video import decode_mjpeg_stats, encode_avi_mjpeg
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    meta = orders.filter(F.col("o_orderkey") % 301 == 0).select(
+        F.col("o_orderkey").alias("media_id"),
+        (2 + F.col("o_orderkey") % 3).cast("int").alias("nf"),
+        (8 + (F.col("o_orderkey") % 2) * 8).cast("int").alias("w"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for k, nf, w in zip(pdf["media_id"], pdf["nf"], pdf["w"]):
+                k, nf, w = int(k), int(nf), int(w)
+                frames = [
+                    encode_jpeg(
+                        w,
+                        8,
+                        lambda x, y, f=f, k=k: (
+                            ((37 * (x // 8) + 13 * f + k) % 256,) * 3
+                        ),
+                        quant=1,
+                        subsample="420",
+                    )
+                    for f in range(nf)
+                ]
+                payloads.append(encode_avi_mjpeg(frames, w, 8))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = meta.mapInPandas(synth, "media_id long, payload binary")
+    return decode_mjpeg_stats(media)
+
+
+# ---------------------------------------------------------------------------
 # REAL BAM stats, certified: the reference greps reads/bases/average
 # length/coverage out of `samtools stats`/`samtools coverage` text per
 # BAM (src/sra_metadata.py:30-90, pysam).  Here the same four stats

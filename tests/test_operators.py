@@ -2303,3 +2303,62 @@ def test_jpeg_encode_decode_exact_flat_blocks_and_quarantine(spark):
     for bad in (2, 3, 4):
         assert rows[bad]["decode_error"] is not None, bad
         assert rows[bad]["width"] is None
+
+
+def test_mjpeg_avi_encode_decode_and_quarantine(spark):
+    """Real (stdlib) MJPEG-in-AVI video decode: RIFF walk + per-frame
+    baseline JPEG, exact multi-frame channel sums for MCU-flat gray
+    frames; structural corruption and mid-stream dimension changes
+    dead-letter instead of failing the stage."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.video import (
+        decode_avi_mjpeg,
+        decode_mjpeg_stats,
+        encode_avi_mjpeg,
+    )
+
+    W, H = 16, 8
+
+    def v(x, y, f):
+        return (37 * (x // 8) + 91 * (y // 8) + 13 * f + 5) % 256
+
+    frames = [
+        encode_jpeg(
+            W, H, lambda x, y, f=f: (v(x, y, f),) * 3, quant=1,
+            subsample="420",
+        )
+        for f in range(4)
+    ]
+    avi = encode_avi_mjpeg(frames, W, H)
+    d = decode_avi_mjpeg(avi)
+    exp = sum(
+        v(x, y, f) for f in range(4) for y in range(H) for x in range(W)
+    )
+    assert d["n_frames"] == 4 and (d["width"], d["height"]) == (W, H)
+    assert d["sum_r"] == d["sum_g"] == d["sum_b"] == exp
+
+    # mixed frame dimensions must fail loud
+    odd = encode_avi_mjpeg(
+        [frames[0], encode_jpeg(8, 8, lambda x, y: 0, grayscale=True)], W, H
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="dimensions changed"):
+        decode_avi_mjpeg(odd)
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(avi)),
+            (2, bytearray(b"not an avi")),
+            (3, bytearray(avi[:50])),
+            (4, bytearray(odd)),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_mjpeg_stats(media).collect()}
+    assert rows[1]["decode_error"] is None and rows[1]["sum_r"] == exp
+    for bad in (2, 3, 4):
+        assert rows[bad]["decode_error"] is not None, bad
+        assert rows[bad]["n_frames"] is None
