@@ -10,12 +10,12 @@ Codec libraries (PIL/librosa/ffmpeg) are NOT available in this
 container.  Formats decodable with the stdlib alone get REAL
 decoders — 24-bpp BMP (struct parse), 8-bit PNG (zlib inflate +
 scanline unfiltering), baseline JPEG (``operators/jpeg.py``: Huffman
-+ dequant + IDCT + chroma upsampling), PCM WAV and MJPEG-in-AVI
-video (``operators/video.py``) — while compressed-audio kernels stay
-stubbed behind ``DECODERS_AVAILABLE`` with a deterministic fake; the
-Spark-side
-contract — schemas, batch iteration, partitioning — is identical for
-real and stubbed paths and fully tested.
++ dequant + IDCT + chroma upsampling), PCM WAV, lossless FLAC
+(``operators/flac.py``) and MJPEG-in-AVI video
+(``operators/video.py``) — every media modality has a real kernel.
+The ``DECODERS_AVAILABLE`` stub remains only as the generic
+feature-extract demo for formats that genuinely need external libs
+(H.264, AAC); its batch contract is identical to the real kernels.
 """
 
 from __future__ import annotations

@@ -14697,6 +14697,90 @@ def multimodal_mjpeg_video_decode_query(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# REAL compressed-audio decode, certified: FLAC is LOSSLESS, so unlike
+# JPEG there is no "exact regime" to engineer — every stream decodes
+# bit-exactly.  Per-row stereo/mono FLAC files (fixed-predictor
+# subframes, Rice-coded residuals, mid/side decorrelation for stereo)
+# decode through the full CRC-verified path in operators/flac.py; the
+# oracle recomputes the sums from the sample formula over a range()
+# frame×channel grid — the WAV entry's twin, one compression layer
+# deeper.
+# ---------------------------------------------------------------------------
+
+_FLAC_ORACLE = """WITH m AS (
+  SELECT o_orderkey AS k,
+         300 + o_orderkey % 200 AS nf,
+         1 + o_orderkey % 2 AS nc
+  FROM orders WHERE o_orderkey % 301 = 0),
+s AS (
+  SELECT k, nf, nc,
+         ((i * 37 + ch * 1001 + k) % 4001) - 2000 AS v
+  FROM m
+  JOIN range(500) ti(i) ON i < nf
+  JOIN range(2) tc(ch) ON ch < nc)
+SELECT k AS media_id,
+       CAST(nc AS BIGINT) AS n_channels,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(nf * 1000 // 16000 AS BIGINT) AS duration_milli,
+       CAST(SUM(v) AS BIGINT) AS sum_samples,
+       CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM s GROUP BY k, nf, nc"""
+
+
+@register(
+    "multimodal_flac_decode",
+    _FLAC_ORACLE,
+    "REAL compressed-audio decode end-to-end with no codec libs "
+    "(FLAC is stdlib-decodable and LOSSLESS — operators/flac.py: "
+    "frame sync + CRC-8/CRC-16 verification, fixed-predictor "
+    "subframes, Rice partitions, mid/side stereo decorrelation, "
+    "stream MD5 check): per-row mono/stereo files with rule-driven "
+    "samples are Rice-compressed and decoded to exact sample/abs "
+    "sums in Arrow stages; the oracle recomputes the sums over a "
+    "range() frame×channel grid "
+    "(operators/flac.py::decode_flac_stats; closes the last "
+    "compressed-codec stub)",
+)
+def multimodal_flac_decode_query(spark, sf_dir):
+    from .operators.flac import decode_flac_stats, encode_flac
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    meta = orders.filter(F.col("o_orderkey") % 301 == 0).select(
+        F.col("o_orderkey").alias("media_id"),
+        (300 + F.col("o_orderkey") % 200).cast("int").alias("nf"),
+        (1 + F.col("o_orderkey") % 2).cast("int").alias("nc"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                encode_flac(
+                    lambda i, ch, k=int(k): (
+                        ((i * 37 + ch * 1001 + k) % 4001) - 2000
+                    ),
+                    n_samples=int(nf),
+                    sample_rate=16000,
+                    n_channels=int(nc),
+                    block_size=128,
+                    subframe="fixed2",
+                    partition_order=2,
+                    mid_side=int(nc) == 2,
+                )
+                for k, nf, nc in zip(pdf["media_id"], pdf["nf"], pdf["nc"])
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = meta.mapInPandas(synth, "media_id long, payload binary")
+    return decode_flac_stats(media)
+
+
+# ---------------------------------------------------------------------------
 # REAL BAM stats, certified: the reference greps reads/bases/average
 # length/coverage out of `samtools stats`/`samtools coverage` text per
 # BAM (src/sra_metadata.py:30-90, pysam).  Here the same four stats

@@ -2362,3 +2362,64 @@ def test_mjpeg_avi_encode_decode_and_quarantine(spark):
     for bad in (2, 3, 4):
         assert rows[bad]["decode_error"] is not None, bad
         assert rows[bad]["n_frames"] is None
+
+
+def test_flac_encode_decode_all_subframe_modes_and_quarantine(spark):
+    """Real (stdlib) FLAC: lossless roundtrip across verbatim /
+    constant / fixed-predictor subframes, Rice partition orders,
+    mid/side stereo and odd block sizes; CRC-8/CRC-16 damage and
+    truncation dead-letter instead of failing the stage."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.flac import (
+        decode_flac,
+        decode_flac_stats,
+        encode_flac,
+    )
+
+    def sf(i, ch):
+        return ((i * 37 + ch * 1001 + 5) % 4001) - 2000
+
+    N = 600
+    exp_sum = sum(sf(i, ch) for i in range(N) for ch in range(2))
+    exp_abs = sum(abs(sf(i, ch)) for i in range(N) for ch in range(2))
+    for kwargs in (
+        {"subframe": "verbatim"},
+        {"subframe": "fixed0"},
+        {"subframe": "fixed1"},
+        {"subframe": "fixed2"},
+        {"subframe": "fixed2", "partition_order": 2},
+        {"subframe": "fixed2", "mid_side": True},
+        {"subframe": "fixed1", "block_size": 100},
+    ):
+        d = decode_flac(
+            encode_flac(sf, N, sample_rate=8000, n_channels=2, **kwargs)
+        )
+        assert d["sum_samples"] == exp_sum, kwargs
+        assert d["sum_abs"] == exp_abs, kwargs
+        assert d["n_frames"] == N and d["n_channels"] == 2, kwargs
+
+    # constant subframes on a per-block-constant signal compress hard
+    cblob = encode_flac(
+        lambda i, ch: 123 if i < 256 else -45, 512, n_channels=1,
+        subframe="constant", block_size=256,
+    )
+    d = decode_flac(cblob)
+    assert d["sum_samples"] == 256 * 123 + 256 * (-45)
+    assert len(cblob) < 100  # two constant frames + metadata
+
+    good = encode_flac(sf, N, n_channels=2)
+    flipped = good[:200] + bytes([good[200] ^ 0x40]) + good[201:]
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(b"junk")),
+            (3, bytearray(good[:60])),
+            (4, bytearray(flipped)),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_flac_stats(media).collect()}
+    assert rows[1]["decode_error"] is None
+    assert rows[1]["sum_samples"] == exp_sum
+    for bad in (2, 3, 4):
+        assert rows[bad]["decode_error"] is not None, bad
+        assert rows[bad]["n_frames"] is None

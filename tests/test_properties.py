@@ -534,3 +534,69 @@ def test_canonicalize_url_matches_python_reference(spark, urls):
     for r in rows:
         assert r["c1"] == _py_canonicalize_url(r["url"]), r["url"]
         assert r["c2"] == r["c1"], f"not idempotent: {r['url']}"
+
+
+# ---------------------------------------------------------------------------
+# FLAC losslessness over arbitrary signals — the formula battery in
+# test_operators pins specific modes; this pins ROUNDTRIP IDENTITY of
+# sums for arbitrary int16 signals across every encoder mode.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=400,
+    ),
+    mode=st.sampled_from(
+        ["verbatim", "fixed0", "fixed1", "fixed2"]
+    ),
+    block_size=st.sampled_from([64, 100, 256]),
+    stereo=st.booleans(),
+    partition_order=st.sampled_from([0, 1, 2]),
+)
+def test_flac_roundtrip_is_lossless_property(
+    samples, mode, block_size, stereo, partition_order
+):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    n_channels = 2 if stereo else 1
+
+    def sample_fn(i, ch):
+        # second channel = bitwise complement: stays in int16 range
+        v = samples[i]
+        return v if ch == 0 else -(v + 1)
+
+    blob = encode_flac(
+        sample_fn,
+        len(samples),
+        n_channels=n_channels,
+        block_size=block_size,
+        subframe=mode,
+        partition_order=partition_order,
+        mid_side=stereo,
+    )
+    d = decode_flac(blob)
+    exp_sum = sum(
+        sample_fn(i, ch)
+        for i in range(len(samples))
+        for ch in range(n_channels)
+    )
+    exp_abs = sum(
+        abs(sample_fn(i, ch))
+        for i in range(len(samples))
+        for ch in range(n_channels)
+    )
+    assert d["n_frames"] == len(samples)
+    assert d["sum_samples"] == exp_sum
+    assert d["sum_abs"] == exp_abs  # MD5 check inside decode makes
+    # this a full per-sample identity, not just a sum identity
