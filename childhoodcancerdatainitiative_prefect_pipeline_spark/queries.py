@@ -14781,6 +14781,161 @@ def multimodal_flac_decode_query(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Mixed-format media ROUTING, certified: the production shape for a
+# multimodal corpus — ONE media table carrying different formats with
+# typed metadata, dispatched by mime to the right real kernel
+# (filter → kernel → unionByName in long stat form).  Three formats
+# cover the three codec classes: BMP (raw image), JPEG (compressed
+# image, exact flat-block regime), FLAC (compressed audio, lossless).
+# The oracle unions the three analytic formulas — certification of
+# the dispatch itself, not just each kernel.
+# ---------------------------------------------------------------------------
+
+_ROUTE_ORACLE = """WITH m AS (
+  SELECT o_orderkey AS k, o_orderkey % 3 AS fmt
+  FROM orders WHERE o_orderkey % 301 = 0),
+bmp AS (
+  SELECT k, 'image/bmp' AS mime, s.stat, s.value
+  FROM m,
+  LATERAL (VALUES
+    ('width', CAST(6 AS BIGINT)),
+    ('height', CAST(4 AS BIGINT)),
+    ('sum_r', CAST(24 * (k * 7 % 256) AS BIGINT)),
+    ('sum_g', CAST(24 * (k * 13 % 256) AS BIGINT)),
+    ('sum_b', CAST(24 * (k * 29 % 256) AS BIGINT))) s(stat, value)
+  WHERE fmt = 0),
+jpg AS (
+  SELECT k, 'image/jpeg' AS mime, s.stat, s.value
+  FROM (
+    SELECT k, SUM((37 * (x // 8) + k) % 256) AS sv
+    FROM m JOIN range(16) tx(x) ON TRUE JOIN range(8) ty(y) ON TRUE
+    WHERE fmt = 1 GROUP BY k) j,
+  LATERAL (VALUES
+    ('width', CAST(16 AS BIGINT)),
+    ('height', CAST(8 AS BIGINT)),
+    ('sum_r', CAST(sv AS BIGINT)),
+    ('sum_g', CAST(sv AS BIGINT)),
+    ('sum_b', CAST(sv AS BIGINT))) s(stat, value)),
+flac AS (
+  SELECT k, 'audio/flac' AS mime, s.stat, s.value
+  FROM (
+    SELECT k,
+           SUM(((i * 37 + k) % 4001) - 2000) AS ss,
+           SUM(abs(((i * 37 + k) % 4001) - 2000)) AS sa
+    FROM m JOIN range(400) ti(i) ON TRUE
+    WHERE fmt = 2 GROUP BY k) f,
+  LATERAL (VALUES
+    ('n_frames', CAST(400 AS BIGINT)),
+    ('duration_milli', CAST(400 * 1000 // 16000 AS BIGINT)),
+    ('sum_samples', CAST(ss AS BIGINT)),
+    ('sum_abs', CAST(sa AS BIGINT))) s(stat, value))
+SELECT k AS media_id, mime, stat, value FROM bmp
+UNION ALL SELECT k, mime, stat, value FROM jpg
+UNION ALL SELECT k, mime, stat, value FROM flac"""
+
+
+@register(
+    "multimodal_route_decode",
+    _ROUTE_ORACLE,
+    "mixed-format media routing: ONE table carries BMP + JPEG + FLAC "
+    "payloads with mime metadata; mime-filtered branches run each "
+    "REAL kernel and unionByName their stats in long (stat, value) "
+    "form — the production dispatch shape for a multimodal corpus.  "
+    "The oracle unions the three analytic formulas, certifying the "
+    "routing itself, not just each kernel in isolation",
+)
+def multimodal_route_decode_query(spark, sf_dir):
+    from .operators.flac import decode_flac_stats, encode_flac
+    from .operators.jpeg import encode_jpeg
+    from .operators.multimodal import (
+        decode_bmp_stats,
+        decode_jpeg_stats,
+        encode_bmp,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    meta = orders.filter(F.col("o_orderkey") % 301 == 0).select(
+        F.col("o_orderkey").alias("media_id"),
+        (F.col("o_orderkey") % 3).cast("int").alias("fmt"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, mimes = [], []
+            for k, fmt in zip(pdf["media_id"], pdf["fmt"]):
+                k, fmt = int(k), int(fmt)
+                if fmt == 0:
+                    payloads.append(
+                        encode_bmp(
+                            6, 4,
+                            lambda x, y, k=k: (
+                                k * 7 % 256, k * 13 % 256, k * 29 % 256
+                            ),
+                        )
+                    )
+                    mimes.append("image/bmp")
+                elif fmt == 1:
+                    payloads.append(
+                        encode_jpeg(
+                            16, 8,
+                            lambda x, y, k=k: (
+                                ((37 * (x // 8) + k) % 256,) * 3
+                            ),
+                            quant=1, subsample="420",
+                        )
+                    )
+                    mimes.append("image/jpeg")
+                else:
+                    payloads.append(
+                        encode_flac(
+                            lambda i, ch, k=k: ((i * 37 + k) % 4001) - 2000,
+                            n_samples=400, sample_rate=16000,
+                            subframe="fixed2", partition_order=2,
+                        )
+                    )
+                    mimes.append("audio/flac")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": mimes,
+                    "payload": payloads,
+                }
+            )
+
+    media = meta.mapInPandas(
+        synth, "media_id long, mime string, payload binary"
+    ).localCheckpoint()
+
+    def long_form(stats, mime, cols):
+        pairs = [
+            F.struct(F.lit(c).alias("stat"), F.col(c).cast("long").alias("value"))
+            for c in cols
+        ]
+        return stats.select(
+            "media_id",
+            F.lit(mime).alias("mime"),
+            F.explode(F.array(*pairs)).alias("s"),
+        ).select("media_id", "mime", F.col("s.stat"), F.col("s.value"))
+
+    bmp = long_form(
+        decode_bmp_stats(media.filter(F.col("mime") == "image/bmp")),
+        "image/bmp", ["width", "height", "sum_r", "sum_g", "sum_b"],
+    )
+    jpg = long_form(
+        decode_jpeg_stats(media.filter(F.col("mime") == "image/jpeg")),
+        "image/jpeg", ["width", "height", "sum_r", "sum_g", "sum_b"],
+    )
+    flac = long_form(
+        decode_flac_stats(media.filter(F.col("mime") == "audio/flac")),
+        "audio/flac",
+        ["n_frames", "duration_milli", "sum_samples", "sum_abs"],
+    )
+    return bmp.unionByName(jpg).unionByName(flac)
+
+
+# ---------------------------------------------------------------------------
 # REAL BAM stats, certified: the reference greps reads/bases/average
 # length/coverage out of `samtools stats`/`samtools coverage` text per
 # BAM (src/sra_metadata.py:30-90, pysam).  Here the same four stats

@@ -134,7 +134,9 @@ def main():
         # ntile, cds persist, dashboard cache) plus the new kernels
         "customer_rfm_segments", "cds_flatten", "ccdi_release_dashboard",
         "bam_stats_extract", "multimodal_png_decode",
-        "multimodal_wav_decode", "cog_dcc_postprocess_merge",
+        "multimodal_wav_decode", "multimodal_jpeg_decode",
+        "multimodal_mjpeg_video_decode", "multimodal_flac_decode",
+        "cog_dcc_postprocess_merge",
         "corpus_weighted_sample",
         "dcc_manifest_guid_remap", "corpus_pack_sequences",
         "graph_pagerank_topk", "dedup_minhash_pairs",
