@@ -14936,6 +14936,206 @@ def multimodal_route_decode_query(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# IMAGE near-dup, certified end-to-end: decode → pooled-gray aHash →
+# banded candidate join → Hamming verify (operators/imagehash.py).
+# The LAION-shaped dedup a multimodal training corpus needs — the
+# image twin of dedup_simhash_pairs, with the DECODE inside the
+# certified pipeline.  Fixtures: per key, an original and a
+# one-block-perturbed variant (near-dups by construction, far from
+# other keys); flat-block gray BMPs make every pooled cell, hash bit,
+# band key and Hamming distance analytic in SQL.
+# ---------------------------------------------------------------------------
+
+_IMG_AHASH_ORACLE = """WITH m AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 301 = 0),
+imgs AS (
+  SELECT k, var, k * 2 + var AS media_id
+  FROM m JOIN range(2) tv(var) ON TRUE),
+cells AS (
+  SELECT media_id, by * 8 + bx AS cell,
+         CASE WHEN var = 1 AND bx = 0 AND by = 0
+              THEN ((37 * bx + 91 * by + k) % 256 + 128) % 256
+              ELSE (37 * bx + 91 * by + k) % 256 END AS v
+  FROM imgs JOIN range(8) tb(bx) ON TRUE JOIN range(8) tc(by) ON TRUE),
+tot AS (SELECT media_id, SUM(v) AS total FROM cells GROUP BY media_id),
+hv AS (
+  SELECT c.media_id,
+         CAST(SUM(CASE WHEN v * 64 > total AND cell < 32
+                       THEN (1::BIGINT << cell) ELSE 0 END) AS BIGINT)
+           AS h1,
+         CAST(SUM(CASE WHEN v * 64 > total AND cell >= 32
+                       THEN (1::BIGINT << (cell - 32)) ELSE 0 END) AS BIGINT)
+           AS h2
+  FROM cells c JOIN tot USING (media_id) GROUP BY c.media_id),
+banded AS (
+  SELECT media_id, h1, h2, band,
+         CASE WHEN band < 4
+              THEN (h1 // (1::BIGINT << (8 * band))) % 256
+              ELSE (h2 // (1::BIGINT << (8 * (band - 4)))) % 256
+         END AS key
+  FROM hv JOIN range(8) tb(band) ON TRUE),
+pairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS hamming
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.key = b.key
+              AND a.media_id < b.media_id)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= 7"""
+
+
+@register(
+    "dedup_image_ahash_pairs",
+    _IMG_AHASH_ORACLE,
+    "IMAGE near-dup end-to-end (the multimodal twin of "
+    "dedup_simhash_pairs, with the DECODE in the certified path): "
+    "per-key original + one-block-perturbed BMPs are decoded and "
+    "pooled to an 8x8 gray grid, average-hashed into two int64 "
+    "halves (integer mean compare, no floats), banded 8x8-bit for "
+    "the candidate join (pigeonhole-complete at Hamming<=7), "
+    "Hamming-verified with bit_count(xor) "
+    "row-locally.  One scan, one (band,key,id) shuffle — never "
+    "all-pairs (operators/imagehash.py)",
+)
+def dedup_image_ahash_pairs_query(spark, sf_dir):
+    from .operators.imagehash import ahash_near_dup_pairs, image_ahash
+    from .operators.multimodal import encode_bmp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    meta = (
+        orders.filter(F.col("o_orderkey") % 301 == 0)
+        .select(F.col("o_orderkey").alias("k"))
+        .withColumn("var", F.explode(F.array(F.lit(0), F.lit(1))))
+        .select("k", "var", (F.col("k") * 2 + F.col("var")).alias("media_id"))
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for k, var in zip(pdf["k"], pdf["var"]):
+                k, var = int(k), int(var)
+
+                def pix(x, y, k=k, var=var):
+                    bx, by = x // 8, y // 8
+                    v = (37 * bx + 91 * by + k) % 256
+                    if var == 1 and bx == 0 and by == 0:
+                        v = (v + 128) % 256
+                    return (v, v, v)
+
+                payloads.append(encode_bmp(64, 64, pix))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = meta.mapInPandas(synth, "media_id long, payload binary")
+    pairs = ahash_near_dup_pairs(image_ahash(media), max_hamming=7)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# AUDIO near-dup, certified end-to-end: the audio twin of
+# dedup_image_ahash_pairs — decode → 64-window energy profile →
+# aHash → 8×8-bit bands → Hamming verify (operators/audiohash.py
+# reusing the imagehash machinery: a 64-cell integer grid is a
+# 64-cell integer grid whatever the modality).  Fixtures: per key, an
+# original clip and a one-window-replaced variant; energies are
+# integer |sample| sums, so the oracle replays windows, bits, bands
+# and distances exactly.
+# ---------------------------------------------------------------------------
+
+_AUDIO_AHASH_ORACLE = """WITH m AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 301 = 0),
+clips AS (
+  SELECT k, var, k * 2 + var AS media_id
+  FROM m JOIN range(2) tv(var) ON TRUE),
+w AS (
+  SELECT media_id, i // 10 AS win,
+         CASE WHEN var = 1 AND i < 10 THEN 3000
+              ELSE abs(((i * 37 + k) % 4001) - 2000) END AS e
+  FROM clips JOIN range(640) ti(i) ON TRUE),
+cells AS (
+  SELECT media_id, win, SUM(e) AS energy
+  FROM w GROUP BY media_id, win),
+tot AS (SELECT media_id, SUM(energy) AS total FROM cells GROUP BY media_id),
+hv AS (
+  SELECT c.media_id,
+         CAST(SUM(CASE WHEN energy * 64 > total AND win < 32
+                       THEN (1::BIGINT << win) ELSE 0 END) AS BIGINT) AS h1,
+         CAST(SUM(CASE WHEN energy * 64 > total AND win >= 32
+                       THEN (1::BIGINT << (win - 32)) ELSE 0 END) AS BIGINT)
+           AS h2
+  FROM cells c JOIN tot USING (media_id) GROUP BY c.media_id),
+banded AS (
+  SELECT media_id, h1, h2, band,
+         CASE WHEN band < 4
+              THEN (h1 // (1::BIGINT << (8 * band))) % 256
+              ELSE (h2 // (1::BIGINT << (8 * (band - 4)))) % 256
+         END AS key
+  FROM hv JOIN range(8) tb(band) ON TRUE),
+pairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS hamming
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.key = b.key
+              AND a.media_id < b.media_id)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= 7"""
+
+
+@register(
+    "dedup_audio_ahash_pairs",
+    _AUDIO_AHASH_ORACLE,
+    "AUDIO near-dup end-to-end (the audio twin of "
+    "dedup_image_ahash_pairs): per-key original + one-window-"
+    "replaced PCM WAV clips decode to a 64-window integer energy "
+    "profile, average-hash into two int64 halves, band 8x8-bit "
+    "(pigeonhole-complete at Hamming<=7) and verify with "
+    "bit_count(xor).  One scan, one (band,key,id) shuffle "
+    "(operators/audiohash.py, reusing the imagehash machinery)",
+)
+def dedup_audio_ahash_pairs_query(spark, sf_dir):
+    from .operators.audiohash import audio_ahash
+    from .operators.imagehash import ahash_near_dup_pairs
+    from .operators.multimodal import encode_wav
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    meta = (
+        orders.filter(F.col("o_orderkey") % 301 == 0)
+        .select(F.col("o_orderkey").alias("k"))
+        .withColumn("var", F.explode(F.array(F.lit(0), F.lit(1))))
+        .select("k", "var", (F.col("k") * 2 + F.col("var")).alias("media_id"))
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for k, var in zip(pdf["k"], pdf["var"]):
+                k, var = int(k), int(var)
+
+                def s(i, ch, k=k, var=var):
+                    if var == 1 and i < 10:
+                        return 3000
+                    return ((i * 37 + k) % 4001) - 2000
+
+                payloads.append(encode_wav(s, 640, 8000, 1))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = meta.mapInPandas(synth, "media_id long, payload binary")
+    pairs = ahash_near_dup_pairs(audio_ahash(media), max_hamming=7)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
 # REAL BAM stats, certified: the reference greps reads/bases/average
 # length/coverage out of `samtools stats`/`samtools coverage` text per
 # BAM (src/sra_metadata.py:30-90, pysam).  Here the same four stats

@@ -2423,3 +2423,130 @@ def test_flac_encode_decode_all_subframe_modes_and_quarantine(spark):
     for bad in (2, 3, 4):
         assert rows[bad]["decode_error"] is not None, bad
         assert rows[bad]["n_frames"] is None
+
+
+def test_image_ahash_phash_and_near_dup_pairs(spark):
+    """Perceptual image hashing: pooled-gray grid exactness on
+    flat-block BMPs, aHash integer-mean bits, pHash DCT-median bits
+    (brightness-shift invariant where aHash is not), banded pair
+    generation with Hamming verify, dead-letter on bad payloads."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.imagehash import (
+        ahash_bits,
+        ahash_near_dup_pairs,
+        bmp_gray_grid,
+        image_ahash,
+        phash_bits,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+    )
+
+    def pix(x, y, shift=0):
+        v = ((x // 8) * 37 + (y // 8) * 91 + 5) % 200
+        return (v + shift, v + shift, v + shift)
+
+    blob = encode_bmp(64, 64, pix)
+    cells = bmp_gray_grid(blob)
+    # flat 8x8 blocks pool exactly: cell sum = 64 * block value
+    assert cells[0] == 64 * pix(0, 0)[0]
+    assert cells[9] == 64 * pix(8, 8)[0]
+
+    h1, h2 = ahash_bits(cells)
+    # verify a couple of bits against the integer-mean definition
+    total = sum(cells)
+    assert bool(h1 & 1) == (cells[0] * 64 > total)
+    assert bool(h2 & 1) == (cells[32] * 64 > total)
+
+    # pHash is invariant to a uniform brightness shift (DC-only
+    # change); aHash is too (mean shifts equally) — but pHash must
+    # also match after the shift, pinning that DC is excluded
+    cells_shift = bmp_gray_grid(encode_bmp(64, 64, lambda x, y: pix(x, y, 40)))
+    assert phash_bits(cells) == phash_bits(cells_shift)
+    assert ahash_bits(cells) == ahash_bits(cells_shift)
+
+    # near-dup pair pipeline: original, perturbed copy, distinct image
+    def pix2(x, y):
+        v = ((x // 8) * 53 + (y // 8) * 17 + 99) % 200
+        return (v, v, v)
+
+    def pix_pert(x, y):
+        if x < 8 and y < 8:
+            return (255, 255, 255)
+        return pix(x, y)
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp(64, 64, pix))),
+            (2, bytearray(encode_bmp(64, 64, pix_pert))),
+            (3, bytearray(encode_bmp(64, 64, pix2))),
+            (4, bytearray(b"garbage")),
+        ],
+        "media_id long, payload binary",
+    )
+    hashes = image_ahash(media)
+    hrows = {r["media_id"]: r for r in hashes.collect()}
+    assert hrows[4]["decode_error"] is not None and hrows[4]["h1"] is None
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_near_dup_pairs(hashes, max_hamming=7).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 7
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_audio_ahash_energy_grid_and_pairs(spark):
+    """Perceptual audio hashing: window energy sums are exact integer
+    |sample| sums (mono and stereo folded), truncation to the largest
+    64-divisible prefix, near-dup pair detection through the shared
+    banding machinery, dead-letter on malformed/too-short payloads."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.audiohash import (
+        audio_ahash,
+        wav_energy_grid,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.imagehash import (
+        ahash_near_dup_pairs,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.multimodal import (
+        encode_wav,
+    )
+
+    def s(i, ch):
+        return ((i * 37 + ch * 1001 + 5) % 4001) - 2000
+
+    exp = [
+        sum(abs(s(w * 10 + j, 0)) for j in range(10)) for w in range(64)
+    ]
+    assert wav_energy_grid(encode_wav(s, 640, 8000, 1)) == exp
+    # stereo folds channels; extra samples beyond 64 windows truncate
+    exp2 = [
+        sum(abs(s(w * 10 + j, ch)) for j in range(10) for ch in range(2))
+        for w in range(64)
+    ]
+    assert wav_energy_grid(encode_wav(s, 645, 8000, 2)) == exp2
+
+    def s_pert(i, ch):
+        return 3000 if i < 10 else s(i, ch)
+
+    def s_other(i, ch):
+        return ((i * 53 + 99) % 4001) - 2000
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(s, 640, 8000, 1))),
+            (2, bytearray(encode_wav(s_pert, 640, 8000, 1))),
+            (3, bytearray(encode_wav(s_other, 640, 8000, 1))),
+            (4, bytearray(b"not audio")),
+            (5, bytearray(encode_wav(s, 30, 8000, 1))),  # too short
+        ],
+        "media_id long, payload binary",
+    )
+    hashes = audio_ahash(media)
+    hrows = {r["media_id"]: r for r in hashes.collect()}
+    assert hrows[4]["decode_error"] is not None
+    assert hrows[5]["decode_error"] is not None
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_near_dup_pairs(hashes, max_hamming=7).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 7
+    assert (1, 3) not in pairs
