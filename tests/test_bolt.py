@@ -455,3 +455,31 @@ def test_apply_index_statements_reference_parity():
     status, err = by_status[bad]
     assert status == "failed" and "SyntaxError" in err
     assert len(got) == 6  # the blank line vanished entirely
+
+
+def test_bolt_client_rejects_unsupported_server_version():
+    import socket
+    import threading
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def answer_v3():
+        conn, _ = srv.accept()
+        with conn:
+            conn.recv(20)  # magic + proposals
+            conn.sendall(b"\x00\x00\x00\x03")  # bolt 3: unsupported
+
+    t = threading.Thread(target=answer_v3, daemon=True)
+    t.start()
+    try:
+        try:
+            BoltClient("127.0.0.1", port)
+            raise AssertionError("expected ConnectionError")
+        except ConnectionError as ex:
+            assert "unsupported bolt version" in str(ex)
+    finally:
+        srv.close()

@@ -600,3 +600,54 @@ def test_flac_roundtrip_is_lossless_property(
     assert d["sum_samples"] == exp_sum
     assert d["sum_abs"] == exp_abs  # MD5 check inside decode makes
     # this a full per-sample identity, not just a sum identity
+
+
+# ---------------------------------------------------------------------------
+# JPEG decode robustness: arbitrary content through every encoder
+# mode must decode without error, with exact dimensions and a
+# reconstruction error bounded by the quantization step.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=20),
+    quant=st.sampled_from([1, 2, 8]),
+    mode=st.sampled_from(["gray", "444", "420"]),
+    rst=st.sampled_from([0, 2]),
+)
+def test_jpeg_decode_bounded_error_property(seed, w, h, quant, mode, rst):
+    import random
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rnd = random.Random(seed)
+    img = [[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
+    if mode == "gray":
+        blob = encode_jpeg(
+            w, h, lambda x, y: img[y][x], quant=quant, grayscale=True,
+            restart_interval=rst,
+        )
+    else:
+        blob = encode_jpeg(
+            w, h, lambda x, y: (img[y][x],) * 3, quant=quant,
+            subsample=mode, restart_interval=rst,
+        )
+    d = decode_jpeg(blob)
+    assert (d["width"], d["height"]) == (w, h)
+    exact = sum(sum(row) for row in img)
+    # per-pixel reconstruction error is bounded by the quant step
+    # spread over the block (loose bound: quant * 8 per pixel, plus
+    # chroma-subsampling smear for 420)
+    bound = (quant * 8 + (64 if mode == "420" else 0)) * w * h
+    for key in ("sum_r", "sum_g", "sum_b"):
+        assert abs(d[key] - exact) <= bound, (key, d[key], exact, bound)
