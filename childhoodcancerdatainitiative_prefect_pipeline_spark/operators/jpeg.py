@@ -401,13 +401,13 @@ def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid Huffman code")
 
 
-def decode_jpeg(payload: bytes) -> dict:
-    """Baseline JPEG → dimensions + exact per-channel sums.
+def _decode_planes(payload: bytes):
+    """Entropy-decode a baseline JPEG to its component planes.
 
-    Returns the BMP/PNG stats contract: ``{width, height, sum_r,
-    sum_g, sum_b}`` (grayscale streams report the gray sum in all
-    three channels).  Raises ``ValueError`` on anything outside
-    baseline sequential 8-bit — the Arrow kernel dead-letters.
+    Returns ``(w, h, comps, hmax, vmax)`` where each comp dict holds
+    its decoded ``plane`` (bytearray, ``cols``-wide rows at component
+    resolution) and sampling factors.  Shared by the stats decode and
+    the perceptual-hash grid pooling.
     """
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -557,7 +557,18 @@ def decode_jpeg(payload: bytes) -> dict:
                                 v = int(round(px[yy * 8 + xx])) + 128
                                 plane[row + xx] = min(255, max(0, v))
             mcu_count += 1
+    return w, h, comps, hmax, vmax
 
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline JPEG → dimensions + exact per-channel sums.
+
+    Returns the BMP/PNG stats contract: ``{width, height, sum_r,
+    sum_g, sum_b}`` (grayscale streams report the gray sum in all
+    three channels).  Raises ``ValueError`` on anything outside
+    baseline sequential 8-bit — the Arrow kernel dead-letters.
+    """
+    w, h, comps, hmax, vmax = _decode_planes(payload)
     sum_r = sum_g = sum_b = 0
     if len(comps) == 1:
         c = comps[0]
@@ -593,3 +604,27 @@ def decode_jpeg(payload: bytes) -> dict:
         "sum_g": sum_g,
         "sum_b": sum_b,
     }
+
+def decode_jpeg_gray_grid(payload: bytes, grid: int = 8) -> list[int]:
+    """Baseline JPEG → ``grid²`` pooled LUMA cell sums (row-major).
+
+    The perceptual-hash input (``operators/imagehash.py`` /
+    ``operators/video.py``): luma is sampled at image resolution and
+    summed per grid cell — integer, so flat-block fixtures stay
+    analytic.  Requires dimensions divisible by ``grid``.
+    """
+    w, h, comps, hmax, vmax = _decode_planes(payload)
+    if w % grid or h % grid:
+        raise ValueError("dimensions not divisible by hash grid")
+    luma = comps[0]
+    plane, cols = luma["plane"], luma["cols"]
+    ch, cv = luma["h"], luma["v"]
+    cells = [0] * (grid * grid)
+    for y in range(h):
+        row = (y * cv // vmax) * cols
+        gy = y * grid // h
+        for x in range(w):
+            cells[gy * grid + x * grid // w] += plane[
+                row + (x * ch // hmax)
+            ]
+    return cells

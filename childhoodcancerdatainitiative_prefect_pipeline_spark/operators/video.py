@@ -179,3 +179,147 @@ def decode_mjpeg_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     return media.select(id_col, "payload").mapInPandas(
         kernel, MJPEG_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# VIDEO near-dup: per-frame perceptual hashes + frame-aligned match
+# counting.  Two clips are near-dups when most of their frames are
+# pairwise near-identical at the same frame index — the corpus-dedup
+# notion (re-encoded/lightly-edited copies), not content ID.
+# ---------------------------------------------------------------------------
+
+CLIP_HASH_SCHEMA = (
+    "media_id long, frame_no long, h1 long, h2 long, decode_error string"
+)
+
+
+def video_clip_frame_hashes(
+    media: DataFrame, id_col: str = "media_id", grid: int = 8
+) -> DataFrame:
+    """MJPEG AVI → one perceptual hash row PER FRAME.
+
+    Each frame's luma is pooled to a ``grid²`` cell grid
+    (``jpeg.decode_jpeg_gray_grid``) and average-hashed with the
+    shared imagehash machinery.  A structurally-broken clip yields a
+    single dead-letter row with ``frame_no`` null.
+    """
+    from .imagehash import ahash_bits
+    from .jpeg import decode_jpeg_gray_grid
+
+    cols = [id_col, "frame_no", "h1", "h2", "decode_error"]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                mid = int(mid)
+                try:
+                    payload = bytes(payload)
+                    if (
+                        len(payload) < 12
+                        or payload[:4] != b"RIFF"
+                        or payload[8:12] != b"AVI "
+                    ):
+                        raise ValueError("not a RIFF/AVI payload")
+
+                    def walk(data, pos, end):
+                        while pos + 8 <= end:
+                            cid = data[pos : pos + 4]
+                            (clen,) = struct.unpack_from("<I", data, pos + 4)
+                            if pos + 8 + clen > end:
+                                raise ValueError("truncated AVI chunk")
+                            yield cid, pos + 8, clen
+                            pos += 8 + clen + (clen & 1)
+
+                    movi = None
+                    for cid, start, clen in walk(payload, 12, len(payload)):
+                        if (
+                            cid == b"LIST"
+                            and payload[start : start + 4] == b"movi"
+                        ):
+                            movi = (start + 4, start + clen)
+                            break
+                    if movi is None:
+                        raise ValueError("AVI has no movi list")
+                    frame_no = 0
+                    for cid, start, clen in walk(payload, movi[0], movi[1]):
+                        if cid[2:4] != b"dc":
+                            continue
+                        h1, h2 = ahash_bits(
+                            decode_jpeg_gray_grid(
+                                payload[start : start + clen], grid
+                            )
+                        )
+                        rows.append((mid, frame_no, h1, h2, None))
+                        frame_no += 1
+                    if frame_no == 0:
+                        raise ValueError("movi list has no video frames")
+                except Exception as ex:  # noqa: BLE001
+                    rows.append(
+                        (mid, None, None, None,
+                         f"{type(ex).__name__}: {ex}")
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        kernel, CLIP_HASH_SCHEMA
+    )
+
+
+def clip_near_dup_pairs(
+    frame_hashes: DataFrame,
+    max_hamming: int = 7,
+    min_matching_frames: int = 2,
+) -> DataFrame:
+    """Frame-aligned clip near-dup: band-join per (frame_no, band),
+    Hamming-verify per frame, then count matching frame indices per
+    clip pair.  The shuffle carries (frame, band, key, id) — never
+    clip×clip."""
+    from pyspark.sql import functions as F
+
+    bands = [
+        F.struct(
+            F.lit(band).alias("band"),
+            (
+                F.shiftright(
+                    F.col("h1") if band < 4 else F.col("h2"),
+                    8 * (band % 4),
+                ).bitwiseAND(F.lit(255))
+            ).alias("key"),
+        )
+        for band in range(8)
+    ]
+    banded = (
+        frame_hashes.filter(F.col("h1").isNotNull())
+        .select(
+            "media_id", "frame_no", "h1", "h2",
+            F.explode(F.array(*bands)).alias("b"),
+        )
+        .select("media_id", "frame_no", "h1", "h2", "b.band", "b.key")
+    )
+    left = banded.select(
+        F.col("media_id").alias("id_a"), "frame_no",
+        F.col("h1").alias("h1a"), F.col("h2").alias("h2a"), "band", "key",
+    )
+    right = banded.select(
+        F.col("media_id").alias("id_b"), "frame_no",
+        F.col("h1").alias("h1b"), F.col("h2").alias("h2b"), "band", "key",
+    )
+    frame_matches = (
+        left.join(right, ["frame_no", "band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "frame_no",
+            (
+                F.bit_count(F.expr("h1a ^ h1b"))
+                + F.bit_count(F.expr("h2a ^ h2b"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return (
+        frame_matches.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_frames_matched"))
+        .filter(F.col("n_frames_matched") >= min_matching_frames)
+    )

@@ -15136,6 +15136,124 @@ def dedup_audio_ahash_pairs_query(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# VIDEO near-dup, certified end-to-end — the third leg of the
+# perceptual-dedup triad (image/audio/video): MJPEG clips decode to
+# PER-FRAME luma-grid hashes, candidates band-join per (frame, band),
+# and a clip pair is a near-dup when most frame indices match within
+# Hamming 7.  32×32 frames with flat 8×8 blocks keep every pooled
+# cell (4×4 px, 2×2 cells per block) analytic in SQL.
+# ---------------------------------------------------------------------------
+
+_VIDEO_CLIP_ORACLE = """WITH m AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 301 = 0),
+clips AS (
+  SELECT k, var, k * 2 + var AS media_id
+  FROM m JOIN range(2) tv(var) ON TRUE),
+cells AS (
+  SELECT media_id, f, gy * 8 + gx AS cell,
+         CASE WHEN var = 1 AND f = 1 AND gx < 2 AND gy < 2
+              THEN ((37 * (gx // 2) + 91 * (gy // 2) + 13 * f + k) % 256
+                    + 128) % 256
+              ELSE (37 * (gx // 2) + 91 * (gy // 2) + 13 * f + k) % 256
+         END AS v
+  FROM clips
+  JOIN range(3) tf(f) ON TRUE
+  JOIN range(8) tx(gx) ON TRUE
+  JOIN range(8) ty(gy) ON TRUE),
+tot AS (
+  SELECT media_id, f, SUM(v) AS total
+  FROM cells GROUP BY media_id, f),
+hv AS (
+  SELECT c.media_id, c.f,
+         CAST(SUM(CASE WHEN v * 64 > total AND cell < 32
+                       THEN (1::BIGINT << cell) ELSE 0 END) AS BIGINT) AS h1,
+         CAST(SUM(CASE WHEN v * 64 > total AND cell >= 32
+                       THEN (1::BIGINT << (cell - 32)) ELSE 0 END) AS BIGINT)
+           AS h2
+  FROM cells c JOIN tot ON c.media_id = tot.media_id AND c.f = tot.f
+  GROUP BY c.media_id, c.f),
+banded AS (
+  SELECT media_id, f, h1, h2, band,
+         CASE WHEN band < 4
+              THEN (h1 // (1::BIGINT << (8 * band))) % 256
+              ELSE (h2 // (1::BIGINT << (8 * (band - 4)))) % 256
+         END AS key
+  FROM hv JOIN range(8) tb(band) ON TRUE),
+frame_matches AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.f,
+         bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS hamming
+  FROM banded a
+  JOIN banded b ON a.f = b.f AND a.band = b.band AND a.key = b.key
+              AND a.media_id < b.media_id)
+SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_frames_matched
+FROM frame_matches WHERE hamming <= 7
+GROUP BY id_a, id_b HAVING COUNT(*) >= 2"""
+
+
+@register(
+    "dedup_video_clip_pairs",
+    _VIDEO_CLIP_ORACLE,
+    "VIDEO near-dup end-to-end (third leg of the perceptual triad): "
+    "MJPEG clips decode to per-frame pooled-luma aHashes, candidates "
+    "band-join per (frame_no, band) — the shuffle carries "
+    "(frame, band, key, id), never clip x clip — frame pairs "
+    "Hamming-verify row-locally, and clip pairs keep >=2 of 3 "
+    "matching frame indices "
+    "(operators/video.py::video_clip_frame_hashes/"
+    "clip_near_dup_pairs)",
+)
+def dedup_video_clip_pairs_query(spark, sf_dir):
+    from .operators.jpeg import encode_jpeg
+    from .operators.video import (
+        clip_near_dup_pairs,
+        encode_avi_mjpeg,
+        video_clip_frame_hashes,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    meta = (
+        orders.filter(F.col("o_orderkey") % 301 == 0)
+        .select(F.col("o_orderkey").alias("k"))
+        .withColumn("var", F.explode(F.array(F.lit(0), F.lit(1))))
+        .select("k", "var", (F.col("k") * 2 + F.col("var")).alias("media_id"))
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for k, var in zip(pdf["k"], pdf["var"]):
+                k, var = int(k), int(var)
+                frames = []
+                for f in range(3):
+
+                    def pix(x, y, f=f, k=k, var=var):
+                        bx, by = x // 8, y // 8
+                        v = (37 * bx + 91 * by + 13 * f + k) % 256
+                        if var == 1 and f == 1 and bx == 0 and by == 0:
+                            v = (v + 128) % 256
+                        return v
+
+                    frames.append(
+                        encode_jpeg(32, 32, pix, quant=1, grayscale=True)
+                    )
+                payloads.append(encode_avi_mjpeg(frames, 32, 32))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = meta.mapInPandas(synth, "media_id long, payload binary")
+    pairs = clip_near_dup_pairs(
+        video_clip_frame_hashes(media), max_hamming=7, min_matching_frames=2
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.col("n_frames_matched").cast("long").alias("n_frames_matched"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # REAL BAM stats, certified: the reference greps reads/bases/average
 # length/coverage out of `samtools stats`/`samtools coverage` text per
 # BAM (src/sra_metadata.py:30-90, pysam).  Here the same four stats

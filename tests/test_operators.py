@@ -2550,3 +2550,55 @@ def test_audio_ahash_energy_grid_and_pairs(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 7
     assert (1, 3) not in pairs
+
+
+def test_video_clip_frame_hashes_and_near_dup(spark):
+    """Video near-dup: per-frame luma-grid hashes, frame-aligned band
+    join, >= min matching frames; structurally broken clips
+    dead-letter as a single null-frame row."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.video import (
+        clip_near_dup_pairs,
+        encode_avi_mjpeg,
+        video_clip_frame_hashes,
+    )
+
+    def frame(f, k, pert=False):
+        def pix(x, y):
+            v = ((x // 8) * 37 + (y // 8) * 91 + 13 * f + k) % 256
+            if pert and f == 1 and x < 8 and y < 8:
+                v = (v + 128) % 256
+            return v
+
+        return encode_jpeg(32, 32, pix, quant=1, grayscale=True)
+
+    clip_a = encode_avi_mjpeg([frame(f, 5) for f in range(3)], 32, 32)
+    clip_b = encode_avi_mjpeg(
+        [frame(f, 5, pert=True) for f in range(3)], 32, 32
+    )
+    clip_c = encode_avi_mjpeg([frame(f, 111) for f in range(3)], 32, 32)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(clip_a)),
+            (2, bytearray(clip_b)),
+            (3, bytearray(clip_c)),
+            (4, bytearray(b"not a clip")),
+        ],
+        "media_id long, payload binary",
+    )
+    hashes = video_clip_frame_hashes(media)
+    hrows = hashes.collect()
+    assert sum(1 for r in hrows if r["media_id"] == 1) == 3  # 3 frames
+    [dead] = [r for r in hrows if r["media_id"] == 4]
+    assert dead["decode_error"] is not None and dead["frame_no"] is None
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_frames_matched"]
+        for r in clip_near_dup_pairs(
+            hashes, max_hamming=7, min_matching_frames=2
+        ).collect()
+    }
+    assert pairs.get((1, 2), 0) >= 2  # frames 0 and 2 identical
+    assert (1, 3) not in pairs and (2, 3) not in pairs
