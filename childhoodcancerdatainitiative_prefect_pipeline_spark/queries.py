@@ -15254,6 +15254,87 @@ def dedup_video_clip_pairs_query(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# REAL GIF decode, certified: the palette-indexed image class closes
+# the codec suite (BMP raw, PNG filtered-deflate, JPEG transform,
+# GIF LZW-palette).  GIF is lossless, so per-row images with
+# formula-driven palettes and indices certify exactly; alternating
+# interlaced encoding makes the 4-pass row reorder part of the
+# certified path via the position-weighted checksum (sums alone
+# cannot see row placement).
+# ---------------------------------------------------------------------------
+
+_GIF_ORACLE = """WITH m AS (
+  SELECT o_orderkey AS k,
+         10 + o_orderkey % 8 AS w,
+         6 + o_orderkey % 5 AS h
+  FROM orders WHERE o_orderkey % 301 = 0),
+px AS (
+  SELECT k, w, h, x, y, (x + 2 * y + k) % 16 AS idx
+  FROM m
+  JOIN range(18) tx(x) ON x < w
+  JOIN range(11) ty(y) ON y < h)
+SELECT k AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(SUM((idx * 11 + k) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((idx * 29 + k * 2) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((idx * 47 + k * 3) % 256) AS BIGINT) AS sum_b,
+       CAST(SUM((y * w + x + 1) * idx) AS BIGINT) AS pos_checksum,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM px GROUP BY k, w, h"""
+
+
+@register(
+    "multimodal_gif_decode",
+    _GIF_ORACLE,
+    "REAL GIF decode end-to-end with no codec libs (operators/gif.py: "
+    "dynamic-dictionary LZW to 12-bit codes, global color table, "
+    "4-pass interlace, extension-block walk): per-row "
+    "palette-indexed images — every other one INTERLACED — decode to "
+    "exact channel sums plus a position-weighted checksum that pins "
+    "the interlace row reorder; the oracle recomputes everything "
+    "from the index/palette formulas over a range() grid "
+    "(closes the palette-indexed image class)",
+)
+def multimodal_gif_decode_query(spark, sf_dir):
+    from .operators.gif import decode_gif_stats, encode_gif
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    meta = orders.filter(F.col("o_orderkey") % 301 == 0).select(
+        F.col("o_orderkey").alias("media_id"),
+        (10 + F.col("o_orderkey") % 8).cast("int").alias("w"),
+        (6 + F.col("o_orderkey") % 5).cast("int").alias("h"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for k, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                k, w, h = int(k), int(w), int(h)
+                pal = [
+                    ((i * 11 + k) % 256, (i * 29 + k * 2) % 256,
+                     (i * 47 + k * 3) % 256)
+                    for i in range(16)
+                ]
+                payloads.append(
+                    encode_gif(
+                        w, h,
+                        lambda x, y, k=k: (x + 2 * y + k) % 16,
+                        pal,
+                        interlace=(k % 2 == 1),
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = meta.mapInPandas(synth, "media_id long, payload binary")
+    return decode_gif_stats(media)
+
+
+# ---------------------------------------------------------------------------
 # REAL BAM stats, certified: the reference greps reads/bases/average
 # length/coverage out of `samtools stats`/`samtools coverage` text per
 # BAM (src/sra_metadata.py:30-90, pysam).  Here the same four stats

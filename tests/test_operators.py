@@ -2602,3 +2602,59 @@ def test_video_clip_frame_hashes_and_near_dup(spark):
     }
     assert pairs.get((1, 2), 0) >= 2  # frames 0 and 2 identical
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_gif_encode_decode_lzw_interlace_and_quarantine(spark):
+    """Real (stdlib) GIF decode: dynamic-dictionary LZW, 16- and
+    256-color palettes, interlace row reorder pinned by the
+    position-weighted checksum, extension blocks skipped; structural
+    corruption dead-letters instead of failing the stage."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.gif import (
+        decode_gif,
+        decode_gif_stats,
+        encode_gif,
+    )
+
+    pal = [(i, (i * 3) % 256, (i * 7) % 256) for i in range(16)]
+    W, H = 13, 9
+
+    def idx(x, y):
+        return (x + 2 * y) % 16
+
+    exp_chk = sum(
+        (y * W + x + 1) * idx(x, y) for y in range(H) for x in range(W)
+    )
+    d_prog = decode_gif(encode_gif(W, H, idx, pal))
+    d_int = decode_gif(encode_gif(W, H, idx, pal, interlace=True))
+    assert d_prog == d_int  # interlace is a pure reorder
+    assert d_prog["pos_checksum"] == exp_chk
+    assert d_prog["sum_r"] == sum(
+        pal[idx(x, y)][0] for y in range(H) for x in range(W)
+    )
+
+    # 256-color palette exercises 8-bit LZW codes + width growth
+    pal256 = [((i * 5) % 256, (i * 11) % 256, (i * 17) % 256)
+              for i in range(256)]
+    d256 = decode_gif(
+        encode_gif(24, 18, lambda x, y: (x * 7 + y * 31) % 256, pal256)
+    )
+    assert d256["sum_g"] == sum(
+        pal256[(x * 7 + y * 31) % 256][1]
+        for y in range(18) for x in range(24)
+    )
+
+    good = encode_gif(W, H, idx, pal)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(b"GIF99z not really")),
+            (3, bytearray(good[: len(good) // 2])),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_gif_stats(media).collect()}
+    assert rows[1]["decode_error"] is None
+    assert rows[1]["pos_checksum"] == exp_chk
+    for bad in (2, 3):
+        assert rows[bad]["decode_error"] is not None, bad
+        assert rows[bad]["width"] is None
