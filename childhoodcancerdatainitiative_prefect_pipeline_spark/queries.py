@@ -15335,6 +15335,182 @@ def multimodal_gif_decode_query(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# WARC crawl intake, certified end-to-end: the corpus FRONT DOOR —
+# CommonCrawl-shaped WARC containers fan out to records executor-side
+# (sources/warc.py), HTTP-200 responses keep their bodies, and the
+# existing html_strip chain turns them into clean text.  The oracle
+# rebuilds the same HTML from the record formulas and applies
+# html_strip's DuckDB twin — certifying framing, record fan-out,
+# status filtering AND boilerplate removal in one pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _warc_oracle() -> str:
+    from .operators.text import html_strip_sql
+
+    html = (
+        "'<html><head><title>T</title><style>p{m}</style></head>"
+        "<body><h1>Site ' || CAST(k % 7 AS VARCHAR) || "
+        "'</h1><p>doc ' || CAST(k AS VARCHAR) || ' rec ' || "
+        "CAST(i AS VARCHAR) || ' alpha &amp; beta</p><!-- footer -->"
+        "</body></html>'"
+    )
+    return f"""WITH m AS (
+  SELECT o_orderkey AS k, 1 + o_orderkey % 3 AS nf
+  FROM orders WHERE o_orderkey % 301 = 0),
+r AS (
+  SELECT k, i, {html} AS h
+  FROM m JOIN range(3) t(i) ON i < nf
+  WHERE i <> 1)
+SELECT k AS warc_id,
+       CAST(i + 1 AS BIGINT) AS record_no,
+       'http://site' || CAST(k % 7 AS VARCHAR) || '.example/p/'
+         || CAST(i AS VARCHAR) AS target_uri,
+       {html_strip_sql('h')} AS clean_text
+FROM r"""
+
+
+@register(
+    "corpus_warc_extract",
+    _warc_oracle(),
+    "WARC crawl intake end-to-end (sources/warc.py): per-row WARC/1.0 "
+    "containers (warcinfo + responses + request) fan out to records "
+    "in an Arrow stage, HTTP-200 responses keep their bodies (a 404 "
+    "response and the non-HTTP records drop), and html_strip turns "
+    "them into clean text.  The oracle rebuilds the HTML from the "
+    "record formulas and applies html_strip's DuckDB twin — framing, "
+    "fan-out, status filter and boilerplate removal certified as ONE "
+    "pipeline.  Containers are the parallelism unit (one ~1 GB WARC "
+    "per task at CommonCrawl scale); fan-out is executor-side",
+)
+def corpus_warc_extract_query(spark, sf_dir):
+    from .operators.text import html_strip
+    from .sources.warc import encode_warc, warc_records
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    meta = orders.filter(F.col("o_orderkey") % 301 == 0).select(
+        F.col("o_orderkey").alias("warc_id"),
+        (1 + F.col("o_orderkey") % 3).cast("int").alias("nf"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for k, nf in zip(pdf["warc_id"], pdf["nf"]):
+                k, nf = int(k), int(nf)
+                recs = [{"warc_type": "warcinfo", "body": b"software: x"}]
+                for i in range(nf):
+                    body = (
+                        "<html><head><title>T</title><style>p{m}</style>"
+                        f"</head><body><h1>Site {k % 7}</h1><p>doc {k} "
+                        f"rec {i} alpha &amp; beta</p><!-- footer -->"
+                        "</body></html>"
+                    ).encode()
+                    recs.append(
+                        {
+                            "warc_type": "response",
+                            "target_uri": f"http://site{k % 7}.example/p/{i}",
+                            "http_body": body,
+                            "http_status": 404 if i == 1 else 200,
+                        }
+                    )
+                recs.append(
+                    {
+                        "warc_type": "request",
+                        "target_uri": f"http://site{k % 7}.example/p/0",
+                        "body": b"GET /p/0 HTTP/1.1",
+                    }
+                )
+                payloads.append(encode_warc(recs))
+            yield pd.DataFrame(
+                {"warc_id": pdf["warc_id"], "payload": payloads}
+            )
+
+    media = meta.mapInPandas(synth, "warc_id long, payload binary")
+    recs = warc_records(media)
+    return recs.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        "warc_id",
+        "record_no",
+        "target_uri",
+        html_strip(F.decode(F.col("body"), "UTF-8")).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bundle intake, certified: tar archives of small documents fan out
+# to one row per member executor-side (sources/warc.py::tar_members,
+# stdlib tarfile over the payload bytes) — the other common corpus
+# delivery shape next to WARC.  Lossless pass-through, so names,
+# sizes and contents certify against the generating formulas.
+# ---------------------------------------------------------------------------
+
+_TAR_ORACLE = """WITH m AS (
+  SELECT o_orderkey AS k, 2 + o_orderkey % 3 AS nm
+  FROM orders WHERE o_orderkey % 301 = 0)
+SELECT k AS archive_id,
+       'docs/doc_' || CAST(i AS VARCHAR) || '.txt' AS member_name,
+       CAST(length('content ' || CAST(k AS VARCHAR) || ' #'
+                   || CAST(i AS VARCHAR)) AS BIGINT) AS member_bytes,
+       'content ' || CAST(k AS VARCHAR) || ' #' || CAST(i AS VARCHAR)
+         AS text
+FROM m JOIN range(5) t(i) ON i < nm"""
+
+
+@register(
+    "corpus_tar_extract",
+    _TAR_ORACLE,
+    "bundle intake (sources/warc.py::tar_members): per-row tar "
+    "archives of small documents fan out to one row per regular-file "
+    "member in an Arrow stage — names, sizes and contents certify "
+    "against the generating formulas (lossless pass-through).  "
+    "Bundles are the parallelism unit; member fan-out never touches "
+    "the driver",
+)
+def corpus_tar_extract_query(spark, sf_dir):
+    from .sources.warc import tar_members
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    meta = orders.filter(F.col("o_orderkey") % 301 == 0).select(
+        F.col("o_orderkey").alias("archive_id"),
+        (2 + F.col("o_orderkey") % 3).cast("int").alias("nm"),
+    )
+
+    def synth(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for k, nm in zip(pdf["archive_id"], pdf["nm"]):
+                k, nm = int(k), int(nm)
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tf:
+                    for i in range(nm):
+                        data = f"content {k} #{i}".encode()
+                        info = tarfile.TarInfo(f"docs/doc_{i}.txt")
+                        info.size = len(data)
+                        tf.addfile(info, io.BytesIO(data))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"archive_id": pdf["archive_id"], "payload": payloads}
+            )
+
+    media = meta.mapInPandas(synth, "archive_id long, payload binary")
+    return tar_members(media).select(
+        "archive_id",
+        "member_name",
+        "member_bytes",
+        F.decode(F.col("body"), "UTF-8").alias("text"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # REAL BAM stats, certified: the reference greps reads/bases/average
 # length/coverage out of `samtools stats`/`samtools coverage` text per
 # BAM (src/sra_metadata.py:30-90, pysam).  Here the same four stats

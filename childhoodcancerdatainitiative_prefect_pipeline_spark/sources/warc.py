@@ -133,3 +133,184 @@ def read_warc(
             )
 
     return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: HTTP-envelope-aware record parsing for payload
+# COLUMNS (a WARC per row, e.g. staged in a manifest table, vs
+# read_warc's binaryFile directory scan), plus tar/zip bundle intake
+# — the other common corpus delivery shape.
+# ---------------------------------------------------------------------------
+
+import io
+import tarfile
+import zipfile
+
+import pandas as pd
+
+CRLF = b"\r\n"
+
+
+def encode_warc(records: list[dict]) -> bytes:
+    """Fixture/oracle writer with the HTTP envelope the crawl format
+    actually stores: each record dict carries ``warc_type``,
+    ``target_uri``, and either raw ``body`` bytes or ``http_body`` +
+    optional ``http_status`` (wrapped in a minimal HTTP/1.1
+    response, Content-Type ``application/http``)."""
+    out = bytearray()
+    for i, rec in enumerate(records):
+        if "http_body" in rec:
+            body = (
+                b"HTTP/1.1 "
+                + str(rec.get("http_status", 200)).encode()
+                + b" OK" + CRLF
+                + b"Content-Type: text/html" + CRLF + CRLF
+                + rec["http_body"]
+            )
+            ctype = "application/http; msgtype=response"
+        else:
+            body = rec.get("body", b"")
+            ctype = "text/plain"
+        out += build_warc_bytes(
+            [
+                {
+                    "warc_type": rec["warc_type"],
+                    "record_id": f"<urn:uuid:rec-{i}>",
+                    "target_uri": rec.get("target_uri", ""),
+                    "content_type": ctype,
+                    "payload": body,
+                }
+            ]
+        )
+    return bytes(out)
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """Strict parse + HTTP-envelope split: returns
+    ``[{warc_type, target_uri, http_status, body}]`` — for
+    ``application/http`` records the status line is read and the
+    envelope stripped; other records pass their raw payload with
+    ``http_status`` None.  Raises ``ValueError`` on framing or
+    envelope damage (the kernels dead-letter)."""
+    records = []
+    for rec in parse_warc_bytes(payload):
+        body = rec["payload"]
+        http_status = None
+        if rec["content_type"].startswith("application/http"):
+            env_end = body.find(CRLF + CRLF)
+            if env_end < 0:
+                raise ValueError("HTTP envelope missing blank line")
+            status_line = body[:env_end].split(CRLF)[0].decode(
+                "utf-8", "replace"
+            )
+            parts = status_line.split(" ")
+            if len(parts) < 2 or not parts[1].isdigit():
+                raise ValueError(f"bad HTTP status line: {status_line!r}")
+            http_status = int(parts[1])
+            body = body[env_end + 4 :]
+        records.append(
+            {
+                "warc_type": rec["warc_type"],
+                "target_uri": rec["target_uri"] or None,
+                "http_status": http_status,
+                "body": body,
+            }
+        )
+    if not records:
+        raise ValueError("payload contains no WARC records")
+    return records
+
+
+WARC_RECORD_SCHEMA = (
+    "warc_id long, record_no long, warc_type string, target_uri string, "
+    "http_status long, body binary, parse_error string"
+)
+
+
+def warc_records(media: DataFrame, id_col: str = "warc_id") -> DataFrame:
+    """Arrow-batched WARC fan-out over payload COLUMNS: one row per
+    contained record; a structurally-broken WARC yields one
+    dead-letter row (read_warc is the directory-scan twin)."""
+    cols = [
+        id_col, "record_no", "warc_type", "target_uri", "http_status",
+        "body", "parse_error",
+    ]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for wid, payload in zip(pdf[id_col], pdf["payload"]):
+                wid = int(wid)
+                try:
+                    for i, rec in enumerate(parse_warc(bytes(payload))):
+                        rows.append(
+                            (wid, i, rec["warc_type"], rec["target_uri"],
+                             rec["http_status"], rec["body"], None)
+                        )
+                except Exception as ex:  # noqa: BLE001
+                    rows.append(
+                        (wid, None, None, None, None, None,
+                         f"{type(ex).__name__}: {ex}")
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, "payload").mapInPandas(
+        kernel, WARC_RECORD_SCHEMA
+    )
+
+
+ARCHIVE_MEMBER_SCHEMA = (
+    "archive_id long, member_name string, member_bytes long, "
+    "body binary, parse_error string"
+)
+
+
+def _archive_kernel(open_members):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "archive_id", "member_name", "member_bytes", "body",
+            "parse_error",
+        ]
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["archive_id"], pdf["payload"]):
+                aid = int(aid)
+                try:
+                    for name, data in open_members(bytes(payload)):
+                        rows.append((aid, name, len(data), data, None))
+                except Exception as ex:  # noqa: BLE001
+                    rows.append(
+                        (aid, None, None, None,
+                         f"{type(ex).__name__}: {ex}")
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return kernel
+
+
+def tar_members(media: DataFrame) -> DataFrame:
+    """tar(.gz) bundle → one row per regular-file member."""
+
+    def open_members(payload: bytes):
+        with tarfile.open(fileobj=io.BytesIO(payload)) as tf:
+            for m in tf.getmembers():
+                if m.isfile():
+                    yield m.name, tf.extractfile(m).read()
+
+    return media.select("archive_id", "payload").mapInPandas(
+        _archive_kernel(open_members), ARCHIVE_MEMBER_SCHEMA
+    )
+
+
+def zip_members(media: DataFrame) -> DataFrame:
+    """zip bundle → one row per member (directories skipped)."""
+
+    def open_members(payload: bytes):
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            for info in zf.infolist():
+                if not info.is_dir():
+                    yield info.filename, zf.read(info)
+
+    return media.select("archive_id", "payload").mapInPandas(
+        _archive_kernel(open_members), ARCHIVE_MEMBER_SCHEMA
+    )

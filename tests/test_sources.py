@@ -1492,3 +1492,87 @@ def test_verify_transfers_pass_fail_error(spark, tmp_path):
         "s3://src/v/bad.bin": "Fail",
         "s3://src/v/lost.bin": "Error",
     }
+
+
+# ---------------------------------------------------------------------------
+# WARC / archive intake (sources/warc.py)
+# ---------------------------------------------------------------------------
+
+
+def test_warc_roundtrip_and_record_fanout(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.warc import (
+        encode_warc,
+        parse_warc,
+        warc_records,
+    )
+
+    recs = [
+        {"warc_type": "warcinfo", "body": b"software: t"},
+        {"warc_type": "response", "target_uri": "http://a/x",
+         "http_body": b"<p>hi</p>", "http_status": 200},
+        {"warc_type": "response", "target_uri": "http://a/y",
+         "http_body": b"gone", "http_status": 404},
+        {"warc_type": "request", "target_uri": "http://a/x",
+         "body": b"GET /x HTTP/1.1"},
+    ]
+    blob = encode_warc(recs)
+    parsed = parse_warc(blob)
+    assert [p["warc_type"] for p in parsed] == [
+        "warcinfo", "response", "response", "request"
+    ]
+    assert parsed[1]["http_status"] == 200
+    assert parsed[1]["body"] == b"<p>hi</p>"
+    assert parsed[2]["http_status"] == 404
+    assert parsed[3]["http_status"] is None  # non-HTTP record
+
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"not a warc"))],
+        "warc_id long, payload binary",
+    )
+    rows = warc_records(media).collect()
+    ok = [r for r in rows if r["warc_id"] == 1]
+    assert len(ok) == 4 and all(r["parse_error"] is None for r in ok)
+    assert {r["record_no"] for r in ok} == {0, 1, 2, 3}
+    [bad] = [r for r in rows if r["warc_id"] == 2]
+    assert bad["parse_error"] is not None and bad["record_no"] is None
+
+
+def test_tar_and_zip_member_fanout(spark):
+    import io
+    import tarfile
+    import zipfile
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.warc import (
+        tar_members,
+        zip_members,
+    )
+
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w:gz") as tf:
+        for name, data in (("a/x.txt", b"one"), ("a/y.txt", b"two2")):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("b/p.md", "three33")
+        zf.writestr("b/sub/", "")  # directory entry: skipped
+
+    tmedia = spark.createDataFrame(
+        [(1, bytearray(tbuf.getvalue())), (2, bytearray(b"junk"))],
+        "archive_id long, payload binary",
+    )
+    trows = {
+        (r["archive_id"], r["member_name"]): r
+        for r in tar_members(tmedia).collect()
+    }
+    assert bytes(trows[(1, "a/x.txt")]["body"]) == b"one"
+    assert trows[(1, "a/y.txt")]["member_bytes"] == 4
+    assert trows[(2, None)]["parse_error"] is not None
+
+    zmedia = spark.createDataFrame(
+        [(3, bytearray(zbuf.getvalue()))], "archive_id long, payload binary"
+    )
+    zrows = zip_members(zmedia).collect()
+    assert len(zrows) == 1  # directory skipped
+    assert bytes(zrows[0]["body"]) == b"three33"
