@@ -651,3 +651,77 @@ def test_jpeg_decode_bounded_error_property(seed, w, h, quant, mode, rst):
     bound = (quant * 8 + (64 if mode == "420" else 0)) * w * h
     for key in ("sum_r", "sum_g", "sum_b"):
         assert abs(d[key] - exact) <= bound, (key, d[key], exact, bound)
+
+
+# ---------------------------------------------------------------------------
+# WARC framing: Content-Length slicing must survive ARBITRARY binary
+# payloads, including ones containing fake record boundaries.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=200), min_size=1, max_size=8
+    ),
+    adversarial=st.booleans(),
+)
+def test_warc_framing_roundtrip_property(payloads, adversarial):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.warc import (
+        build_warc_bytes,
+        parse_warc_bytes,
+    )
+
+    if adversarial:
+        payloads = [b"\r\n\r\nWARC/1.0\r\n" + p for p in payloads]
+    records = [
+        {"warc_type": "resource", "record_id": f"<urn:uuid:{i}>",
+         "target_uri": f"http://x/{i}", "payload": p}
+        for i, p in enumerate(payloads)
+    ]
+    back = list(parse_warc_bytes(build_warc_bytes(records)))
+    assert [r["payload"] for r in back] == payloads
+    assert [r["record_id"] for r in back] == [
+        f"<urn:uuid:{i}>" for i in range(len(payloads))
+    ]
+
+
+# ---------------------------------------------------------------------------
+# GIF losslessness over arbitrary palette images (progressive AND
+# interlaced encodings of the same image must decode identically).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=16),
+    ncolors=st.sampled_from([2, 5, 16, 200]),
+    interlace=st.booleans(),
+)
+def test_gif_roundtrip_lossless_property(seed, w, h, ncolors, interlace):
+    import random
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rnd = random.Random(seed)
+    pal = [
+        (rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+        for _ in range(ncolors)
+    ]
+    img = [[rnd.randrange(ncolors) for _ in range(w)] for _ in range(h)]
+    d = decode_gif(
+        encode_gif(w, h, lambda x, y: img[y][x], pal, interlace=interlace)
+    )
+    assert (d["width"], d["height"]) == (w, h)
+    for ch, key in enumerate(("sum_r", "sum_g", "sum_b")):
+        assert d[key] == sum(
+            pal[img[y][x]][ch] for y in range(h) for x in range(w)
+        ), key
+    assert d["pos_checksum"] == sum(
+        (y * w + x + 1) * img[y][x] for y in range(h) for x in range(w)
+    )
