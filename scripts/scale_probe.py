@@ -136,6 +136,10 @@ def main():
         "bam_stats_extract", "multimodal_png_decode",
         "multimodal_wav_decode", "multimodal_jpeg_decode",
         "multimodal_mjpeg_video_decode", "multimodal_flac_decode",
+        "multimodal_gif_decode", "multimodal_route_decode",
+        "dedup_image_ahash_pairs", "dedup_audio_ahash_pairs",
+        "dedup_video_clip_pairs", "corpus_warc_extract",
+        "corpus_tar_extract",
         "cog_dcc_postprocess_merge",
         "corpus_weighted_sample",
         "dcc_manifest_guid_remap", "corpus_pack_sequences",
