@@ -464,6 +464,45 @@ def apply_index_statements(
     return out
 
 
+def export_dump(client: BoltClient) -> list[str]:
+    """Live graph export: ``DUMP DATABASE;`` → one CypherL statement
+    per record (src/memgraph_transfer.py:48 — each record carries one
+    complete ``CREATE``/``MATCH`` line).  The statement list then
+    flows into ``sources/graph_dump.py``'s parsers (filtering,
+    per-study pruning) or back into :func:`import_dump_statements`."""
+    _fields, rows = client.run("DUMP DATABASE;")
+    return [str(r[0]) for r in rows if r]
+
+
+def import_dump_statements(
+    client: BoltClient, script_text: str
+) -> tuple[int, int, list[tuple[str, str | None]]]:
+    """Replay a CypherL dump over one live session.
+
+    Reference parity (src/memgraph_transfer.py:506-560,
+    ``import_memgraph`` + ``_execute_batch``): blank lines skip,
+    ``//`` comments skip, EVERY other line executes with per-query
+    isolation (one bad statement logs and continues).  Returns
+    ``(executed, failed, [(statement, error), ...])`` — the driver
+    batching exists only for the reference's logging cadence, so a
+    single loop preserves semantics.
+    """
+    executed = failed = 0
+    results: list[tuple[str, str | None]] = []
+    for line in script_text.splitlines():
+        query = line.strip()
+        if not query or query.startswith("//"):
+            continue
+        try:
+            client.run(query)
+            executed += 1
+            results.append((query, None))
+        except Exception as ex:  # noqa: BLE001 — per-query isolation
+            failed += 1
+            results.append((query, f"{type(ex).__name__}: {ex}"))
+    return executed, failed, results
+
+
 def cypher_results_to_eav(results: DataFrame) -> DataFrame:
     """:func:`fetch_cypher` rows from the reference's 7-column EAV
     projection → the ``sources/eav.py`` intake frame.

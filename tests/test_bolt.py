@@ -483,3 +483,41 @@ def test_bolt_client_rejects_unsupported_server_version():
             assert "unsupported bolt version" in str(ex)
     finally:
         srv.close()
+
+
+def test_export_dump_and_import_replay():
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.bolt import (
+        export_dump,
+        import_dump_statements,
+    )
+
+    create_a = 'CREATE (:participant {id: "p1"});'
+    create_b = 'CREATE (:sample {id: "s1"});'
+    link = 'MATCH (p {id: "p1"}), (s {id: "s1"}) CREATE (p)-[:of]->(s);'
+    port, stop = start_fake_bolt_server(
+        {
+            "DUMP DATABASE;": (
+                ["query"], [[create_a], [create_b], [link]]
+            ),
+            create_a: ([], []),
+            create_b: ([], []),
+            link: ([], []),
+        }
+    )
+    try:
+        c = BoltClient("127.0.0.1", port)
+        dump = export_dump(c)
+        assert dump == [create_a, create_b, link]
+        script = "\n".join(
+            ["// header comment", "", dump[0], dump[1],
+             "CREATE (:unknown_thing);", dump[2]]
+        )
+        executed, failed, results = import_dump_statements(c, script)
+        c.close()
+    finally:
+        stop()
+    assert executed == 3 and failed == 1
+    by_q = dict(results)
+    assert by_q[create_a] is None and by_q[link] is None
+    assert "SyntaxError" in by_q["CREATE (:unknown_thing);"]
+    assert "// header comment" not in by_q  # comments never execute
