@@ -2658,3 +2658,65 @@ def test_gif_encode_decode_lzw_interlace_and_quarantine(spark):
     for bad in (2, 3):
         assert rows[bad]["decode_error"] is not None, bad
         assert rows[bad]["width"] is None
+
+
+def test_streaming_media_route_decode(spark, tmp_path):
+    """Continuous media ingestion: the batch codec kernels run
+    unchanged on a file-source stream — two staging waves decode
+    incrementally through the mime dispatch, and a corrupt payload
+    dead-letters within its micro-batch instead of killing the
+    query."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.flac import (
+        encode_flac,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.streaming.media import (
+        read_media_stream,
+        route_media_stream,
+    )
+
+    staging = str(tmp_path / "staging")
+
+    def stage(rows, n):
+        spark.createDataFrame(
+            [(i, m, bytearray(p)) for i, m, p in rows],
+            "media_id long, mime string, payload binary",
+        ).coalesce(1).write.mode("append").parquet(staging)
+        assert n  # waves stay distinct
+
+    bmp = encode_bmp(4, 3, lambda x, y: (10, 20, 30))
+    jpg = encode_jpeg(8, 8, lambda x, y: (99,) * 3, quant=1)
+    fl = encode_flac(lambda i, ch: 7, 64, subframe="constant", block_size=64)
+    stage([(1, "image/bmp", bmp), (2, "image/jpeg", jpg)], 1)
+
+    out = route_media_stream(read_media_stream(spark, staging))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("media_route_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql("select * from media_route_test").collect()
+        got = {
+            (r["media_id"], r["stat"]): r["value"] for r in first
+        }
+        assert got[(1, "sum_r")] == 10 * 12
+        assert got[(2, "sum_g")] == 99 * 64
+        # second wave: a FLAC plus a corrupt BMP that must dead-letter
+        stage([(3, "audio/flac", fl), (4, "image/bmp", b"JUNKdata")], 2)
+        q.processAllAvailable()
+        rows = spark.sql("select * from media_route_test").collect()
+        got = {(r["media_id"], r["stat"]): r["value"] for r in rows}
+        assert got[(3, "sum_samples")] == 7 * 64
+        dead = [r for r in rows if r["media_id"] == 4]
+        assert dead and all(r["decode_error"] is not None for r in dead)
+        assert all(r["value"] is None for r in dead)
+    finally:
+        q.stop()
