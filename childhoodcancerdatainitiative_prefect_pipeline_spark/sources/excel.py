@@ -3,8 +3,9 @@
 Manifests are MB-scale workbooks — strictly a *driver-side* concern
 (SURVEY.md §4: "never an executor concern").  The adapter converts
 workbook sheets ↔ Spark DataFrames; everything downstream is pure
-Spark.  openpyxl is import-gated: the engine works without it, Excel
-I/O just raises a clear error.
+Spark.  The whole surface — read, plain write, AND style-preserving
+template overlay — runs stdlib-only via ``xlsx_lite``; openpyxl is
+used opportunistically for reads when present.
 
 Reference behaviors mirrored:
 - read every sheet string-typed with the NA bank, drop the ``type``
@@ -29,19 +30,6 @@ SHEETS_TO_AVOID: tuple[str, ...] = (
     "Dictionary",
     "Terms and Value Sets",
 )
-
-
-def _require_openpyxl():
-    try:
-        import openpyxl  # noqa: F401
-
-        return openpyxl
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise ImportError(
-            "template-overlay writes require openpyxl (styles). For plain "
-            "workbooks the stdlib sources.xlsx_lite adapter is used "
-            "automatically."
-        ) from e
 
 
 def _iter_sheets(path: str):
@@ -156,20 +144,30 @@ def tables_to_workbook(
     out_path: str,
 ) -> None:
     """S2 — template-overlay write: data region from row 2, template
-    column order, header/styles preserved."""
-    openpyxl = _require_openpyxl()
-    import shutil
+    column order, header + styles preserved.
 
-    shutil.copyfile(template_path, out_path)
-    wb = openpyxl.load_workbook(out_path)
+    Stdlib-only since r5 (`xlsx_lite.overlay_xlsx`): every zip member
+    except the overlaid worksheets is copied byte-identical, so the
+    template's styles/theme/number formats survive without openpyxl —
+    the reference's pre-styled submission artifacts write anywhere
+    the engine runs (src/create_submission.py overlay semantics).
+    """
+    from .xlsx_lite import overlay_xlsx, read_xlsx
+
+    template = read_xlsx(template_path)
+    sheets: dict[str, list[list]] = {}
     for sheet, df in tables.items():
-        if sheet not in wb.sheetnames:
+        if sheet not in template or not template[sheet]:
             continue
-        ws = wb[sheet]
-        header = [c.value for c in ws[1] if c.value is not None]
+        header = [h for h in template[sheet][0] if h is not None]
         ordered = [c for c in header if c in df.columns]
         pdf = df.select(*ordered).toPandas()
-        for i, row in enumerate(pdf.itertuples(index=False), start=2):
+        col_pos = {c: header.index(c) for c in ordered}
+        rows = []
+        for tup in pdf.itertuples(index=False):
+            row: list = [None] * len(header)
             for j, col in enumerate(ordered):
-                ws.cell(row=i, column=header.index(col) + 1, value=row[j])
-    wb.save(out_path)
+                row[col_pos[col]] = tup[j]
+            rows.append(row)
+        sheets[sheet] = rows
+    overlay_xlsx(template_path, out_path, sheets)

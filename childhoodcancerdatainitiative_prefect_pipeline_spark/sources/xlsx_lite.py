@@ -176,3 +176,103 @@ def read_xlsx(path: str) -> dict[str, list[list[str | None]]]:
             width = max((len(r) for r in rows), default=0)
             out[name] = [r + [None] * (width - len(r)) for r in rows]
         return out
+
+
+# ---------------------------------------------------------------------------
+# Template overlay (S2) — stdlib-only style preservation.  An xlsx is
+# a zip; every member EXCEPT the overlaid worksheets is copied
+# byte-identical (styles.xml, theme, formats all survive), and inside
+# a worksheet only the <sheetData> span is rebuilt: header row 1 is
+# kept verbatim, data rows are regenerated with each column's
+# template style index (the template's first data row defines the
+# data-area formatting, which is how the reference's pre-styled
+# submission templates are laid out).
+# ---------------------------------------------------------------------------
+
+import re
+
+
+def _sheet_parts(z: zipfile.ZipFile) -> dict[str, str]:
+    """sheet name → zip member path."""
+    wb = ET.fromstring(z.read("xl/workbook.xml"))
+    rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+    rid_to_target = {
+        rel.attrib["Id"]: rel.attrib["Target"].lstrip("/") for rel in rels
+    }
+    out = {}
+    for sheet in wb.iter():
+        if _local(sheet.tag) != "sheet":
+            continue
+        rid = next(v for k, v in sheet.attrib.items() if _local(k) == "id")
+        target = rid_to_target[rid]
+        out[sheet.attrib["name"]] = (
+            target if target.startswith("xl/") else f"xl/{target}"
+        )
+    return out
+
+
+def _render_cell(ref: str, value, style: str | None) -> str:
+    s_attr = f' s="{style}"' if style else ""
+    if value is None:
+        return ""
+    if isinstance(value, (int, float)) and not isinstance(value, bool):
+        return f'<c r="{ref}"{s_attr}><v>{value}</v></c>'
+    return (
+        f'<c r="{ref}"{s_attr} t="inlineStr"><is><t xml:space="preserve">'
+        f"{escape(str(value))}</t></is></c>"
+    )
+
+
+def overlay_xlsx(
+    template_path: str, out_path: str, sheets: dict[str, list[list]]
+) -> None:
+    """Overlay data rows (row 2+) onto a styled template.
+
+    ``sheets``: ``{sheet_name: data_rows}`` — row 1 (header) and all
+    non-worksheet zip members pass through byte-identical; new data
+    cells inherit the column style of the template's first data row.
+    Sheets absent from the template are ignored (parity with the
+    openpyxl-based reference flow, src/create_submission.py).
+    """
+    with zipfile.ZipFile(template_path) as zin:
+        members = {i.filename: zin.read(i.filename) for i in zin.infolist()}
+        parts = _sheet_parts(zin)
+
+    for name, data_rows in sheets.items():
+        part = parts.get(name)
+        if part is None or part not in members:
+            continue
+        xml = members[part].decode("utf-8")
+        m = re.search(r"<sheetData(?:/>|>(.*?)</sheetData>)", xml, re.S)
+        if not m:
+            raise ValueError(f"worksheet {name!r} has no sheetData")
+        span = m.group(1) or ""
+        header_m = re.search(r'<row[^>]*\br="1"[^>]*>.*?</row>', span, re.S)
+        header_xml = header_m.group(0) if header_m else ""
+        # column → style index from the template's first data row
+        styles: dict[int, str] = {}
+        row2_m = re.search(r'<row[^>]*\br="2"[^>]*>(.*?)</row>', span, re.S)
+        if row2_m:
+            for c in re.finditer(r"<c\b[^>]*>", row2_m.group(1)):
+                attrs = dict(re.findall(r'(\w+)="([^"]*)"', c.group(0)))
+                if "r" in attrs and "s" in attrs:
+                    styles[_cell_col(attrs["r"])] = attrs["s"]
+        rows_xml = [header_xml]
+        for i, row in enumerate(data_rows, start=2):
+            cells = "".join(
+                _render_cell(f"{_col_letter(c)}{i}", v, styles.get(c))
+                for c, v in enumerate(row)
+            )
+            rows_xml.append(f'<row r="{i}">{cells}</row>')
+        new_xml = (
+            xml[: m.start()]
+            + "<sheetData>"
+            + "".join(rows_xml)
+            + "</sheetData>"
+            + xml[m.end() :]
+        )
+        members[part] = new_xml.encode("utf-8")
+
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zout:
+        for fname, blob in members.items():
+            zout.writestr(fname, blob)

@@ -41,20 +41,106 @@ def test_listing_to_inventory_skips_folders(spark):
     assert inv["b.vcf.gz"]["ext"] == "gz"
 
 
-def test_template_overlay_requires_openpyxl(spark):
-    """Reads and plain writes work via the stdlib adapter; only the
-    style-preserving template overlay still needs openpyxl."""
-    import pytest
+def _styled_template(path: str) -> None:
+    """Hand-build a styled xlsx: a worksheet with cell styles (s=),
+    a cols block and a dimension, plus a styles.xml member — the
+    parts a template overlay must preserve."""
+    import zipfile
+
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><dimension ref="A1:C2"/>'
+        '<cols><col min="1" max="3" width="22"/></cols><sheetData>'
+        '<row r="1"><c r="A1" s="2" t="inlineStr"><is><t>sample_id</t>'
+        '</is></c><c r="B1" s="2" t="inlineStr"><is><t>status</t></is>'
+        '</c><c r="C1" s="2" t="inlineStr"><is><t>age</t></is></c></row>'
+        '<row r="2"><c r="A2" s="1"/><c r="B2" s="3"/><c r="C2" s="4"/>'
+        "</row></sheetData></worksheet>"
+    )
+    styles = (
+        '<?xml version="1.0"?><styleSheet xmlns="http://schemas.'
+        'openxmlformats.org/spreadsheetml/2006/main"><cellXfs count="5">'
+        + "<xf/>" * 5
+        + "</cellXfs></styleSheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.'
+            'openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.'
+            'openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            "</Types>",
+        )
+        z.writestr(
+            "_rels/.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+            'openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats'
+            '.org/officeDocument/2006/relationships/officeDocument" '
+            'Target="xl/workbook.xml"/></Relationships>',
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0"?><workbook xmlns="http://schemas.'
+            'openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://'
+            'schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="sample" sheetId="1" r:id="rId1"/>'
+            "</sheets></workbook>",
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+            'openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats'
+            '.org/officeDocument/2006/relationships/worksheet" '
+            'Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        z.writestr("xl/styles.xml", styles)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_template_overlay_preserves_styles_stdlib(spark, tmp_path):
+    """S2 overlay without openpyxl: values land in template column
+    order from row 2, the header row and every non-worksheet member
+    (styles.xml!) are byte-identical, and new data cells inherit the
+    template's first-data-row style indexes."""
+    import re
+    import zipfile
 
     from childhoodcancerdatainitiative_prefect_pipeline_spark.sources import excel
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.xlsx_lite import (
+        read_xlsx,
+    )
 
-    try:
-        import openpyxl  # noqa: F401
+    template = str(tmp_path / "template.xlsx")
+    out = str(tmp_path / "filled.xlsx")
+    _styled_template(template)
 
-        pytest.skip("openpyxl present; gate not exercised")
-    except ImportError:
-        with pytest.raises(ImportError, match="openpyxl"):
-            excel.tables_to_workbook({}, "/nonexistent.xlsx", "/out.xlsx")
+    # df columns deliberately NOT in template order; extra col ignored
+    df = spark.createDataFrame(
+        [("Tumor", "s1", 9, "x"), ("Normal", "s2", 11, "y")],
+        "status string, sample_id string, age long, extra string",
+    )
+    excel.tables_to_workbook({"sample": df, "missing_sheet": df}, template, out)
+
+    back = read_xlsx(out)["sample"]
+    assert back[0][:3] == ["sample_id", "status", "age"]
+    assert [r[:3] for r in back[1:]] == [
+        ["s1", "Tumor", "9"], ["s2", "Normal", "11"],
+    ]
+
+    with zipfile.ZipFile(template) as zt, zipfile.ZipFile(out) as zo:
+        assert zo.read("xl/styles.xml") == zt.read("xl/styles.xml")
+        sheet_xml = zo.read("xl/worksheets/sheet1.xml").decode()
+    # header row verbatim, cols block intact, data styles inherited
+    assert '<c r="A1" s="2"' in sheet_xml
+    assert '<cols><col min="1" max="3" width="22"/></cols>' in sheet_xml
+    assert re.search(r'<c r="A2" s="1"[^>]*>', sheet_xml)
+    assert re.search(r'<c r="B3" s="3"[^>]*>', sheet_xml)
+    assert re.search(r'<c r="C2" s="4"[^>]*><v>9</v>', sheet_xml)
 
 
 def test_exampler_deterministic_and_valid(spark):
