@@ -28,6 +28,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries to the front; everything here is also locally verified across
 # the whole registry by scripts/verify_driver.py before each commit.
 _CERTIFY_FIRST = [
+    # round-6 additions (front-loaded per VERDICT r5: certify the new
+    # de-weakened scale paths in the same round they land)
+    "graph_triangle_count_lsh",
     # round-3 additions (never checked by driver or judge)
     "igm_sample_mapper",
     "corpus_decontaminate",

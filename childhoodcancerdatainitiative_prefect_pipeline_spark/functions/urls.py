@@ -86,8 +86,14 @@ def uniquify_filename(name: Column | str, md5: Column | str, is_dup: Column) -> 
 # downstream is the dedup aggregation itself.
 # ---------------------------------------------------------------------------
 
-#: query parameters that never identify content (tracking/session)
-TRACKING_PARAMS = ("utm_", "ref", "fbclid", "gclid", "mc_cid", "sessionid")
+#: query parameters that never identify content (tracking/session).
+#: Matched against the param NAME (the part before '='): the non-utm
+#: entries match exactly — a prefix match would also strip content-
+#: identifying params like refresh=/refid=/referrer= and collapse
+#: distinct pages into one dedup key (false-positive drops).  Only the
+#: utm_ family is an open-ended namespace and matches by prefix.
+TRACKING_PARAMS = ("ref", "fbclid", "gclid", "mc_cid", "sessionid")
+TRACKING_PREFIXES = ("utm_",)
 
 
 def canonicalize_url(url: Column | str) -> Column:
@@ -100,8 +106,9 @@ def canonicalize_url(url: Column | str) -> Column:
     - fold the scheme to ``http`` and lowercase it (https/http serve
       the same document in a crawl corpus);
     - lowercase the host and strip one leading ``www.``;
-    - drop tracking query params (:data:`TRACKING_PARAMS` prefixes),
-      keep the rest in their original order;
+    - drop tracking query params (:data:`TRACKING_PARAMS` exact names
+      + :data:`TRACKING_PREFIXES` name prefixes), keep the rest in
+      their original order;
     - strip a trailing ``/`` from the path.
     """
     u = F.substring_index(_c(url), "#", 1)  # defragment
@@ -123,13 +130,20 @@ def canonicalize_url(url: Column | str) -> Column:
         r"/$",
         "",
     )
-    kept = F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "")
-        & ~F.exists(
+    def _is_tracking(p):
+        name = F.substring_index(p, "=", 1)
+        exact = F.exists(
             F.array(*[F.lit(t) for t in TRACKING_PARAMS]),
-            lambda t: p.startswith(t),
-        ),
+            lambda t: name == t,
+        )
+        pref = F.exists(
+            F.array(*[F.lit(t) for t in TRACKING_PREFIXES]),
+            lambda t: name.startswith(t),
+        )
+        return exact | pref
+
+    kept = F.filter(
+        F.split(query, "&"), lambda p: (p != "") & ~_is_tracking(p)
     )
     qjoin = F.array_join(kept, "&")
     return F.concat(

@@ -4441,14 +4441,14 @@ c AS (
          '/$', '')
     || CASE WHEN array_to_string(list_filter(string_split(query, '&'),
               p -> p <> '' AND NOT (starts_with(p, 'utm_')
-                OR starts_with(p, 'ref') OR starts_with(p, 'fbclid')
-                OR starts_with(p, 'gclid') OR starts_with(p, 'mc_cid')
-                OR starts_with(p, 'sessionid'))), '&') <> ''
+                OR split_part(p, '=', 1) IN
+                   ('ref', 'fbclid', 'gclid', 'mc_cid', 'sessionid'))),
+              '&') <> ''
          THEN '?' || array_to_string(list_filter(string_split(query, '&'),
               p -> p <> '' AND NOT (starts_with(p, 'utm_')
-                OR starts_with(p, 'ref') OR starts_with(p, 'fbclid')
-                OR starts_with(p, 'gclid') OR starts_with(p, 'mc_cid')
-                OR starts_with(p, 'sessionid'))), '&')
+                OR split_part(p, '=', 1) IN
+                   ('ref', 'fbclid', 'gclid', 'mc_cid', 'sessionid'))),
+              '&')
          ELSE '' END AS canon
   FROM parts)
 SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_variants,
@@ -9573,6 +9573,11 @@ FROM verts GROUP BY vertex"""
     "join — same set, no orientation needed at oracle scale",
 )
 def graph_triangle_count(spark, sf_dir):
+    """Exact-edge certification twin of graph_triangle_count_lsh: the
+    all-pairs edge build is inherent to the EXACT similarity-graph
+    definition and only appropriate at audit scale — the scale path
+    is the LSH-candidate entry below (same twin discipline as
+    dedup_minhash_pairs/_md5)."""
     from .operators.graph import triangle_counts
     from .operators.similarity import dot, l2_norm
 
@@ -9595,6 +9600,79 @@ def graph_triangle_count(spark, sf_dir):
         )
         .select("u", "w")
     )
+    return triangle_counts(edges, "u", "w", out_id="vertex")
+
+
+def _triangle_lsh_oracle() -> str:
+    """DuckDB twin of graph_triangle_count_lsh: the SAME literal
+    Rademacher plane matrix, band keys, hot-bucket cap, and exact-
+    cosine verify as hyperplane_lsh_pairs (threshold 0.3), then the
+    naive a<b<c triple join over those candidate edges."""
+    from .operators.similarity import _hyperplane_signs
+
+    planes = _hyperplane_signs(16, 64, 7)
+    lits = [
+        "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in pl) + "]"
+        for pl in planes
+    ]
+    sig = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {lits[p]}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(16)
+    )
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm,
+             {sig} AS sig
+      FROM e),
+bands AS (
+  SELECT vec_id, b, (sig >> CAST(2 * b AS INT)) & 3 AS key
+  FROM s CROSS JOIN UNNEST(range(0, 8)) AS t(b)),
+capped AS (
+  SELECT * FROM (
+    SELECT vec_id, b, key, COUNT(*) OVER (PARTITION BY b, key) AS bn
+    FROM bands) WHERE bn <= 200),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM capped x
+  JOIN capped y ON x.b = y.b AND x.key = y.key AND x.vec_id < y.vec_id),
+ed AS (
+  SELECT c.id_a AS u, c.id_b AS w
+  FROM cand c
+  JOIN s sa ON sa.vec_id = c.id_a
+  JOIN s sb ON sb.vec_id = c.id_b
+  WHERE ROUND(list_inner_product(sa.v, sb.v) / (sa.nrm * sb.nrm), 6)
+        >= 0.3),
+tri AS (
+  SELECT e1.u AS a, e1.w AS b, e2.w AS c
+  FROM ed e1
+  JOIN ed e2 ON e2.u = e1.w
+  JOIN ed e3 ON e3.u = e1.u AND e3.w = e2.w),
+verts AS (SELECT unnest([a, b, c]) AS vertex FROM tri)
+SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM verts GROUP BY vertex"""
+
+
+@register(
+    "graph_triangle_count_lsh",
+    _triangle_lsh_oracle(),
+    "the SCALE path for similarity-graph triangle counting: edges "
+    "from banded hyperplane LSH (signature → 8×2-bit band bucket "
+    "join → exact cosine verify at the same rounded 0.3 threshold — "
+    "never all-pairs, hot buckets capped) feeding the degree-ordered "
+    "wedge join.  graph_triangle_count is its exact-edge "
+    "certification twin (the dedup_minhash_pairs/_md5 discipline "
+    "applied to graph construction); the deterministic literal plane "
+    "matrix makes even the 'probabilistic' edge set hash-checkable",
+)
+def graph_triangle_count_lsh(spark, sf_dir):
+    from .operators.graph import triangle_counts
+    from .operators.similarity import hyperplane_lsh_pairs
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    edges = hyperplane_lsh_pairs(
+        embeddings, dims=64, threshold=0.3, max_bucket_size=200
+    ).select(F.col("id_a").alias("u"), F.col("id_b").alias("w"))
     return triangle_counts(edges, "u", "w", out_id="vertex")
 
 
@@ -15651,18 +15729,22 @@ def lineitem_mad_outliers_query(spark, sf_dir):
     from .operators.quantiles import grouped_weighted_median
 
     (lineitem,) = _t(spark, sf_dir, "lineitem")
+    # base and dev each feed a grouped_weighted_median pass AND the
+    # final aggregation; localCheckpoint so the fact table is scanned
+    # once, not once per downstream reference (round-5 plan audit:
+    # 49 scans without, ~6 with — hashes unchanged).
     base = lineitem.select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("price"),
         F.lit(1.0).alias("one"),
-    )
+    ).localCheckpoint()
     med = grouped_weighted_median(base, "flag", "price", "one").select(
         "flag", F.col("weighted_median").alias("m")
     )
     dev = base.join(F.broadcast(med), "flag").select(
         "flag", "price", "m", F.abs(F.col("price") - F.col("m")).alias("d"),
         F.lit(1.0).alias("one"),
-    )
+    ).localCheckpoint()
     mad = grouped_weighted_median(dev, "flag", "d", "one").select(
         "flag", F.col("weighted_median").alias("mad")
     )

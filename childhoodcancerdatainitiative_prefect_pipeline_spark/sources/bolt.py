@@ -272,8 +272,24 @@ class BoltClient:
         user_agent: str = "ccdi-spark-bolt/1.0",
         timeout: float = 30.0,
         database: str | None = None,
+        encrypted: bool = False,
+        ssl_context: "ssl.SSLContext | None" = None,
     ):
+        """``encrypted=True`` wraps the connection in TLS (the
+        ``bolt+s://`` scheme of the reference's neo4j driver) so basic-
+        auth credentials and graph data never cross the wire in the
+        clear.  Pass ``ssl_context`` to pin CAs / disable verification
+        for self-signed test servers; default is
+        :func:`ssl.create_default_context` (full cert + hostname
+        verification).  Plaintext (the default) is only appropriate for
+        localhost / trusted-network use.
+        """
         self._sock = socket.create_connection((host, port), timeout=timeout)
+        if encrypted or ssl_context is not None:
+            import ssl
+
+            ctx = ssl_context or ssl.create_default_context()
+            self._sock = ctx.wrap_socket(self._sock, server_hostname=host)
         self._database = database
         self._sock.sendall(BOLT_MAGIC + b"".join(BOLT_VERSIONS))
         agreed = _recv_exact(self._sock, 4)

@@ -139,6 +139,28 @@ def probe_objects(
     )
 
 
+def _object_md5(client, bucket: str, key: str, chunk_bytes: int) -> str:
+    """Incremental md5 of one object via ranged GETs (src/utils.py:1227).
+
+    Zero-byte objects: a Range of "bytes=0--1" is a 416 from S3, so the
+    GET loop is skipped entirely — md5(b"") is the right digest and
+    costs nothing.  Raises on any client error (callers decide whether
+    that is a per-object ``failed`` row or a hard error).
+    """
+    import hashlib
+
+    size = int(client.head_object(Bucket=bucket, Key=key)["ContentLength"])
+    md5 = hashlib.md5()
+    for start in range(0, size, chunk_bytes):
+        end = min(start + chunk_bytes, size) - 1
+        body = client.get_object(
+            Bucket=bucket, Key=key, Range=f"bytes={start}-{end}"
+        )["Body"]
+        for chunk in iter(lambda: body.read(1 << 20), b""):
+            md5.update(chunk)
+    return md5.hexdigest()
+
+
 def streaming_md5(
     urls: DataFrame,
     url_col: str = "file_url",
@@ -153,28 +175,12 @@ def streaming_md5(
     client_factory = client_factory or _default_client
 
     def kernel(rows: Iterator) -> Iterator[tuple]:
-        import hashlib
-
         client = client_factory()
         for row in rows:
             url = row[url_col]
             try:
                 bucket, key = url.replace("s3://", "", 1).split("/", 1)
-                size = int(
-                    client.head_object(Bucket=bucket, Key=key)["ContentLength"]
-                )
-                md5 = hashlib.md5()
-                # Zero-byte objects: a Range of "bytes=0--1" is a 416
-                # from S3, so skip the GET entirely — md5(b"") is the
-                # right digest and costs nothing.
-                for start in range(0, size, chunk_bytes):
-                    end = min(start + chunk_bytes, size) - 1
-                    body = client.get_object(
-                        Bucket=bucket, Key=key, Range=f"bytes={start}-{end}"
-                    )["Body"]
-                    for chunk in iter(lambda: body.read(1 << 20), b""):
-                        md5.update(chunk)
-                yield (url, md5.hexdigest())
+                yield (url, _object_md5(client, bucket, key, chunk_bytes))
             except Exception:
                 # Per-object isolation (parity with probe_objects): one
                 # bad object must not fail the whole task.
@@ -307,6 +313,7 @@ def execute_moves(
     multipart_threshold: int = MULTIPART_THRESHOLD,
     part_bytes: int = MULTIPART_PART_BYTES,
     delete_source: bool = False,
+    md5_chunk_bytes: int = MD5_CHUNK_BYTES,
 ) -> DataFrame:
     """S9 execution — apply a :func:`plan_moves` frame.
 
@@ -320,16 +327,21 @@ def execute_moves(
       ``copy_object``; above it, ``upload_part_copy`` in
       ``part_bytes`` ranges + ``complete_multipart_upload`` (aborted
       on any part failure, as the reference does);
-    - ``delete_source=True`` gives move semantics: the source is
-      deleted only after THIS run verified the destination (fresh
-      copy completed, or size-matched skip) — the reference's
-      copy→verify→delete flow (workflows/file_mover_delete.py);
+    - ``delete_source=True`` gives move semantics with the reference's
+      copy→verify→delete ordering (workflows/file_mover_delete.py:
+      delete runs only on objects that PASS compare_md5sum_flow): the
+      source is deleted only after a streaming-md5 comparison of
+      source vs destination succeeds — for fresh copies *and* for
+      size-matched skips alike (a same-size stale destination must
+      never cost the only correct copy).  An md5 mismatch yields a
+      ``verify_failed`` row and deletes nothing;
     - per-object isolation: one bad object yields a ``failed`` row,
       never a task failure (parity with probe_objects/streaming_md5).
 
     One client per partition; ``client_factory`` is picklable and
     injection-testable exactly like S7/S8.  Status values:
-    ``copied`` | ``copied_multipart`` | ``skipped`` | ``failed``.
+    ``copied`` | ``copied_multipart`` | ``skipped`` | ``failed`` |
+    ``verify_failed`` (delete_source only).
     """
     client_factory = client_factory or _default_client
 
@@ -388,12 +400,27 @@ def execute_moves(
                         raise
                     status, copied = "copied_multipart", size
                 else:
+                    # Dict CopySource (not the "bucket/key" string
+                    # form): keys containing '+'/'%' are misread by S3
+                    # in the string form — parity with the multipart
+                    # upload_part_copy call above.
                     client.copy_object(
-                        Bucket=db, CopySource=f"{sb}/{sk}", Key=dk
+                        Bucket=db,
+                        CopySource={"Bucket": sb, "Key": sk},
+                        Key=dk,
                     )
                     status, copied = "copied", size
                 if delete_source:
-                    client.delete_object(Bucket=sb, Key=sk)
+                    # Reference ordering: delete ONLY objects whose
+                    # source/destination md5s match — a size-matched
+                    # skip is NOT verification (the stale-destination
+                    # trap), and a fresh copy is verified too.
+                    src_md5 = _object_md5(client, sb, sk, md5_chunk_bytes)
+                    dest_md5 = _object_md5(client, db, dk, md5_chunk_bytes)
+                    if src_md5 == dest_md5:
+                        client.delete_object(Bucket=sb, Key=sk)
+                    else:
+                        status = "verify_failed"
                 yield (src, dest, status, copied)
             except Exception:
                 yield (src, dest, "failed", None)

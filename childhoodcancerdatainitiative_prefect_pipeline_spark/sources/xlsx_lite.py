@@ -271,6 +271,27 @@ def overlay_xlsx(
             + "</sheetData>"
             + xml[m.end() :]
         )
+        # Rewrite <dimension ref=.../> to the rendered extent: strict
+        # consumers reject a stale dimension when the new data region
+        # is larger/smaller than the template's.
+        header_cols = [
+            _cell_col(a)
+            for a in re.findall(r'<c\b[^>]*\br="([A-Z]+\d+)"', header_xml)
+        ]
+        width = max(
+            [len(r) - 1 for r in data_rows] + header_cols + [0]
+        )
+        last_row = max(len(data_rows) + 1, 1)
+        dim_ref = (
+            "A1" if last_row == 1 and width == 0
+            else f"A1:{_col_letter(width)}{last_row}"
+        )
+        new_xml = re.sub(
+            r'(<dimension\b[^>]*\bref=")[^"]*(")',
+            lambda dm: dm.group(1) + dim_ref + dm.group(2),
+            new_xml,
+            count=1,
+        )
         members[part] = new_xml.encode("utf-8")
 
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zout:

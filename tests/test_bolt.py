@@ -10,6 +10,8 @@ import socket
 import struct
 import threading
 
+import pytest
+
 from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.bolt import (
     MSG_FAILURE,
     MSG_HELLO,
@@ -117,8 +119,9 @@ def _write_message(conn, msg):
     conn.sendall(struct.pack(">H", len(blob)) + blob + b"\x00\x00")
 
 
-def start_fake_bolt_server(results, require_password=None):
+def start_fake_bolt_server(results, require_password=None, tls_context=None):
     """``results``: {cypher: (fields, rows)}; unknown cypher → FAILURE.
+    ``tls_context``: server-side SSLContext → bolt+s (TLS) endpoint.
     Returns (port, stop_fn)."""
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -128,6 +131,12 @@ def start_fake_bolt_server(results, require_password=None):
     stopping = threading.Event()
 
     def serve_conn(conn):
+        if tls_context is not None:
+            try:
+                conn = tls_context.wrap_socket(conn, server_side=True)
+            except Exception:
+                conn.close()
+                return
         with conn:
             magic = conn.recv(4)
             if magic != b"\x60\x60\xb0\x17":
@@ -264,6 +273,76 @@ def test_bolt_client_run_and_failure_reset():
         fields2, rows2 = c.run(_EAV_CYPHER)
         assert rows2 == _EAV_ROWS and fields2 == _EAV_FIELDS
         c.close()
+    finally:
+        stop()
+
+
+def _self_signed_cert(tmp_path):
+    """Minimal self-signed localhost cert (test-only)."""
+    import datetime
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")]
+    )
+    now = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now)
+        .not_valid_after(now + datetime.timedelta(days=3650))
+        .add_extension(
+            x509.SubjectAlternativeName(
+                [x509.IPAddress(__import__("ipaddress").ip_address("127.0.0.1"))]
+            ),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    cert_pem = tmp_path / "cert.pem"
+    key_pem = tmp_path / "key.pem"
+    cert_pem.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    key_pem.write_bytes(
+        key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption(),
+        )
+    )
+    return str(cert_pem), str(key_pem)
+
+
+def test_bolt_client_tls(tmp_path):
+    """encrypted=True speaks bolt+s — credentials never cross in the
+    clear; plaintext clients are rejected by the TLS endpoint."""
+    import ssl
+
+    pytest.importorskip("cryptography")
+    cert_pem, key_pem = _self_signed_cert(tmp_path)
+    srv_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    srv_ctx.load_cert_chain(cert_pem, key_pem)
+    port, stop = start_fake_bolt_server(
+        {_EAV_CYPHER: (_EAV_FIELDS, _EAV_ROWS)}, tls_context=srv_ctx
+    )
+    try:
+        cli_ctx = ssl.create_default_context(cafile=cert_pem)
+        cli_ctx.check_hostname = False  # IP-SAN verify varies by build
+        c = BoltClient("127.0.0.1", port, ssl_context=cli_ctx)
+        fields, rows = c.run(_EAV_CYPHER)
+        assert fields == _EAV_FIELDS and rows == _EAV_ROWS
+        c.close()
+        # a plaintext client against the TLS endpoint must fail fast,
+        # not silently leak credentials
+        with pytest.raises((BoltError, ConnectionError, OSError)):
+            BoltClient("127.0.0.1", port, timeout=2.0)
     finally:
         stop()
 

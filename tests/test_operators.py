@@ -2224,6 +2224,15 @@ def test_canonicalize_url_rules(spark):
         ("http://example.com/p?b=2&a=1", "http://example.com/p?b=2&a=1"),
         # Path case is content-significant and must survive
         ("http://example.com/CaseSensitive", "http://example.com/CaseSensitive"),
+        # tracking matches the param NAME: exact for ref/..., prefix
+        # only for utm_ — refresh/refid/referrer are CONTENT params
+        # (a prefix match on 'ref' would false-dedup distinct pages)
+        (
+            "http://example.com/a?refresh=1&refid=9&referrer=home&ref=tw",
+            "http://example.com/a?refresh=1&refid=9&referrer=home",
+        ),
+        # bare 'ref' with no '=' is still the tracking name
+        ("http://example.com/a?ref&q=1", "http://example.com/a?q=1"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                ["i", "url"])

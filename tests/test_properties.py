@@ -455,9 +455,12 @@ _HOSTSEG = st.text(alphabet="abcdefgxyzABXZ0123456789-", min_size=1, max_size=8)
 _PATHSEG = st.text(
     alphabet="abcdefghijklmnopqrstuvwxyzABC0123456789._-", min_size=1, max_size=8
 )
-_TRACKING = ("utm_source=feed", "utm_medium=x", "ref=tw", "refid=9",
+_TRACKING = ("utm_source=feed", "utm_medium=x", "ref=tw",
              "fbclid=Ab1", "gclid=z", "mc_cid=77", "sessionid=s1")
-_CONTENT = ("q=1", "id=ab", "page=2", "lang=en", "v=2.1")
+# refresh/refid/referrer share the 'ref' PREFIX but are content params
+# (exact-name matching must keep them — the false-dedup trap)
+_CONTENT = ("q=1", "id=ab", "page=2", "lang=en", "v=2.1",
+            "refid=9", "refresh=1", "referrer=home")
 
 
 def _py_canonicalize_url(url):
@@ -467,6 +470,7 @@ def _py_canonicalize_url(url):
 
     from childhoodcancerdatainitiative_prefect_pipeline_spark.functions.urls import (
         TRACKING_PARAMS,
+        TRACKING_PREFIXES,
     )
 
     u = url.split("#", 1)[0]
@@ -479,10 +483,14 @@ def _py_canonicalize_url(url):
     m2 = _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", base)
     path = (m2.group(1) or "") if m2 else ""
     path = _re.sub(r"/$", "", path)
-    kept = [
-        p for p in query.split("&")
-        if p and not any(p.startswith(t) for t in TRACKING_PARAMS)
-    ]
+
+    def _tracking(p):
+        name = p.split("=", 1)[0]
+        return name in TRACKING_PARAMS or any(
+            name.startswith(t) for t in TRACKING_PREFIXES
+        )
+
+    kept = [p for p in query.split("&") if p and not _tracking(p)]
     return "http://" + host + path + ("?" + "&".join(kept) if kept else "")
 
 

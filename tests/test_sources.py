@@ -141,6 +141,10 @@ def test_template_overlay_preserves_styles_stdlib(spark, tmp_path):
     assert re.search(r'<c r="A2" s="1"[^>]*>', sheet_xml)
     assert re.search(r'<c r="B3" s="3"[^>]*>', sheet_xml)
     assert re.search(r'<c r="C2" s="4"[^>]*><v>9</v>', sheet_xml)
+    # the template's <dimension ref="A1:C2"/> is rewritten to the
+    # RENDERED extent (2 data rows -> A1:C3) — strict consumers reject
+    # a stale dimension when the data region grows or shrinks
+    assert '<dimension ref="A1:C3"/>' in sheet_xml
 
 
 def test_exampler_deterministic_and_valid(spark):
@@ -1362,7 +1366,12 @@ def _make_fs_client_factory(root):
                     return {"Body": Body(f.read()[s : e + 1])}
 
             def copy_object(self, Bucket, CopySource, Key):
-                sb, sk = CopySource.split("/", 1)
+                # Real S3 prefers the dict form (string form breaks on
+                # '+'/'%' in keys) — the kernel now always passes dict.
+                if isinstance(CopySource, dict):
+                    sb, sk = CopySource["Bucket"], CopySource["Key"]
+                else:
+                    sb, sk = CopySource.split("/", 1)
                 dest = self._path(Bucket, Key)
                 os.makedirs(os.path.dirname(dest), exist_ok=True)
                 with open(self._path(sb, sk), "rb") as f:
@@ -1502,7 +1511,7 @@ def test_execute_moves_multipart_assembles_ranges(spark, tmp_path):
     assert not glob.glob(os.path.join(root, "dst", "big.bin.part*"))
 
 
-def test_execute_moves_delete_source_only_after_verify(spark, tmp_path):
+def test_execute_moves_delete_source_only_after_md5_verify(spark, tmp_path):
     import os
 
     from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.s3 import (
@@ -1515,13 +1524,16 @@ def test_execute_moves_delete_source_only_after_verify(spark, tmp_path):
         {
             ("src", "m/a.txt"): b"aaaa",
             ("src", "m/b.txt"): b"bb",
-            ("dst", "m/b.txt"): b"xx",  # size match -> verified skip
+            ("dst", "m/b.txt"): b"xx",  # same SIZE, stale bytes
+            ("src", "m/c.txt"): b"cc",
+            ("dst", "m/c.txt"): b"cc",  # genuine idempotent-restart skip
         },
     )
     moves = spark.createDataFrame(
         [
             ("s3://src/m/a.txt", "s3://dst/m/a.txt"),
             ("s3://src/m/b.txt", "s3://dst/m/b.txt"),
+            ("s3://src/m/c.txt", "s3://dst/m/c.txt"),
             ("s3://src/m/gone.txt", "s3://dst/m/gone.txt"),
         ],
         "src_url string, dest_url string",
@@ -1535,12 +1547,20 @@ def test_execute_moves_delete_source_only_after_verify(spark, tmp_path):
         ).collect()
     }
     assert got["s3://src/m/a.txt"] == "copied"
-    assert got["s3://src/m/b.txt"] == "skipped"
+    assert got["s3://src/m/b.txt"] == "verify_failed"
+    assert got["s3://src/m/c.txt"] == "skipped"
     assert got["s3://src/m/gone.txt"] == "failed"
-    # copied + verified-skip sources are gone; the failed one never was
+    # md5-verified sources (fresh copy a, true skip c) are gone ...
     assert not os.path.exists(os.path.join(root, "src", "m", "a.txt"))
-    assert not os.path.exists(os.path.join(root, "src", "m", "b.txt"))
+    assert not os.path.exists(os.path.join(root, "src", "m", "c.txt"))
     assert os.path.exists(os.path.join(root, "dst", "m", "a.txt"))
+    # ... but a size-matched STALE destination must never cost the only
+    # correct copy: src/m/b.txt survives and dst keeps its stale bytes
+    # for verify_transfers to report (reference deletes only objects
+    # that pass compare_md5sum_flow, workflows/file_mover_delete.py).
+    assert os.path.exists(os.path.join(root, "src", "m", "b.txt"))
+    with open(os.path.join(root, "dst", "m", "b.txt"), "rb") as f:
+        assert f.read() == b"xx"
 
 
 def test_verify_transfers_pass_fail_error(spark, tmp_path):
