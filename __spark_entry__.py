@@ -31,6 +31,13 @@ _CERTIFY_FIRST = [
     # round-6 additions (front-loaded per VERDICT r5: certify the new
     # de-weakened scale paths in the same round they land)
     "graph_triangle_count_lsh",
+    # oracle changed in r6 (frame_stride=2 sampling) — certify fresh
+    "dedup_video_clip_pairs",
+    # upgraded rows-only -> oracle in r6 (VERDICT item 7): bounded
+    # peel unroll, training-loop CTE replay, sketch property booleans
+    "graph_kcore_membership",
+    "corpus_bpe_vocab",
+    "profile_columns_approx",
     # round-3 additions (never checked by driver or judge)
     "igm_sample_mapper",
     "corpus_decontaminate",
@@ -227,14 +234,13 @@ _CERTIFY_FIRST = [
     "cog_tranche_sparsity",
     "profile_columns",
     # rows-only entries (weaker driver check by design; certified
-    # as slots free up in later rotations)
+    # as slots free up in later rotations).  kcore/bpe_vocab/
+    # columns_approx moved to the r6 front block (oracle-backed now).
     "corpus_pack_sequences",
     "corpus_weighted_sample",
-    "graph_kcore_membership",
     "dedup_minhash_clusters",
     "stream_sliding_rollup",
     "graph_pagerank_topk",
-    "profile_columns_approx",
     # judge-verified in r01 but never driver-certified
     "o2_custom_order",
     "o4_incell_sort",

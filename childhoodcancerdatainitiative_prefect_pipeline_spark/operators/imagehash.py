@@ -133,7 +133,7 @@ def image_ahash(
 
 
 def ahash_near_dup_pairs(
-    hashes: DataFrame, max_hamming: int = 7
+    hashes: DataFrame, max_hamming: int = 7, materialize: bool = True
 ) -> DataFrame:
     """Banded near-dup pair generation over (media_id, h1, h2).
 
@@ -144,7 +144,15 @@ def ahash_near_dup_pairs(
     on ≥1 band; the Hamming verify (``bit_count(xor)``) runs
     row-local after the band join.  The only shuffle carries
     (band, key, id) triples.
+
+    ``materialize=True`` (default) ``localCheckpoint``s the hash
+    rows: they feed both sides of the band self-join, and without it
+    the upstream decode kernel runs twice (same fix as
+    ``clip_near_dup_pairs``).  Hash rows are three longs per media —
+    never payload bytes.
     """
+    if materialize:
+        hashes = hashes.localCheckpoint()
     bands = [
         F.struct(
             F.lit(band).alias("band"),

@@ -194,14 +194,25 @@ CLIP_HASH_SCHEMA = (
 
 
 def video_clip_frame_hashes(
-    media: DataFrame, id_col: str = "media_id", grid: int = 8
+    media: DataFrame,
+    id_col: str = "media_id",
+    grid: int = 8,
+    frame_stride: int = 1,
 ) -> DataFrame:
-    """MJPEG AVI → one perceptual hash row PER FRAME.
+    """MJPEG AVI → one perceptual hash row per SAMPLED frame.
 
     Each frame's luma is pooled to a ``grid²`` cell grid
     (``jpeg.decode_jpeg_gray_grid``) and average-hashed with the
     shared imagehash machinery.  A structurally-broken clip yields a
     single dead-letter row with ``frame_no`` null.
+
+    ``frame_stride`` is the frame_sample_plan discipline applied
+    inside the kernel: only frame indices ≡ 0 (mod stride) are
+    DECODED (the container walk skips the rest at chunk granularity
+    — near-free), so cost is ∝ sampled frames, not clip length.
+    ``frame_no`` keeps the true container index, so frame-aligned
+    matching in :func:`clip_near_dup_pairs` still aligns — both clips
+    of a near-dup pair sample the same indices.
     """
     from .imagehash import ahash_bits
     from .jpeg import decode_jpeg_gray_grid
@@ -245,12 +256,13 @@ def video_clip_frame_hashes(
                     for cid, start, clen in walk(payload, movi[0], movi[1]):
                         if cid[2:4] != b"dc":
                             continue
-                        h1, h2 = ahash_bits(
-                            decode_jpeg_gray_grid(
-                                payload[start : start + clen], grid
+                        if frame_no % frame_stride == 0:
+                            h1, h2 = ahash_bits(
+                                decode_jpeg_gray_grid(
+                                    payload[start : start + clen], grid
+                                )
                             )
-                        )
-                        rows.append((mid, frame_no, h1, h2, None))
+                            rows.append((mid, frame_no, h1, h2, None))
                         frame_no += 1
                     if frame_no == 0:
                         raise ValueError("movi list has no video frames")
@@ -270,13 +282,24 @@ def clip_near_dup_pairs(
     frame_hashes: DataFrame,
     max_hamming: int = 7,
     min_matching_frames: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Frame-aligned clip near-dup: band-join per (frame_no, band),
     Hamming-verify per frame, then count matching frame indices per
     clip pair.  The shuffle carries (frame, band, key, id) — never
-    clip×clip."""
+    clip×clip.
+
+    ``materialize=True`` (default) ``localCheckpoint``s the hash rows:
+    they feed BOTH sides of the band self-join, and without the
+    checkpoint the whole upstream decode (an Arrow kernel over every
+    clip) runs twice — at 100 TB that is a second full decode pass.
+    The checkpointed frame is tiny (a few longs per sampled frame),
+    never the payload bytes.
+    """
     from pyspark.sql import functions as F
 
+    if materialize:
+        frame_hashes = frame_hashes.localCheckpoint()
     bands = [
         F.struct(
             F.lit(band).alias("band"),

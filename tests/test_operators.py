@@ -2612,6 +2612,24 @@ def test_video_clip_frame_hashes_and_near_dup(spark):
     assert pairs.get((1, 2), 0) >= 2  # frames 0 and 2 identical
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
+    # frame_stride=2 (the frame_sample_plan discipline in-kernel):
+    # only frames 0 and 2 are decoded — TRUE container indices kept,
+    # so frame-aligned matching still finds the (1,2) near-dup pair;
+    # cost is ∝ sampled frames, not clip length
+    sampled = video_clip_frame_hashes(media, frame_stride=2)
+    srows = sampled.collect()
+    assert sorted(
+        r["frame_no"] for r in srows if r["media_id"] == 1
+    ) == [0, 2]
+    spairs = {
+        (r["id_a"], r["id_b"]): r["n_frames_matched"]
+        for r in clip_near_dup_pairs(
+            sampled, max_hamming=7, min_matching_frames=2
+        ).collect()
+    }
+    assert spairs.get((1, 2), 0) == 2
+    assert (1, 3) not in spairs and (2, 3) not in spairs
+
 
 def test_gif_encode_decode_lzw_interlace_and_quarantine(spark):
     """Real (stdlib) GIF decode: dynamic-dictionary LZW, 16- and

@@ -1682,3 +1682,175 @@ def test_tar_and_zip_member_fanout(spark):
     zrows = zip_members(zmedia).collect()
     assert len(zrows) == 1  # directory skipped
     assert bytes(zrows[0]["body"]) == b"three33"
+
+
+# ---------------------------------------------------------------------------
+# GDC chunked file upload (sources/gdc_upload.py) — the last reference
+# workflow seam, closed with the injectable-transport pattern.  The
+# fake transport records every PUT to the filesystem (surviving the
+# executor boundary, like the S9 fs-backed store) so the tests can
+# assert the exact part stream: ordering, adaptive sizing, retries,
+# per-object isolation, skip triage.
+# ---------------------------------------------------------------------------
+
+
+def test_adaptive_part_bytes_reference_rule():
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.gdc_upload import (
+        adaptive_part_bytes,
+    )
+
+    mib = 1024 * 1024
+    # small file: requested part size used as-is
+    assert adaptive_part_bytes(10 * mib, 128) == 128 * mib
+    # exactly at the 1000-part cap: unchanged
+    assert adaptive_part_bytes(1000 * mib, 1) == 1 * mib
+    # over the cap: round(size/1000/MiB) + 2 MiB (gdc_file_upload.py:240)
+    big = 4000 * mib + 17
+    assert adaptive_part_bytes(big, 1) == (round(big / 1000 / mib) + 2) * mib
+    assert big / adaptive_part_bytes(big, 1) <= 1000
+
+
+def _upload_fakes(root):
+    """(source_factory, transport_factory): fs-backed object store +
+    a transport journaling every put_part/finalize under <root>/tx."""
+    import os
+
+    def source_factory():
+        class Source:
+            def read_range(self, url, start, end):
+                bucket, key = url.replace("s3://", "", 1).split("/", 1)
+                with open(os.path.join(root, bucket, key), "rb") as f:
+                    return f.read()[start : end + 1]
+
+        return Source()
+
+    def transport_factory():
+        class Transport:
+            def put_part(self, file_id, part_number, total_parts, data):
+                if file_id == "flaky" and part_number == 2:
+                    marker = os.path.join(root, "tx", "flaky-attempted")
+                    if not os.path.exists(marker):
+                        os.makedirs(os.path.dirname(marker), exist_ok=True)
+                        open(marker, "wb").close()
+                        raise ConnectionError("transient blip")
+                if file_id == "doomed":
+                    raise ConnectionError("endpoint down")
+                p = os.path.join(
+                    root, "tx", f"{file_id}.part{part_number:04d}of{total_parts}"
+                )
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                with open(p, "wb") as f:
+                    f.write(data)
+
+            def finalize(self, file_id, total_parts):
+                p = os.path.join(root, "tx", f"{file_id}.finalized")
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                with open(p, "w") as f:
+                    f.write(str(total_parts))
+
+        return Transport()
+
+    return source_factory, transport_factory
+
+
+def test_upload_files_chunked_parts_retries_skip_and_isolation(
+    spark, tmp_path
+):
+    import glob
+    import os
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.gdc_upload import (
+        upload_files_chunked,
+    )
+
+    root = str(tmp_path)
+    payload = bytes(range(256)) * 4  # 1024 bytes
+    _seed_store(
+        root,
+        {
+            ("src", "u/a.bin"): payload,
+            ("src", "u/b.bin"): b"tiny",
+            ("src", "u/c.bin"): b"doomed-bytes",
+        },
+    )
+    manifest = spark.createDataFrame(
+        [
+            ("flaky", "a.bin", "s3://src/u/a.bin", len(payload), ""),
+            ("ok", "b.bin", "s3://src/u/b.bin", 4, ""),
+            ("doomed", "c.bin", "s3://src/u/c.bin", 12, ""),
+            ("prior", "d.bin", "s3://src/u/d.bin", 5, "already uploaded"),
+            ("lost", "e.bin", "s3://src/u/e.bin", 9, ""),  # missing src
+        ],
+        "id string, file_name string, file_url string, "
+        "file_size long, status string",
+    )
+    src_f, tx_f = _upload_fakes(root)
+    got = {
+        r["id"]: r
+        for r in upload_files_chunked(
+            manifest,
+            source_factory=src_f,
+            transport_factory=tx_f,
+            part_size_mb=1,
+            backoff=(0.0, 0.0, 0.0),  # fast retries in tests
+        ).collect()
+    }
+    # part_size 1 MiB > file sizes -> single-part uploads; the flaky
+    # part-2 case needs a multi-part file: re-run with a tiny part via
+    # adaptive maths below.  Here: success + exact byte accounting.
+    assert got["ok"]["status"] == "success"
+    assert (got["ok"]["n_parts"], got["ok"]["bytes_sent"]) == (1, 4)
+    assert got["prior"]["status"] == "skipped: already uploaded"
+    assert got["doomed"]["status"].startswith("ERROR:")
+    assert got["lost"]["status"].startswith("ERROR:")  # isolation
+    assert got["flaky"]["status"] == "success"
+    # transport journal: ok got exactly one part + finalize
+    with open(os.path.join(root, "tx", "ok.part0001of1"), "rb") as f:
+        assert f.read() == b"tiny"
+    assert os.path.exists(os.path.join(root, "tx", "ok.finalized"))
+    # doomed never finalized and wrote no parts
+    assert not glob.glob(os.path.join(root, "tx", "doomed.part*"))
+    assert not os.path.exists(os.path.join(root, "tx", "doomed.finalized"))
+
+
+def test_upload_files_chunked_multipart_stream_and_retry(spark, tmp_path):
+    import os
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.gdc_upload import (
+        upload_files_chunked,
+    )
+
+    root = str(tmp_path)
+    payload = bytes((i * 7) % 256 for i in range(1024))
+    _seed_store(root, {("src", "m/big.bin"): payload})
+    manifest = spark.createDataFrame(
+        [("flaky", "big.bin", "s3://src/m/big.bin", len(payload), "")],
+        "id string, file_name string, file_url string, "
+        "file_size long, status string",
+    )
+    src_f, tx_f = _upload_fakes(root)
+
+    # part_bytes=300 forces 4 parts over the 1024-byte payload; the
+    # fake transport fails part 2 once (ConnectionError) so the REST
+    # retry path is exercised on a real multi-part stream
+    [r] = upload_files_chunked(
+        manifest,
+        source_factory=src_f,
+        transport_factory=tx_f,
+        backoff=(0.0, 0.0),
+        part_bytes=300,
+    ).collect()
+    assert r["status"] == "success"
+    assert (r["n_parts"], r["bytes_sent"]) == (4, 1024)
+    # reassemble the journaled parts -> byte-identical payload, and
+    # the flaky part 2 was retried (marker exists) then delivered
+    out = b"".join(
+        open(
+            os.path.join(root, "tx", f"flaky.part{n:04d}of4"), "rb"
+        ).read()
+        for n in range(1, 5)
+    )
+    assert out == payload
+    assert os.path.exists(os.path.join(root, "tx", "flaky-attempted"))
+    with open(os.path.join(root, "tx", "flaky.finalized")) as f:
+        assert f.read() == "4"
