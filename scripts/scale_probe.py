@@ -16,8 +16,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
-
 from childhoodcancerdatainitiative_prefect_pipeline_spark.queries import REGISTRY
 from childhoodcancerdatainitiative_prefect_pipeline_spark.session import build_session
 
@@ -25,68 +23,18 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1")
 FACTOR = int(os.environ.get("SCALE_FACTOR", "10"))
 
-#: key columns shifted per replica so uniqueness/link semantics survive
-KEY_SHIFTS = {
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "customer": ["c_custkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-    "part": ["p_partkey"],
-    "supplier": ["s_suppkey"],
-    "nation": [],
-    "region": [],
-}
-#: columns that reference another table's shifted key
-FK_SHIFTS = {
-    "lineitem": {"l_partkey": "part", "l_suppkey": "supplier"},
-    "orders": {},
-}
-SHIFT_BASE = {
-    "lineitem": 10_000_000, "orders": 10_000_000, "customer": 1_000_000,
-    "events": 10_000_000, "documents": 1_000_000, "embeddings": 1_000_000,
-    "part": 1_000_000, "supplier": 100_000,
-}
-
-
-def replicate(spark, name: str):
-    df = spark.read.parquet(f"{SRC}/{name}.parquet")
-    keys = KEY_SHIFTS.get(name, [])
-    if not keys:
-        df.write.mode("overwrite").parquet(f"{DEST}/{name}.parquet")
-        return df.count()
-    base = SHIFT_BASE[name]
-    parts = []
-    for i in range(FACTOR):
-        rep = df
-        for k in keys:
-            rep = rep.withColumn(k, (F.col(k) + F.lit(i * base)).cast("long"))
-        for fk, ref in FK_SHIFTS.get(name, {}).items():
-            rep = rep.withColumn(
-                fk, (F.col(fk) + F.lit(i * SHIFT_BASE[ref])).cast("long")
-            )
-        parts.append(rep)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.write.mode("overwrite").parquet(f"{DEST}/{name}.parquet")
-    return out.count()
+from childhoodcancerdatainitiative_prefect_pipeline_spark.scale_replica import (  # noqa: E402
+    KEY_SHIFTS,
+    ensure_replica,  # noqa: F401 - KEY_SHIFTS re-exported for callers
+)
 
 
 def main():
     spark = build_session(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(DEST, exist_ok=True)
-    if os.environ.get("SCALE_SKIP_REPLICATE") and all(
-        os.path.exists(f"{DEST}/{n}.parquet/_SUCCESS") for n in KEY_SHIFTS
-    ):
-        print("reusing existing replicated tables", file=sys.stderr)
-    else:
-        counts = {}
-        for name in KEY_SHIFTS:
-            counts[name] = replicate(spark, name)
-        print(json.dumps({"replicated_rows": counts}), file=sys.stderr)
+    built = ensure_replica(spark, SRC, DEST, FACTOR)
+    print("replica " + ("built" if built else "reused"), file=sys.stderr)
 
     queries = (
         "q1_pricing_summary", "q3_revenue_by_order", "q5_region_revenue",
