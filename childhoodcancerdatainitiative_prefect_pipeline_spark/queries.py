@@ -8574,11 +8574,19 @@ def q11_important_parts(spark, sf_dir):
     )
 
 
+# CAST(SUM(int) AS BIGINT): bare SUM over ints is HUGEINT in DuckDB,
+# which the round driver's value hash formats differently from
+# Spark's BIGINT (the exact failure that redded w1_eav_pivot in r02
+# and, evidently, this query's r05 hash cell — rows+schema green,
+# values identical under int-normalizing comparators, hence
+# unreproducible by the judge).  Every other counting oracle in this
+# module uses COUNT(CASE ...) or an explicit BIGINT cast; this one
+# predated the convention.
 _Q12_ORACLE = """SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
   AND l_shipdate >= TIMESTAMP '1997-01-01'
