@@ -36,6 +36,7 @@ _CERTIFY_FIRST = [
     # upgraded rows-only -> oracle in r6 (VERDICT item 7): bounded
     # peel unroll, training-loop CTE replay, sketch property booleans
     "graph_kcore_membership",
+    "graph_kcore_membership_lsh",
     "corpus_bpe_vocab",
     "profile_columns_approx",
     # round-3 additions (never checked by driver or judge)

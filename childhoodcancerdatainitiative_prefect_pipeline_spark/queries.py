@@ -10147,7 +10147,8 @@ e0 AS MATERIALIZED (SELECT u, w FROM ed UNION SELECT w, u FROM ed)"""
     "1..r-1; converges in a handful of rounds on real graphs "
     "(operators/graph.py::k_core).  Oracle unrolls 16 bounded peel "
     "rounds as chained CTEs (the certified-PageRank trick; rounds "
-    "past convergence are no-ops).  The community-scaffold extractor "
+    "past convergence are no-ops).  Exact-edge certification twin of "
+    "graph_kcore_membership_lsh — the community-scaffold extractor "
     "that pairs with dedup_cluster_* and graph_triangle_count",
 )
 def graph_kcore_membership(spark, sf_dir):
@@ -10173,6 +10174,77 @@ def graph_kcore_membership(spark, sf_dir):
         )
         .select("u", "w")
     )
+    return k_core(edges, k=3)
+
+
+def _kcore_lsh_oracle() -> str:
+    """DuckDB twin of graph_kcore_membership_lsh: LSH-candidate edges
+    (same literal plane matrix / bands / cap / cosine verify as
+    hyperplane_lsh_pairs at threshold 0.3) feeding the same 16
+    MATERIALIZED peel rounds as the exact twin."""
+    from .operators.similarity import _hyperplane_signs
+
+    planes = _hyperplane_signs(16, 64, 7)
+    lits = [
+        "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in pl) + "]"
+        for pl in planes
+    ]
+    sig = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {lits[p]}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(16)
+    )
+    head = f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS MATERIALIZED (
+  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm,
+         {sig} AS sig
+  FROM e),
+bands AS (
+  SELECT vec_id, b, (sig >> CAST(2 * b AS INT)) & 3 AS key
+  FROM s CROSS JOIN UNNEST(range(0, 8)) AS t(b)),
+capped AS (
+  SELECT * FROM (
+    SELECT vec_id, b, key, COUNT(*) OVER (PARTITION BY b, key) AS bn
+    FROM bands) WHERE bn <= 200),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM capped x
+  JOIN capped y ON x.b = y.b AND x.key = y.key AND x.vec_id < y.vec_id),
+ed AS (
+  SELECT c.id_a AS u, c.id_b AS w
+  FROM cand c
+  JOIN s sa ON sa.vec_id = c.id_a
+  JOIN s sb ON sb.vec_id = c.id_b
+  WHERE ROUND(list_inner_product(sa.v, sb.v) / (sa.nrm * sb.nrm), 6)
+        >= 0.3),
+e0 AS MATERIALIZED (SELECT u, w FROM ed UNION SELECT w, u FROM ed)"""
+    return (
+        head
+        + "".join(_KCORE_ITER.format(k=k, p=k - 1) for k in range(1, 17))
+        + "\nSELECT u AS vertex, CAST(COUNT(*) AS BIGINT) AS degree"
+        + "\nFROM e16 GROUP BY u"
+    )
+
+
+@register(
+    "graph_kcore_membership_lsh",
+    _kcore_lsh_oracle(),
+    "the SCALE path for similarity-graph k-core: edges from banded "
+    "hyperplane LSH + exact cosine verify at the same rounded 0.3 "
+    "threshold (never all-pairs, hot buckets capped) feeding the "
+    "iterative peel.  graph_kcore_membership is its exact-edge "
+    "certification twin; oracle = the LSH edge CTEs + the same 16 "
+    "MATERIALIZED peel rounds",
+)
+def graph_kcore_membership_lsh(spark, sf_dir):
+    from .operators.graph import k_core
+    from .operators.similarity import hyperplane_lsh_pairs
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    edges = hyperplane_lsh_pairs(
+        embeddings, dims=64, threshold=0.3, max_bucket_size=200
+    ).select(F.col("id_a").alias("u"), F.col("id_b").alias("w"))
     return k_core(edges, k=3)
 
 
