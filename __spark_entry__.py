@@ -37,6 +37,8 @@ _CERTIFY_FIRST = [
     # peel unroll, training-loop CTE replay, sketch property booleans
     "graph_kcore_membership",
     "graph_kcore_membership_lsh",
+    "graph_triangle_count_knn",
+    "graph_kcore_membership_knn",
     "corpus_bpe_vocab",
     "profile_columns_approx",
     # round-3 additions (never checked by driver or judge)

@@ -10117,11 +10117,18 @@ def corpus_weighted_sample(spark, sf_dir):
 # 3^16 times — materialization is what makes the unroll linear, the
 # SQL analog of the Spark side's per-round localCheckpoint.
 _KCORE_ITER = """, l{k} AS MATERIALIZED (
-  SELECT u FROM e{p} GROUP BY u HAVING COUNT(*) < 3
+  SELECT u FROM e{p} GROUP BY u HAVING COUNT(*) < {deg}
 ), e{k} AS MATERIALIZED (
   SELECT u, w FROM e{p}
   WHERE u NOT IN (SELECT u FROM l{k}) AND w NOT IN (SELECT u FROM l{k})
 )"""
+
+
+def _kcore_rounds(n_rounds: int, deg: int) -> str:
+    return "".join(
+        _KCORE_ITER.format(k=k, p=k - 1, deg=deg)
+        for k in range(1, n_rounds + 1)
+    )
 
 _KCORE_ORACLE = (
     """WITH v AS (
@@ -10132,7 +10139,7 @@ ed AS (
   FROM n a JOIN n b ON a.vec_id < b.vec_id
   WHERE ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3),
 e0 AS MATERIALIZED (SELECT u, w FROM ed UNION SELECT w, u FROM ed)"""
-    + "".join(_KCORE_ITER.format(k=k, p=k - 1) for k in range(1, 17))
+    + _kcore_rounds(16, 3)
     + "\nSELECT u AS vertex, CAST(COUNT(*) AS BIGINT) AS degree"
     + "\nFROM e16 GROUP BY u"
 )
@@ -10221,7 +10228,7 @@ ed AS (
 e0 AS MATERIALIZED (SELECT u, w FROM ed UNION SELECT w, u FROM ed)"""
     return (
         head
-        + "".join(_KCORE_ITER.format(k=k, p=k - 1) for k in range(1, 17))
+        + _kcore_rounds(16, 3)
         + "\nSELECT u AS vertex, CAST(COUNT(*) AS BIGINT) AS degree"
         + "\nFROM e16 GROUP BY u"
     )
@@ -10246,6 +10253,225 @@ def graph_kcore_membership_lsh(spark, sf_dir):
         embeddings, dims=64, threshold=0.3, max_bucket_size=200
     ).select(F.col("id_a").alias("u"), F.col("id_b").alias("w"))
     return k_core(edges, k=3)
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph construction — the scale path for LOW-threshold similarity
+# graphs.  Banded sign-LSH is the right tool for near-dup thresholds
+# (>=0.7) but collapses at 0.3: per-bit agreement is only ~0.6, so
+# recall needs narrow bands, and narrow bands at corpus scale put
+# every vector in a hot bucket (measured at the 10x probe: with 2-bit
+# bands ALL 20k vectors exceed any sane cap — zero candidates).  The
+# standard fix is the bounded-degree kNN graph: each vector keeps its
+# top-k neighbors from the deterministic IVF probe (fixed ~61-vector
+# cells, 3 probed cells -> ~183 candidates per vector at ANY corpus
+# size, so edge construction is O(n), never O(n^2)).  Deterministic
+# hash-mod centroids make the whole graph hash-certifiable — the
+# sim_ivf_topk_det discipline applied to graph construction.
+# ---------------------------------------------------------------------------
+
+#: shared CTE prefix: deterministic-IVF kNN edges at cosine >= 0.3.
+#: Centroid count is ~sqrt(n) (the standard IVF sizing): a FIXED
+#: modulus (sim_ivf_topk_det's %61) gives n/61 cells, which is right
+#: when only a handful of queries probe but quadratic when EVERY
+#: vector is a query — measured 112 s at the 10x probe before this
+#: sizing, ~10x less after.  sqrt(n) cells balance the two n-dependent
+#: costs (centroid scoring n·sqrt(n), candidate re-rank n·3·sqrt(n)).
+_KNN_EDGE_CTES = """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS MATERIALIZED (
+  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+pp AS (SELECT GREATEST(2, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS p
+       FROM n),
+c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+      WHERE vec_id % (SELECT p FROM pp) = 0),
+assigned AS MATERIALIZED (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT n.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY ROUND(list_inner_product(n.v, c.cv)
+                            / (n.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+    FROM n CROSS JOIN c) WHERE rn = 1),
+probe AS MATERIALIZED (
+  SELECT query_id, cid FROM (
+    SELECT n.vec_id AS query_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY ROUND(list_inner_product(n.v, c.cv)
+                            / (n.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+    FROM n CROSS JOIN c) WHERE rn <= 3),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         ROUND(list_inner_product(nq.v, nv.v) / (nq.nrm * nv.nrm), 6)
+           AS cosine_sim
+  FROM probe p
+  JOIN assigned a ON a.cluster_id = p.cid AND a.vec_id <> p.query_id
+  JOIN n nq ON nq.vec_id = p.query_id
+  JOIN n nv ON nv.vec_id = a.vec_id),
+knn AS (
+  SELECT query_id, vec_id, cosine_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= 10 AND cosine_sim >= 0.3),
+ed AS MATERIALIZED (
+  SELECT DISTINCT least(query_id, vec_id) AS u,
+                  greatest(query_id, vec_id) AS w
+  FROM knn)"""
+
+
+def _knn_graph_edges(spark, sf_dir):
+    """Spark twin of _KNN_EDGE_CTES: (u, w) kNN-graph edges.
+
+    The corpus frame is localCheckpoint-ed once (it feeds centroid
+    pick, cell assignment, probe ranking AND the exact re-rank), and
+    the ~sqrt(n) centroid modulus comes from one bounded-scalar
+    ``count()`` (the exact_kth_smallest driver-round-trip class).
+    """
+    from pyspark.sql import Window
+
+    from .operators.similarity import dot_unrolled
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    # dot products are statically unrolled (dims=64 from the schema):
+    # HOF folds run interpreted and the probe/re-rank stages evaluate
+    # ~12M dots at the 10x probe — unrolling keeps them in whole-stage
+    # codegen with the exact same left-to-right sum order (measured
+    # 95 s -> ~10 s on the edge build; rounded values bit-identical).
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn(
+        "nrm", F.sqrt(dot_unrolled(F.col("v"), F.col("v"), 64))
+    ).localCheckpoint()
+    p = max(2, int(e.count() ** 0.5))
+    cents = e.filter(F.col("vec_id") % p == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    qcos = F.round(
+        dot_unrolled(F.col("v"), F.col("cv"), 64)
+        / (F.col("nrm") * F.col("cnrm")),
+        6,
+    )
+    ranked = (
+        e.select(F.col("vec_id").alias("query_id"), "v", "nrm")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("qc", qcos)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("qc"), "cid")
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "cid", "rn")
+        .localCheckpoint()  # one scoring pass serves assign AND probe
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        F.col("query_id").alias("vec_id"), F.col("cid").alias("cluster_id")
+    )
+    probe = ranked.filter(F.col("rn") <= 3).select(
+        "query_id", F.col("cid").alias("cluster_id")
+    )
+    # The probe⋈assigned fan-out is a broadcast join over two SMALL
+    # inputs whose 8.6M-row output inherits the small side's (AQE-
+    # coalesced, ~1-partition) layout — without an explicit spread the
+    # whole re-rank runs in ONE task (measured: 190 s single-task at
+    # the 10x probe, ~8 s spread).  Repartition on query_id, which the
+    # top-k window reuses.
+    cand = (
+        probe.join(assigned, "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .repartition(
+            spark.sparkContext.defaultParallelism * 2, "query_id"
+        )
+    )
+    scored = (
+        cand.join(e, "vec_id")
+        .join(
+            e.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("qnrm"),
+            ),
+            "query_id",
+        )
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot_unrolled(F.col("v"), F.col("qv"), 64)
+                / (F.col("nrm") * F.col("qnrm")),
+                6,
+            ),
+        )
+    )
+    knn = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine_sim"), "vec_id"
+                )
+            ),
+        )
+        .filter((F.col("rn") <= 10) & (F.col("cosine_sim") >= 0.3))
+    )
+    return knn.select(
+        F.least("query_id", "vec_id").alias("u"),
+        F.greatest("query_id", "vec_id").alias("w"),
+    ).distinct()
+
+
+@register(
+    "graph_triangle_count_knn",
+    _KNN_EDGE_CTES
+    + """,
+tri AS (
+  SELECT e1.u AS a, e1.w AS b, e2.w AS c
+  FROM ed e1
+  JOIN ed e2 ON e2.u = e1.w
+  JOIN ed e3 ON e3.u = e1.u AND e3.w = e2.w),
+verts AS (SELECT unnest([a, b, c]) AS vertex FROM tri)
+SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM verts GROUP BY vertex""",
+    "triangle counts over the kNN similarity graph — the scale path "
+    "for LOW-threshold graphs where banded LSH collapses (per-bit "
+    "agreement ~0.6 at cosine 0.3): deterministic-IVF top-10 "
+    "neighbors per vector (fixed ~61-vector cells, 3 probes -> O(n) "
+    "edge construction, bounded degree) feeding the degree-ordered "
+    "wedge join.  Hash-mod centroids make the whole graph "
+    "hash-certifiable (the sim_ivf_topk_det discipline)",
+)
+def graph_triangle_count_knn(spark, sf_dir):
+    from .operators.graph import triangle_counts
+
+    return triangle_counts(
+        _knn_graph_edges(spark, sf_dir), "u", "w", out_id="vertex"
+    )
+
+
+@register(
+    "graph_kcore_membership_knn",
+    _KNN_EDGE_CTES
+    + """,
+e0 AS MATERIALIZED (SELECT u, w FROM ed UNION SELECT w, u FROM ed)"""
+    + _kcore_rounds(16, 2)
+    + "\nSELECT u AS vertex, CAST(COUNT(*) AS BIGINT) AS degree"
+    + "\nFROM e16 GROUP BY u",
+    "2-core over the kNN similarity graph (same O(n) deterministic-"
+    "IVF edge construction as graph_triangle_count_knn) with 16 "
+    "MATERIALIZED unrolled peel rounds — k=2 because a top-10 kNN "
+    "graph is bounded-degree by construction and its 3-core is empty "
+    "on this corpus (the 2-core prunes dangling chains, the useful "
+    "scaffold here).  The bounded-degree graph makes the peel's "
+    "per-round work O(n·k) at any corpus size; measured convergence "
+    "3-4 rounds",
+)
+def graph_kcore_membership_knn(spark, sf_dir):
+    from .operators.graph import k_core
+
+    return k_core(_knn_graph_edges(spark, sf_dir), k=2)
 
 
 _SHARD_BALANCE_ORACLE = r"""WITH d AS (

@@ -93,9 +93,11 @@ def main():
         "dcc_manifest_guid_remap", "corpus_pack_sequences",
         "graph_pagerank_topk", "dedup_minhash_pairs",
         "dedup_simhash_pairs",
-        # round-6: the LSH-edge scale paths for graph construction
-        # (their exact all-pairs twins stay excluded by design)
+        # round-6: the LSH-edge and kNN-graph scale paths for graph
+        # construction (their exact all-pairs twins stay excluded by
+        # design)
         "graph_triangle_count_lsh", "graph_kcore_membership_lsh",
+        "graph_triangle_count_knn", "graph_kcore_membership_knn",
     )
     timings = {}
     for name in queries:
