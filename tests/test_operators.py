@@ -2747,3 +2747,26 @@ def test_streaming_media_route_decode(spark, tmp_path):
         assert all(r["value"] is None for r in dead)
     finally:
         q.stop()
+
+
+def test_dot_unrolled_bit_identical_to_hof_fold(spark):
+    """dot_unrolled keeps the HOF fold's left-to-right sum order, so
+    results are bit-identical (not just close) — which is what lets
+    the kNN-graph entries swap it in without touching their oracles."""
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.similarity import (
+        dot,
+        dot_unrolled,
+    )
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .limit(200)
+    )
+    rows = e.select(
+        dot(F.col("v"), F.col("v")).alias("hof"),
+        dot_unrolled(F.col("v"), F.col("v"), 64).alias("unrolled"),
+    ).collect()
+    assert rows and all(r["hof"] == r["unrolled"] for r in rows)

@@ -1854,3 +1854,42 @@ def test_upload_files_chunked_multipart_stream_and_retry(spark, tmp_path):
     assert os.path.exists(os.path.join(root, "tx", "flaky-attempted"))
     with open(os.path.join(root, "tx", "flaky.finalized")) as f:
         assert f.read() == "4"
+
+
+# ---------------------------------------------------------------------------
+# Scale replica (scale_replica.py) — the bench second-scale-point
+# builder: key-shifted N× replication must preserve uniqueness and
+# FK-link semantics, and reuse must be idempotent.
+# ---------------------------------------------------------------------------
+
+
+def test_scale_replica_key_shifts_and_reuse(spark, tmp_path):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.scale_replica import (
+        KEY_SHIFTS,
+        ensure_replica,
+    )
+
+    src = "/root/testdata/sf0.001"
+    dest = str(tmp_path / "sf2x")
+    import childhoodcancerdatainitiative_prefect_pipeline_spark.scale_replica as sr
+
+    built = ensure_replica(spark, src, dest, factor=2)
+    assert built is True
+    # idempotent reuse: second call touches nothing
+    assert ensure_replica(spark, src, dest, factor=2) is False
+
+    for name in ("orders", "lineitem", "region"):
+        base = spark.read.parquet(f"{src}/{name}.parquet")
+        rep = spark.read.parquet(f"{dest}/{name}.parquet")
+        factor = 2 if KEY_SHIFTS.get(name) else 1
+        assert rep.count() == base.count() * factor
+
+    # key uniqueness survives the shift (o_orderkey unique per replica)
+    o = spark.read.parquet(f"{dest}/orders.parquet")
+    assert o.select("o_orderkey").distinct().count() == o.count()
+    # FK link survives: every lineitem joins an order in BOTH replicas
+    li = spark.read.parquet(f"{dest}/lineitem.parquet")
+    joined = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"], "left_anti"
+    ).count()
+    assert joined == 0
