@@ -405,7 +405,11 @@ def pagerank(
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "u", dst: str = "w", out_id: str = "vertex"
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "w",
+    out_id: str = "vertex",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-vertex triangle counts via the degree-ordered wedge join.
 
@@ -422,6 +426,13 @@ def triangle_counts(
     Three shuffles at scale: degree agg, wedge join on the mid
     vertex, closure join on the (a, c) pair.  Returns (vertex,
     n_triangles) for vertices in at least one triangle.
+
+    ``materialize=True`` (default) ``localCheckpoint``s the symmetric
+    edge list and the oriented edge list: the oriented frame feeds the
+    wedge join twice plus the closure semi-join, and without the
+    checkpoints Spark re-derives the whole upstream EDGE BUILD once
+    per reference (the exact-cosine certification twin was re-running
+    its cartesian edge construction 18×).
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
@@ -429,6 +440,8 @@ def triangle_counts(
         .distinct()
     )
     und = e.union(e.select(F.col("w").alias("u"), F.col("u").alias("w"))).distinct()
+    if materialize:
+        und = und.localCheckpoint()
     deg = und.groupBy("u").agg(F.count("*").alias("deg"))
     oriented = (
         und.join(deg, "u")
@@ -442,6 +455,8 @@ def triangle_counts(
         )
         .select(F.col("u").alias("a"), F.col("w").alias("b"))
     )
+    if materialize:
+        oriented = oriented.localCheckpoint()
     wedges = oriented.join(
         oriented.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
     )
