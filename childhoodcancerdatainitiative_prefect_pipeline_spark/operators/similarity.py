@@ -523,7 +523,11 @@ def pq_codebook(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # The codebook is tiny (n_sub × n_codewords rows) and feeds BOTH
+    # the encode argmin and the ADC distance tables — materialize so
+    # the n_sub-way donor-scan union runs once, not once per reference
+    # (36 scans in the r6 plan audit without this).
+    return out.localCheckpoint()
 
 
 def _l2sq_micro(a: Column, b: Column) -> Column:

@@ -3263,7 +3263,11 @@ def ccdi_to_dbgap(spark, sf_dir):
     from .operators.joins import iterative_resolve, semi_join
 
     g = _cds_graph(spark, sf_dir)
-    sample, pdx, cell_line = g["sample"], g["pdx"], g["cell_line"]
+    # sample feeds direct links, the resolve frontier, the resolve
+    # terminal map AND the SA projection — one materialization, four
+    # consumers.
+    sample = g["sample"].localCheckpoint()
+    pdx, cell_line = g["pdx"], g["cell_line"]
     (customer,) = _t(spark, sf_dir, "customer")
 
     # --- SSM: direct participant links + pdx/cell_line trace-back ---
@@ -3289,10 +3293,15 @@ def ccdi_to_dbgap(spark, sf_dir):
         terminal_map=(with_parent, "sample_id", "participant_id"),
         target_col="SUBJECT_ID",
     ).select("SUBJECT_ID", "SAMPLE_ID")
+    # ssm feeds the SC semi-join, the SA semi-join AND the SSM output —
+    # without materialization each reference re-runs iterative_resolve
+    # (the whole pdx/cell_line trace-back, 44 scans in the r6 plan
+    # audit).  Hashes unchanged.
     ssm = (
         direct.unionByName(resolved)
         .filter(F.col("SUBJECT_ID").isNotNull() & F.col("SAMPLE_ID").isNotNull())
         .distinct()
+        .localCheckpoint()
     )
 
     # --- SC: F16 encodings, keep only subjects that have samples ---
@@ -4001,6 +4010,10 @@ def model_mapping_diff_query(spark, sf_dir):
 
     (part,) = _t(spark, sf_dir, "part")
     prop = F.lower(F.col("p_type"))
+    # vf feeds the two provided-mapping derivations AND the diff's
+    # joins; vt the diff's joins — checkpoint so the part scan +
+    # distinct run once per side (12 scans in the r6 plan audit
+    # without).  Hashes unchanged.
     vf = (
         part.filter(F.col("p_size") <= 30)
         .select(
@@ -4009,6 +4022,7 @@ def model_mapping_diff_query(spark, sf_dir):
             F.lit("v1").alias("lift_from_version"),
         )
         .distinct()
+        .localCheckpoint()
     )
     tprop = F.when(prop.like("s%"), F.concat(prop, F.lit("_v2"))).otherwise(prop)
     vt = (
@@ -4019,6 +4033,7 @@ def model_mapping_diff_query(spark, sf_dir):
             F.lit("v2").alias("lift_to_version"),
         )
         .distinct()
+        .localCheckpoint()
     )
     prov_s = vf.filter(F.col("lift_from_property").like("s%")).select(
         "lift_from_node",
@@ -17649,9 +17664,12 @@ SELECT 'nation->region',
     "star_referential_audit",
     _REFAUDIT_ORACLE,
     "referential-integrity audit of every FK edge in the star schema "
-    "(the warehouse twin of the graph dangling-link rule family): one "
-    "left-anti count per edge — dimension sides broadcast, fact "
-    "tables scanned once per edge",
+    "(the warehouse twin of the graph dangling-link rule family): the "
+    "FACT table's three edges audit in ONE scan — three parent-key "
+    "left joins (dimensions broadcast) feeding one aggregate of "
+    "null-parent counts — the remaining dimension edges one "
+    "anti-count each.  At 100 TB the one-scan shape saves two full "
+    "passes over the fact table vs the per-edge formulation",
 )
 def star_referential_audit_query(spark, sf_dir):
     t = dict(
@@ -17666,24 +17684,69 @@ def star_referential_audit_query(spark, sf_dir):
             ),
         )
     )
+    # one fact scan, three parent flags, one agg
+    li = t["lineitem"].select("l_orderkey", "l_partkey", "l_suppkey")
+    o_keys = (
+        t["orders"].select(F.col("o_orderkey")).distinct()
+        .withColumn("__o__", F.lit(1))
+    )
+    p_keys = (
+        t["part"].select(F.col("p_partkey")).distinct()
+        .withColumn("__p__", F.lit(1))
+    )
+    s_keys = (
+        t["supplier"].select(F.col("s_suppkey")).distinct()
+        .withColumn("__s__", F.lit(1))
+    )
+    li_counts = (
+        li.join(o_keys, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .join(
+            F.broadcast(p_keys),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(s_keys),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.when(F.col("__o__").isNull(), True)).alias("lo"),
+            F.count(F.when(F.col("__p__").isNull(), True)).alias("lp"),
+            F.count(F.when(F.col("__s__").isNull(), True)).alias("ls"),
+        )
+    )
+    fact_rows = li_counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem->orders").alias("fk"),
+                    F.col("lo").alias("n_orphans"),
+                ),
+                F.struct(
+                    F.lit("lineitem->part").alias("fk"),
+                    F.col("lp").alias("n_orphans"),
+                ),
+                F.struct(
+                    F.lit("lineitem->supplier").alias("fk"),
+                    F.col("ls").alias("n_orphans"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.fk", "r.n_orphans")
+
     edges = [
-        ("lineitem->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
-        ("lineitem->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
-        ("lineitem->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
         ("orders->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
         ("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
         ("supplier->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
         ("nation->region", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
     ]
-    parts = []
+    out = fact_rows
     for name, child, ck, parent, pk in edges:
         orphans = child.join(
             parent.select(F.col(pk).alias(ck)).distinct(), ck, "left_anti"
         ).agg(F.count("*").alias("n_orphans"))
-        parts.append(orphans.select(F.lit(name).alias("fk"), "n_orphans"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(orphans.select(F.lit(name).alias("fk"), "n_orphans"))
     return out
 
 
