@@ -17074,7 +17074,7 @@ def events_kaplan_meier_query(spark, sf_dir):
         )
         .cast("long")
         .alias("observed"),
-    )
+    ).localCheckpoint()  # feeds the scalar total AND the day grid
     n0 = life.agg(F.count("*").alias("n0"))
     grid = life.groupBy("t_days").agg(
         F.sum("observed").alias("d"),
@@ -17172,7 +17172,9 @@ def events_logrank_test_query(spark, sf_dir):
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("long")
         .alias("observed"),
-    ).withColumn("grp", (F.col("user_id") % 2).cast("long"))
+    ).withColumn(
+        "grp", (F.col("user_id") % 2).cast("long")
+    ).localCheckpoint()  # feeds totals AND the day grid
     tot = life.agg(
         F.count("*").alias("n0"),
         F.count(F.when(F.col("grp") == 1, True)).alias("n0_1"),
@@ -17289,7 +17291,7 @@ def events_rmst_query(spark, sf_dir):
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("long")
         .alias("observed"),
-    )
+    ).localCheckpoint()  # feeds n0, tau AND the day grid
     tot = life.agg(F.count("*").alias("n0"))
     tau = life.agg(F.max("t_days").cast("long").alias("tau"))
     grid = life.groupBy("t_days").agg(
