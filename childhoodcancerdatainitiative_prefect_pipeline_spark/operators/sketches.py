@@ -106,8 +106,10 @@ _HLL_HASH_BITS = 60  # 15 md5 hex chars -> non-negative int64
 _HLL_VALUE_BITS = _HLL_HASH_BITS - 8  # 52 bits feed the rank
 
 
-def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
-    """(bucket, M) register table for one column — ≤ 256 rows.
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """(bucket, M) register table — ≤ 256 rows per group.
 
     Rank uses ``length(bin(r))`` — an exact integer log2 both here
     and in ANSI SQL — so no floating log ever touches the sketch.
@@ -116,7 +118,13 @@ def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
     distinct-count shape for 100 TB inputs (Spark's native
     approx_count_distinct is the production twin; this one is
     bit-reproducible against the oracle).
+
+    ``group_cols`` builds per-group register tables in the SAME pass
+    — the multi-column profiling shape: explode the columns into
+    (column_name, key) rows first and sketch them all in one scan
+    instead of one scan per column.
     """
+    g = list(group_cols or [])
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -125,8 +133,8 @@ def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
         F.lit(_HLL_VALUE_BITS) - F.length(F.bin(r)) + 1
     )
     return (
-        df.select((h % HLL_M).alias("bucket"), rank.alias("rank"))
-        .groupBy("bucket")
+        df.select(*g, (h % HLL_M).alias("bucket"), rank.alias("rank"))
+        .groupBy(*g, "bucket")
         .agg(F.max("rank").alias("M"))
     )
 

@@ -9859,18 +9859,35 @@ def profile_hll_distinct(spark, sf_dir):
     from .operators.sketches import hll_estimate, hll_registers
 
     (events,) = _t(spark, sf_dir, "events")
-    regs = None
-    for c in ("user_id", "event_type", "event_id"):
-        r = hll_registers(events.select(c), c).withColumn("column_name", F.lit(c))
-        regs = r if regs is None else regs.unionByName(r)
+    # One exploded (column_name, key) frame serves all three columns:
+    # the register build and the exact anchor each scan it once — 2
+    # fact scans total (was one scan per column per side: 6).  NOT
+    # checkpointed deliberately: materializing 3n narrow rows would
+    # cost more than the one extra scan at 100 TB; both consumers are
+    # map-side-combinable aggregations over the same scan shape.
+    keyed = events.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("user_id").alias("column_name"),
+                    F.col("user_id").cast("string").alias("k"),
+                ),
+                F.struct(
+                    F.lit("event_type").alias("column_name"),
+                    F.col("event_type").alias("k"),
+                ),
+                F.struct(
+                    F.lit("event_id").alias("column_name"),
+                    F.col("event_id").cast("string").alias("k"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.column_name", "e.k")
+    regs = hll_registers(keyed, "k", group_cols=["column_name"])
     est = hll_estimate(regs, ["column_name"])
-    exact = None
-    for c in ("user_id", "event_type", "event_id"):
-        x = events.agg(
-            F.lit(c).alias("column_name"),
-            F.count_distinct(F.col(c)).alias("exact_distinct"),
-        )
-        exact = x if exact is None else exact.unionByName(x)
+    exact = keyed.groupBy("column_name").agg(
+        F.count_distinct("k").alias("exact_distinct")
+    )
     return est.join(exact, "column_name").select(
         "column_name",
         "exact_distinct",
