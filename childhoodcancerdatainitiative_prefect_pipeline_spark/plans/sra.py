@@ -140,7 +140,11 @@ def ccdi_to_sra(
         merged = cur
     merged = merged.drop("__pri__")
 
-    merged = duplicate_filename_fix(merged)  # stage 7
+    # stage 7 — then materialize: the merged long frame feeds BOTH the
+    # spread and the per-library attribute re-attach, and without the
+    # checkpoint stages 1-7 (dedup, reformat, filters, cardinality
+    # guard, previous-submission merge) replay once per consumer.
+    merged = duplicate_filename_fix(merged).localCheckpoint()
 
     # stage 8 — spread + re-attach the per-library constants
     wide = spread_numbered(
