@@ -560,6 +560,11 @@ def setsim_prefix_join(
             ).alias("toks_sorted")
         )
         .withColumn("n", F.size("toks_sorted"))
+        # the rarity-ordered index feeds the prefix self-join (both
+        # sides) AND both verify sides — materialize so the shingle
+        # explode + df join + re-group run once, not four times (this
+        # is the index every AllPairs implementation builds anyway)
+        .localCheckpoint()
     )
     plen = (
         F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1

@@ -11016,7 +11016,13 @@ def search_hybrid_rrf(spark, sf_dir):
 
     documents, embeddings = _t(spark, sf_dir, "documents", "embeddings")
     staged = documents.select("doc_id", normalized_tokens("text").alias("toks"))
-    dl = staged.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    # dl feeds the corpus stats AND the BM25 score join; tf feeds the
+    # document-frequency agg AND the score join — checkpoint both (dl
+    # is two longs per doc, tf is tiny after the term filter) so the
+    # tokenization runs once per frame instead of once per reference.
+    dl = staged.select(
+        "doc_id", F.size("toks").cast("long").alias("dl")
+    ).localCheckpoint()
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
@@ -11026,6 +11032,7 @@ def search_hybrid_rrf(spark, sf_dir):
         .filter(F.col("term").isin("spark", "table", "window"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     idf = F.log(
@@ -11611,7 +11618,7 @@ def profile_expectations(spark, sf_dir):
         F.count(
             F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
         ).alias("bad_status"),
-    )
+    ).localCheckpoint()  # ONE row, referenced once per expectation
     checks = [
         ("row_count_at_least_1000", F.col("row_count").cast("double"),
          F.col("row_count") >= 1000),
@@ -13335,9 +13342,13 @@ def text_trigram_backoff(spark, sf_dir):
     from .operators.text import word_ngrams_expr
 
     (documents,) = _t(spark, sf_dir, "documents")
+    # The tokenized frame feeds five consumers (tri/bi/unigram counts,
+    # the vocab total, the held-out scorer) — materialize once instead
+    # of re-tokenizing the corpus per reference (7 scans before).
+    # Every LM pipeline materializes its tokenized training set.
     staged = documents.select(
         "doc_id", normalized_tokens("text").alias("toks")
-    )
+    ).localCheckpoint()
     train = staged.filter(F.col("doc_id") % 3 != 0)
     held = staged.filter(F.col("doc_id") % 3 == 0)
 
@@ -16572,6 +16583,9 @@ def eval_retrieval_mrr_query(spark, sf_dir):
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),
     )
+    # scored feeds the best-relevant agg AND the predecessor count —
+    # checkpoint the narrow (ids/labels/sim) frame so the 20-query
+    # cosine scoring pass runs once, not twice.
     scored = n.join(
         F.broadcast(q), F.col("vec_id") != F.col("query_id")
     ).select(
@@ -16580,7 +16594,7 @@ def eval_retrieval_mrr_query(spark, sf_dir):
         "vec_id",
         "label",
         F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
-    )
+    ).localCheckpoint()
     # no per-query window (20 partitions would rank the WHOLE corpus
     # through 20 tasks): the first relevant rank is 1 + the number of
     # items ordered before the BEST relevant item — two aggregations,
