@@ -451,3 +451,55 @@ def test_pagerank_no_single_partition_window(spark, sf_dir):
     """The rank refresh must never funnel nodes through one task."""
     plan = _plan(REGISTRY["graph_pagerank_topk"].fn(spark, sf_dir))
     assert "SinglePartition" not in plan or "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-6 multi-consumer materialization pins: these entries used to
+# re-derive a shared frame once per consumer (up to 49 fact-table
+# scans); each now materializes at its smallest multi-consumer frame.
+# The pin is on PARQUET SCAN COUNT in the final plan — a regression
+# here means a full extra pass over the fact table at 100 TB even
+# though every oracle still passes.
+# ---------------------------------------------------------------------------
+
+_SCAN_BUDGETS = {
+    "lineitem_mad_outliers": 6,       # was 49
+    "ccdi_to_dbgap": 6,               # was 44
+    "sim_pq_topk_det": 6,             # was 36
+    "graph_triangle_count": 4,        # was 36 (edge build now runs once)
+    "model_mapping_diff": 2,          # was 12
+    "events_kaplan_meier": 2,         # was 6 (per-user frame checkpointed)
+    "events_logrank_test": 2,
+    "events_rmst": 2,
+    "profile_hll_distinct": 2,        # was 6 (one exploded frame)
+    "text_trigram_backoff": 2,        # was 7 (tokenize once)
+    "dedup_setsim_prefix_join": 2,    # was 8 (rarity index built once)
+    "profile_expectations": 2,        # was 6 (one-row metrics frame)
+    "ccdi_to_sra": 2,                 # was 8 (merged long frame)
+}
+
+
+def _simple_plan(df) -> str:
+    """executedPlan().toString(): one 'Scan parquet <path>' line per
+    scan node (the formatted mode repeats scans in its details
+    section and elides file paths)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(_SCAN_BUDGETS))
+def test_multi_consumer_frames_stay_materialized(spark, sf_dir, name):
+    plan = _simple_plan(REGISTRY[name].fn(spark, sf_dir))
+    n = plan.count("Scan parquet")
+    assert n <= _SCAN_BUDGETS[name], (
+        f"{name}: {n} parquet scans (budget {_SCAN_BUDGETS[name]}) — a "
+        "shared frame lost its materialization and re-derives per consumer"
+    )
+
+
+def test_star_audit_fact_table_single_scan(spark, sf_dir):
+    """The referential audit must touch the FACT table exactly once —
+    its three FK edges share one scan (dimensions may rescan)."""
+    import re
+
+    plan = _simple_plan(REGISTRY["star_referential_audit"].fn(spark, sf_dir))
+    assert len(re.findall(r"Scan parquet[^\n]*lineitem", plan)) == 1
