@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_testdata
 from ..operators.aggregates import (
-    binned_histogram,
     exact_sum,
     group_count,
     two_level_distinct_count,
@@ -45,14 +44,46 @@ def catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders, lineitem, customer = cat["orders"], cat["lineitem"], cat["customer"]
 
-    # A1 — categorical group counts (sex/race/diagnosis analogs).
-    by_status = _tidy(
-        group_count(orders, ["o_orderstatus"]),
-        "order_status", "o_orderstatus", "count", "count",
+    # A1 + A8 over orders in ONE scan: the status/priority group
+    # counts and the price histogram explode into (data_element,
+    # value) rows and share a single aggregation — three fact scans
+    # become one (the profile_hll_distinct shape; at 100 TB each
+    # union branch was a full pass).  Bin rendering matches
+    # operators.aggregates.binned_histogram exactly.
+    bin_s = F.when(
+        F.col("o_totalprice").isNull(), F.lit("Not Reported")
+    ).otherwise(
+        (F.floor(F.col("o_totalprice") / 50000.0) * 50000.0)
+        .cast("bigint")
+        .cast("string")
     )
-    by_priority = _tidy(
-        group_count(orders, ["o_orderpriority"]),
-        "order_priority", "o_orderpriority", "count", "count",
+    orders_tidy = (
+        orders.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("order_status").alias("data_element"),
+                        F.col("o_orderstatus").cast("string").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("order_priority").alias("data_element"),
+                        F.col("o_orderpriority").cast("string").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("order_total_bin").alias("data_element"),
+                        bin_s.alias("value"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .groupBy("e.data_element", "e.value")
+        .agg(F.count(F.lit(1)).cast("double").alias("statistic_value"))
+        .select(
+            F.col("data_element"),
+            F.col("value"),
+            F.lit("count").alias("statistic_type"),
+            F.col("statistic_value"),
+        )
     )
     by_segment = _tidy(
         group_count(customer, ["c_mktsegment"]),
@@ -68,33 +99,37 @@ def catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "return_flag_distinct_orders", "l_returnflag", "distinct_count", "count",
     )
 
-    # A8 — binned histogram of order totals (age-bin analog).
-    hist = _tidy(
-        binned_histogram(orders, "o_totalprice", 50000.0),
-        "order_total_bin", "bin", "count", "count",
-    )
-
     # A6 — grand totals (file_size sum analog), exact decimal sum.
+    # The one-row aggregate fans into two tidy rows via explode so the
+    # fact table isn't re-aggregated per statistic.
     totals = lineitem.agg(
         exact_sum("l_extendedprice", "total_extendedprice"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
     total_rows = totals.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("total_extendedprice").alias("statistic_type"),
+                    F.col("total_extendedprice")
+                    .cast("double")
+                    .alias("statistic_value"),
+                ),
+                F.struct(
+                    F.lit("row_count").alias("statistic_type"),
+                    F.col("n_lineitems").cast("double").alias("statistic_value"),
+                ),
+            )
+        ).alias("e")
+    ).select(
         F.lit("lineitem").alias("data_element"),
         F.lit("ALL").alias("value"),
-        F.lit("total_extendedprice").alias("statistic_type"),
-        F.col("total_extendedprice").alias("statistic_value"),
-    ).unionByName(
-        totals.select(
-            F.lit("lineitem").alias("data_element"),
-            F.lit("ALL").alias("value"),
-            F.lit("row_count").alias("statistic_type"),
-            F.col("n_lineitems").cast("double").alias("statistic_value"),
-        )
+        F.col("e.statistic_type").alias("statistic_type"),
+        F.col("e.statistic_value").alias("statistic_value"),
     )
 
-    out = by_status
-    for piece in (by_priority, by_segment, per_flag, hist, total_rows):
+    out = orders_tidy
+    for piece in (by_segment, per_flag, total_rows):
         out = out.unionByName(piece)
     return out.select(*_SCHEMA_COLS)
 
