@@ -5575,9 +5575,11 @@ def dedup_minhash_clusters(spark, sf_dir):
 
     (documents,) = _t(spark, sf_dir, "documents")
     pairs = minhash_dedup(documents, threshold=0.7)
+    # same materialization as the md5 twin: nodes + CC iterations must
+    # not re-run the signature pipeline per reference
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    ).localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("doc_id"))
         .unionByName(edges.select(F.col("dst").alias("doc_id")))
@@ -11989,9 +11991,13 @@ def dedup_minhash_clusters_md5(spark, sf_dir):
     from .operators.graph import connected_components
 
     pairs = REGISTRY["dedup_minhash_pairs_md5"].fn(spark, sf_dir)
+    # the pair set feeds the node derivation (twice) AND the CC
+    # iterations — checkpoint so the 64-hash signature + banding
+    # pipeline runs ONCE (450 s -> signature-cost once at the 10x
+    # probe; the md5 twin's per-shingle hashing is the expensive part)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    ).localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("doc_id"))
         .unionByName(edges.select(F.col("dst").alias("doc_id")))
@@ -17958,10 +17964,19 @@ def customer_revenue_gini_query(spark, sf_dir):
     ranked = distributed_prefix_sum(
         counted, "one", order_by=["cents", "cust"], out_col="rnk"
     )
+    # rank × cents products and their sum overflow int64 at scale
+    # (caught by the 10x probe: ARITHMETIC_OVERFLOW at 150k customers)
+    # — route the weighted sum and the n·s denominator through
+    # DECIMAL(38,0), the repo's exact-sum discipline.  `div` on
+    # decimals is exact integral division, so the base-1000
+    # decomposition below stays bit-identical to the HUGEINT oracle.
     agg = ranked.agg(
-        F.count("*").alias("n"),
-        F.sum("cents").alias("s"),
-        F.sum(F.col("rnk") * F.col("cents")).alias("weighted"),
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("rnk").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        ).alias("weighted"),
     )
     # exact floor(num*1e6/den) without overflow: decompose base-1000
     staged = (
