@@ -11496,12 +11496,16 @@ def events_trend_ols(spark, sf_dir):
         .groupBy("event_type", "x")
         .agg(F.count("*").alias("y"))
     )
+    # decimal-routed moment sums: day-index x count products (and the
+    # n*sxy / sx*sy cross terms downstream) overflow int64 once event
+    # counts reach ~1e12 — the customer_revenue_gini overflow class,
+    # fixed the same way; everything downstream is double math anyway.
     sums = daily.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -11763,13 +11767,15 @@ def events_trend_outliers(spark, sf_dir):
         .groupBy("event_type", "x")
         .agg(F.count("*").alias("y"))
     )
+    # decimal-routed moment sums (see events_trend_ols: the gini
+    # overflow class — int64 dies at ~1e12 events)
     m = daily.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -17890,9 +17896,13 @@ def supplier_concentration_hhi_query(spark, sf_dir):
         .groupBy(F.col("p_brand").alias("brand"), F.col("l_suppkey").alias("supp"))
         .agg(F.count("*").alias("n"))
     )
+    # decimal-routed: total^2 and sum_sq*1e6 overflow int64 once a
+    # brand's line count passes ~3e9 (the gini overflow class)
     t = s.groupBy("brand").agg(
-        F.sum("n").alias("total"),
-        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+        F.sum(F.col("n").cast("decimal(38,0)")).alias("total"),
+        F.sum(
+            F.col("n").cast("decimal(38,0)") * F.col("n")
+        ).alias("sum_sq"),
         F.count("*").alias("n_suppliers"),
     )
     return (
