@@ -301,9 +301,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     pos = {n: i for i, n in enumerate(_CERTIFY_FIRST)}
     certified = _already_certified()
+    # Sort tiers (VERDICT r6 item 3): never-certified oracle-backed
+    # entries fill the driver's 50-slot window FIRST; rows-only
+    # (no-oracle) entries — which can only ever earn the weaker check —
+    # are pinned strictly behind them; already-certified entries last.
     names = sorted(
         REGISTRY,
-        key=lambda n: (n in certified, pos.get(n, len(_CERTIFY_FIRST)), n),
+        key=lambda n: (
+            n in certified,
+            REGISTRY[n].oracle is None,
+            pos.get(n, len(_CERTIFY_FIRST)),
+            n,
+        ),
     )
     return {name: REGISTRY[name].fn for name in names}
 

@@ -17087,7 +17087,7 @@ surv AS (
          CAST(SUM(ln_step_micro) OVER (ORDER BY t_days) AS BIGINT)
            AS ln_surv_micro
   FROM steps)
-SELECT t_days, d, n_risk, ln_surv_micro FROM surv"""
+SELECT t_days, d, CAST(n_risk AS BIGINT) AS n_risk, ln_surv_micro FROM surv"""
 
 
 @register(

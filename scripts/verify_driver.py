@@ -66,6 +66,23 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed = []
+
+    # HUGEINT output guard (VERDICT r6 item 2): the driver fetches
+    # oracle results through pandas, where DuckDB HUGEINT becomes
+    # float64 and phantom-reds the value hash.  Fail fast on any
+    # oracle whose plan types a HUGEINT/UHUGEINT output column.
+    hugeint = []
+    for name, sql in oracles.items():
+        try:
+            rel = con.sql(sql)
+        except Exception:  # noqa: BLE001 — execution errors surface below
+            continue
+        for c, ty in zip(rel.columns, rel.types):
+            if "HUGEINT" in str(ty).upper():
+                hugeint.append((name, c, str(ty)))
+    if hugeint:
+        print(f"FAIL hugeint-output-guard: {hugeint}")
+        failed.append("hugeint-output-guard")
     for name, fn in queries.items():
         t0 = time.time()
         try:

@@ -74,6 +74,33 @@ def test_oracle_parity(spark, sf_dir, name):
     assert sm == dm, f"{name}: value mismatch, first diffs: {mismatches[:3]}"
 
 
+def test_no_hugeint_oracle_output_types(sf_dir):
+    """No oracle may emit HUGEINT/UHUGEINT output columns.
+
+    DuckDB silently promotes BIGINT arithmetic (SUM, window SUM,
+    subtraction of a window SUM) to HUGEINT; the round driver fetches
+    oracle results through pandas, where HUGEINT becomes float64
+    (``150.0`` vs Spark's ``150``) and reds the value hash with rows
+    and schema green.  This class produced the r02 ``w1_eav_pivot``,
+    r05 ``q12`` and r06 ``events_kaplan_meier`` phantom reds (VERDICT
+    r6 item 2) — every oracle must CAST such columns back to BIGINT.
+    """
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    offenders = []
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue
+        rel = con.sql(q.oracle)
+        for col, typ in zip(rel.columns, rel.types):
+            if "HUGEINT" in str(typ).upper():
+                offenders.append((name, col, str(typ)))
+    assert not offenders, f"HUGEINT oracle output columns: {offenders}"
+
+
 def test_all_queries_return_rows_or_valid_empty(spark, sf_dir):
     for name, q in REGISTRY.items():
         df = q.fn(spark, sf_dir)
