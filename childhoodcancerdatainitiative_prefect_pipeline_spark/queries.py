@@ -10164,6 +10164,22 @@ def _kcore_rounds(n_rounds: int, deg: int) -> str:
         for k in range(1, n_rounds + 1)
     )
 
+
+#: Shared final select with a convergence guard (ADVICE r6): rounds
+#: past convergence are no-ops, so e15 == e16 iff the peel converged
+#: within the 16-round unroll.  A denser corpus needing more rounds
+#: would otherwise silently diverge from Spark's run-to-fixpoint
+#: k_core as an unexplained hash mismatch — error() makes the bound
+#: violation loud instead (raise the unroll, don't chase the hash).
+_KCORE_FINAL = (
+    "\nSELECT u AS vertex, CAST(COUNT(*) AS BIGINT) AS degree"
+    "\nFROM e16"
+    "\nWHERE (SELECT COUNT(*) FROM e15) = (SELECT COUNT(*) FROM e16)"
+    "\n   OR error('kcore oracle: 16-round peel unroll did not converge"
+    " — raise the bound')"
+    "\nGROUP BY u"
+)
+
 _KCORE_ORACLE = (
     """WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -10174,8 +10190,7 @@ ed AS (
   WHERE ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3),
 e0 AS MATERIALIZED (SELECT u, w FROM ed UNION SELECT w, u FROM ed)"""
     + _kcore_rounds(16, 3)
-    + "\nSELECT u AS vertex, CAST(COUNT(*) AS BIGINT) AS degree"
-    + "\nFROM e16 GROUP BY u"
+    + _KCORE_FINAL
 )
 
 
@@ -10263,8 +10278,7 @@ e0 AS MATERIALIZED (SELECT u, w FROM ed UNION SELECT w, u FROM ed)"""
     return (
         head
         + _kcore_rounds(16, 3)
-        + "\nSELECT u AS vertex, CAST(COUNT(*) AS BIGINT) AS degree"
-        + "\nFROM e16 GROUP BY u"
+        + _KCORE_FINAL
     )
 
 
@@ -10491,8 +10505,7 @@ def graph_triangle_count_knn(spark, sf_dir):
     + """,
 e0 AS MATERIALIZED (SELECT u, w FROM ed UNION SELECT w, u FROM ed)"""
     + _kcore_rounds(16, 2)
-    + "\nSELECT u AS vertex, CAST(COUNT(*) AS BIGINT) AS degree"
-    + "\nFROM e16 GROUP BY u",
+    + _KCORE_FINAL,
     "2-core over the kNN similarity graph (same O(n) deterministic-"
     "IVF edge construction as graph_triangle_count_knn) with 16 "
     "MATERIALIZED unrolled peel rounds — k=2 because a top-10 kNN "

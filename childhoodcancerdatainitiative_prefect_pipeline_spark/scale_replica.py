@@ -6,9 +6,17 @@ by ``bench.py`` (the per-round BENCH artifact carries a measured
 larger-scale row, r03 VERDICT item 9) and ``scripts/scale_probe.py``
 (the full plan-audit sweep recorded in SCALE.md).
 
+FK discipline (ADVICE r6): a foreign-key column must shift by the
+*referenced* table's base, not its own table's — ``o_custkey`` and
+``events.user_id`` reference ``customer`` and therefore shift by
+``SHIFT_BASE['customer']``, or every replica's orders/events would
+point at customers that don't exist and customer-join queries would
+match only replica 0 (silently understating join work at scale).
+
 Replication is itself a Spark job (union of shifted scans, one write)
-and idempotent: an existing replica with all ``_SUCCESS`` markers is
-reused.
+and idempotent: an existing replica is reused only when all
+``_SUCCESS`` markers exist AND the recorded build factor matches the
+requested one (a ``_REPLICA_FACTOR`` marker file records it).
 """
 
 from __future__ import annotations
@@ -18,12 +26,12 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-#: key columns shifted per replica so uniqueness/link semantics survive
+#: primary-key columns shifted per replica by the OWNING table's base
 KEY_SHIFTS = {
     "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey", "o_custkey"],
+    "orders": ["o_orderkey"],
     "customer": ["c_custkey"],
-    "events": ["event_id", "user_id"],
+    "events": ["event_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
     "part": ["p_partkey"],
@@ -31,10 +39,11 @@ KEY_SHIFTS = {
     "nation": [],
     "region": [],
 }
-#: columns that reference another table's shifted key
+#: FK columns shifted by the REFERENCED table's base (keeps links live)
 FK_SHIFTS = {
     "lineitem": {"l_partkey": "part", "l_suppkey": "supplier"},
-    "orders": {},
+    "orders": {"o_custkey": "customer"},
+    "events": {"user_id": "customer"},
 }
 SHIFT_BASE = {
     "lineitem": 10_000_000, "orders": 10_000_000, "customer": 1_000_000,
@@ -42,16 +51,18 @@ SHIFT_BASE = {
     "part": 1_000_000, "supplier": 100_000,
 }
 
+_FACTOR_MARKER = "_REPLICA_FACTOR"
+
 
 def replicate_table(
     spark: SparkSession, src: str, dest: str, name: str, factor: int
-) -> int:
-    """Write one table's key-shifted ``factor``× replica; returns rows."""
+) -> None:
+    """Write one table's key-shifted ``factor``× replica."""
     df = spark.read.parquet(f"{src}/{name}.parquet")
     keys = KEY_SHIFTS.get(name, [])
-    if not keys:
+    if not keys and not FK_SHIFTS.get(name):
         df.write.mode("overwrite").parquet(f"{dest}/{name}.parquet")
-        return df.count()
+        return
     base = SHIFT_BASE[name]
     parts = []
     for i in range(factor):
@@ -67,7 +78,6 @@ def replicate_table(
     for p in parts[1:]:
         out = out.unionByName(p)
     out.write.mode("overwrite").parquet(f"{dest}/{name}.parquet")
-    return out.count()
 
 
 def ensure_replica(
@@ -75,13 +85,27 @@ def ensure_replica(
 ) -> bool:
     """Build (or reuse) the full key-shifted replica under ``dest``.
 
-    Returns True if the replica was (re)built, False if reused.
+    Returns True if the replica was (re)built, False if reused.  A
+    replica is reusable only when every table carries a ``_SUCCESS``
+    marker AND ``_REPLICA_FACTOR`` records the same factor — a dest
+    previously built at a different scale point is rebuilt, never
+    silently accepted (ADVICE r6).
     """
+    marker = os.path.join(dest, _FACTOR_MARKER)
     if all(
         os.path.exists(f"{dest}/{n}.parquet/_SUCCESS") for n in KEY_SHIFTS
     ):
-        return False
+        try:
+            with open(marker) as f:
+                if int(f.read().strip()) == factor:
+                    return False
+        except (OSError, ValueError):
+            pass  # missing/corrupt marker -> rebuild at requested factor
     os.makedirs(dest, exist_ok=True)
+    if os.path.exists(marker):
+        os.remove(marker)
     for name in KEY_SHIFTS:
         replicate_table(spark, src, dest, name, factor)
+    with open(marker, "w") as f:
+        f.write(str(factor))
     return True

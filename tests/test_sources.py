@@ -1893,3 +1893,31 @@ def test_scale_replica_key_shifts_and_reuse(spark, tmp_path):
         o, li["l_orderkey"] == o["o_orderkey"], "left_anti"
     ).count()
     assert joined == 0
+    # FK link to a table with a DIFFERENT shift base survives: every
+    # replica's orders must still reference existing customers, and
+    # every event's user_id must still hit a customer (ADVICE r6 —
+    # o_custkey/user_id shift by customer's base, not their own).
+    c = spark.read.parquet(f"{dest}/customer.parquet")
+    assert (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti").count() == 0
+    )
+    ev = spark.read.parquet(f"{dest}/events.parquet")
+    base_ev = spark.read.parquet(f"{src}/events.parquet")
+    base_c = spark.read.parquet(f"{src}/customer.parquet")
+    # same unmatched fraction as the base data (user_ids outside the
+    # customer range stay outside; in-range ones stay linked)
+    base_unmatched = base_ev.join(
+        base_c, base_ev["user_id"] == base_c["c_custkey"], "left_anti"
+    ).count()
+    assert (
+        ev.join(c, ev["user_id"] == c["c_custkey"], "left_anti").count()
+        == base_unmatched * 2
+    )
+
+    # factor mismatch forces a rebuild (never silently reuse a dest
+    # built at a different scale point)
+    assert ensure_replica(spark, src, dest, factor=3) is True
+    o3 = spark.read.parquet(f"{dest}/orders.parquet")
+    base_o = spark.read.parquet(f"{src}/orders.parquet")
+    assert o3.count() == base_o.count() * 3
+    assert ensure_replica(spark, src, dest, factor=3) is False
