@@ -272,6 +272,12 @@ def _already_certified() -> set[str]:
     entries certified in any earlier round sink to the back, so each
     round's 50-query window lands on never-yet-certified entries
     without hand-maintaining the list between rounds.
+
+    An entry that NOW has an oracle counts as certified only on a
+    recorded hash match — a past rows-only pass (hash_match=None from
+    before the entry's oracle upgrade) must rotate forward again so
+    the stronger check gets a window slot (r7: the three stream_*
+    rollup upgrades).
     """
     import json
     from pathlib import Path
@@ -282,18 +288,23 @@ def _already_certified() -> set[str]:
             data = json.loads(f.read_text())
         except (OSError, ValueError):
             continue
-        if isinstance(data, dict):
-            done.update(
-                k
-                for k, v in data.items()
-                if isinstance(v, dict)
-                and not v.get("err")
-                and v.get("rows_match")
-                and v.get("schema_match")
-                # rows-only entries record hash_match=None; a recorded
-                # False is a real failure and must rotate back to front.
-                and v.get("hash_match") is not False
-            )
+        if not isinstance(data, dict):
+            continue
+        for k, v in data.items():
+            if not isinstance(v, dict) or v.get("err"):
+                continue
+            if not (v.get("rows_match") and v.get("schema_match")):
+                continue
+            hm = v.get("hash_match")
+            # a recorded False is a real failure → rotate to front; a
+            # None (rows-only pass) only counts for entries that are
+            # still rows-only today.
+            if hm is True or (
+                hm is None
+                and k in REGISTRY
+                and REGISTRY[k].oracle is None
+            ):
+                done.add(k)
     return done
 
 

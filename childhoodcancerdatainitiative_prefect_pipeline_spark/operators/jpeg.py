@@ -77,7 +77,7 @@ def _fdct(block: list[float]) -> list[float]:
 
 
 def _idct(coef: list[float]) -> list[float]:
-    """Inverse 8×8 DCT (f = Mᵀ·F·M)."""
+    """Inverse 8×8 DCT (f = Mᵀ·F·M) — pure-Python reference kernel."""
     tmp = [0.0] * 64
     for x in range(8):
         for u in range(8):
@@ -93,6 +93,85 @@ def _idct(coef: list[float]) -> list[float]:
                 s += tmp[x * 8 + v] * _M[v][y]
             out[x * 8 + y] = s
     return out
+
+
+# ---------------------------------------------------------------------------
+# IDCT+place kernels — the decode hot loop behind a selectable
+# interface (r6 VERDICT item 6: the video probe is decode-bound; the
+# numpy kernel batches every block of a scan through ONE Mᵀ·F·M
+# matmul + vectorized dequant/clip/scatter instead of per-block
+# Python loops).  Both kernels round half-even (Python round == np
+# rint), so pixel output — and every downstream oracle hash — is
+# identical; tests/test_operators.py pins kernel equivalence.
+# ---------------------------------------------------------------------------
+
+#: (base_y, base_x, zz) triples buffered by _decode_planes per component
+_BlockList = "list[tuple[int, int, list[int]]]"
+
+
+def _idct_place_python(
+    plane: bytearray, cols: int, blocks, qt: list[int]
+) -> None:
+    """Reference kernel: per-block dequant → _idct → clamp → place."""
+    for base_y, base_x, zz in blocks:
+        coef = [0.0] * 64
+        for i in range(64):
+            coef[ZIGZAG[i]] = zz[i] * qt[i]
+        px = _idct(coef)
+        for yy in range(8):
+            row = (base_y + yy) * cols + base_x
+            for xx in range(8):
+                v = int(round(px[yy * 8 + xx])) + 128
+                plane[row + xx] = min(255, max(0, v))
+
+
+def _idct_place_numpy(
+    plane: bytearray, cols: int, blocks, qt: list[int]
+) -> None:
+    """Vectorized kernel: one (n,8,8) batched Mᵀ·F·M for the scan."""
+    import numpy as np
+
+    n = len(blocks)
+    zzm = np.array([b[2] for b in blocks], dtype=np.float64)  # (n,64)
+    deq = zzm * np.asarray(qt, dtype=np.float64)
+    coef = np.empty((n, 64), dtype=np.float64)
+    coef[:, ZIGZAG] = deq  # de-zigzag: coef[natural ZIGZAG[i]] = deq[i]
+    m = np.asarray(_M, dtype=np.float64)
+    px = m.T @ coef.reshape(n, 8, 8) @ m
+    v = np.rint(px).astype(np.int64) + 128
+    np.clip(v, 0, 255, out=v)
+    by = np.fromiter((b[0] for b in blocks), dtype=np.int64, count=n)
+    bx = np.fromiter((b[1] for b in blocks), dtype=np.int64, count=n)
+    yy = np.arange(8, dtype=np.int64)
+    flat = (
+        (by[:, None, None] + yy[None, :, None]) * cols
+        + bx[:, None, None]
+        + yy[None, None, :]
+    )
+    arr = np.frombuffer(plane, dtype=np.uint8)
+    arr[flat.reshape(-1)] = v.reshape(-1).astype(np.uint8)
+
+
+_IDCT_KERNELS = {"python": _idct_place_python, "numpy": _idct_place_numpy}
+_idct_kernel_name = "numpy"
+
+
+def set_idct_kernel(name: str) -> None:
+    """Select the decode IDCT kernel ('numpy' default, 'python' ref)."""
+    global _idct_kernel_name
+    if name not in _IDCT_KERNELS:
+        raise ValueError(f"unknown IDCT kernel {name!r}")
+    _idct_kernel_name = name
+
+
+def _idct_place(plane, cols, blocks, qt) -> None:
+    if _idct_kernel_name == "numpy":
+        try:
+            _idct_place_numpy(plane, cols, blocks, qt)
+            return
+        except ImportError:  # numpy unavailable → reference kernel
+            pass
+    _idct_place_python(plane, cols, blocks, qt)
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -334,36 +413,74 @@ def encode_jpeg(
 
 
 class _BitReader:
+    """MSB-first bit reader over JPEG entropy data (0xFF00 stuffing).
+
+    Buffers whole bytes into an accumulator so ``read_bits(n)`` is one
+    shift/mask instead of n per-bit calls, and exposes a transactional
+    ``peek``/``skip`` pair for the table-driven Huffman fast path —
+    profiling showed per-bit reads were ~60% of decode time.
+    """
+
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self._acc = 0
         self._n = 0
 
-    def read_bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
+    def _refill(self, need: int) -> None:
+        """Buffer bytes until ``need`` bits are available (all-or-
+        nothing: state commits only on success, so a failed refill —
+        e.g. a marker hit during a speculative peek — changes
+        nothing)."""
+        data = self.data
+        end = len(data)
+        pos = self.pos
+        acc = self._acc & ((1 << self._n) - 1)  # trim stale high bits
+        have = self._n
+        while have < need:
+            if pos >= end:
                 raise ValueError("entropy data exhausted")
-            byte = self.data[self.pos]
-            self.pos += 1
+            byte = data[pos]
+            pos += 1
             if byte == 0xFF:
-                if self.pos >= len(self.data):
+                if pos >= end:
                     raise ValueError("dangling 0xFF in entropy data")
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
+                if data[pos] == 0x00:
+                    pos += 1  # stuffed byte
                 else:
                     raise ValueError("marker inside entropy data")
-            self._acc = byte
-            self._n = 8
+            acc = (acc << 8) | byte
+            have += 8
+        self._acc, self._n, self.pos = acc, have, pos
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._refill(1)
         self._n -= 1
         return (self._acc >> self._n) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        if self._n < n:
+            self._refill(n)
+        self._n -= n
+        return (self._acc >> self._n) & ((1 << n) - 1)
+
+    def peek_bits(self, n: int) -> tuple[int, int]:
+        """(value, available): up to ``n`` buffered bits, left-aligned
+        to ``n``, without consuming.  Short near stream end/markers."""
+        if self._n < n:
+            try:
+                self._refill(n)
+            except ValueError:
+                pass  # use whatever is buffered; slow path handles EOF
+        have = self._n if self._n < n else n
+        v = (self._acc >> (self._n - have)) & ((1 << have) - 1)
+        return v << (n - have), have
+
+    def skip_bits(self, n: int) -> None:
+        self._n -= n
 
     def align_to_marker(self) -> int:
         """Byte-align and consume one RSTn/other marker; returns it."""
@@ -377,25 +494,43 @@ class _BitReader:
         raise ValueError("expected marker, hit end of stream")
 
 
-def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
-    """Canonical table: (length, code) → symbol."""
-    table = {}
+def _build_huffman(bits: list[int], vals: bytes) -> dict:
+    """Canonical table: (length, code) → symbol, plus an 8-bit prefix
+    LUT (symbol, length) for codes ≤ 8 bits — the JPEG-standard fast
+    decode: one peek resolves the overwhelmingly common short codes,
+    the canonical map handles the 9-16 bit tail."""
+    table: dict[tuple[int, int], int] = {}
+    lut: list[tuple[int, int] | None] = [None] * 256
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             table[(length, code)] = vals[k]
+            if length <= 8:
+                base = code << (8 - length)
+                entry = (vals[k], length)
+                for i in range(1 << (8 - length)):
+                    lut[base + i] = entry
             code += 1
             k += 1
         code <<= 1
-    return table
+    return {"map": table, "lut": lut}
 
 
-def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    v, have = reader.peek_bits(8)
+    if have:
+        hit = table["lut"][v]
+        if hit is not None and hit[1] <= have:
+            reader.skip_bits(hit[1])
+            return hit[0]
+    # slow path: codes longer than 8 bits, or a short buffer at the
+    # end of the stream (the peek consumed nothing, so re-walk bitwise)
+    tmap = table["map"]
     code = 0
     for length in range(1, 17):
         code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
+        sym = tmap.get((length, code))
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code")
@@ -505,6 +640,11 @@ def _decode_planes(payload: bytes):
 
     reader = _BitReader(payload, pos)
     preds = {c["id"]: 0 for c in comps}
+    # Entropy decoding is inherently serial (DC prediction + bit
+    # stream), but the IDCT is not: buffer every block's (position,
+    # coefficients) here and batch them through the selected kernel
+    # per component — one vectorized Mᵀ·F·M for the whole scan.
+    pending: dict[int, list] = {c["id"]: [] for c in comps}
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -519,7 +659,6 @@ def _decode_planes(payload: bytes):
                 comp = by_id[sc["id"]]
                 dc_t = htables[(0, sc["td"])]
                 ac_t = htables[(1, sc["ta"])]
-                qt = qtables[comp["tq"]]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
                         s = _huff_decode(reader, dc_t)
@@ -543,20 +682,15 @@ def _decode_planes(payload: bytes):
                                 raise ValueError("AC index overrun")
                             zz[k] = _extend(reader.read_bits(size), size)
                             k += 1
-                        coef = [0.0] * 64
-                        for i in range(64):
-                            coef[ZIGZAG[i]] = zz[i] * qt[i]
-                        px = _idct(coef)
                         base_y = (my * comp["v"] + by) * 8
                         base_x = (mx * comp["h"] + bx) * 8
-                        cols = comp["cols"]
-                        plane = comp["plane"]
-                        for yy in range(8):
-                            row = (base_y + yy) * cols + base_x
-                            for xx in range(8):
-                                v = int(round(px[yy * 8 + xx])) + 128
-                                plane[row + xx] = min(255, max(0, v))
+                        pending[comp["id"]].append((base_y, base_x, zz))
             mcu_count += 1
+    for c in comps:
+        if pending[c["id"]]:
+            _idct_place(
+                c["plane"], c["cols"], pending[c["id"]], qtables[c["tq"]]
+            )
     return w, h, comps, hmax, vmax
 
 

@@ -394,6 +394,15 @@ def hyperplane_signatures(
     return df.select(F.col(id_col), v.alias("__v__"), sig.alias("__sig__"))
 
 
+#: Below this cosine threshold, banded sign-LSH recall collapses at
+#: scale: per-bit agreement is only ~(1 - acos(cos)/pi) ≈ 0.6 at 0.3,
+#: so band-key collisions concentrate in hot buckets that the cap
+#: drops — measured EMPTY candidate sets at the 10x probe (SCALE.md).
+#: Low-threshold similarity graphs must use ``knn_graph_edges`` (the
+#: O(n·√n) deterministic-IVF path) via ``similarity_graph_edges``.
+LSH_MIN_RELIABLE_THRESHOLD = 0.6
+
+
 def hyperplane_lsh_pairs(
     df: DataFrame,
     dims: int,
@@ -404,6 +413,7 @@ def hyperplane_lsh_pairs(
     n_bands: int = 8,
     seed: int = 7,
     max_bucket_size: int | None = None,
+    allow_low_threshold: bool = False,
 ) -> DataFrame:
     """Cosine near-dup pairs via banded hyperplane LSH.
 
@@ -415,7 +425,23 @@ def hyperplane_lsh_pairs(
     agreeing on some 2-bit band, never all-pairs.  ``max_bucket_size``
     drops degenerate buckets (hot-bucket cap, same discipline as
     MinHash LSH).
+
+    Thresholds below ``LSH_MIN_RELIABLE_THRESHOLD`` raise unless
+    ``allow_low_threshold=True`` (r6 VERDICT item 4: at 10× scale the
+    0.3-threshold graph entries measurably returned EMPTY candidate
+    sets — a silent empty graph is worse than a loud error).  The
+    certified exact-twin entries opt in explicitly; production
+    low-threshold graphs go through ``similarity_graph_edges``.
     """
+    if threshold < LSH_MIN_RELIABLE_THRESHOLD and not allow_low_threshold:
+        raise ValueError(
+            f"hyperplane_lsh_pairs at cosine threshold {threshold} < "
+            f"{LSH_MIN_RELIABLE_THRESHOLD}: banded sign-LSH recall "
+            "collapses at low thresholds (empty candidate sets measured "
+            "at 10x scale). Use similarity_graph_edges(), which routes "
+            "low thresholds to the kNN-graph path, or pass "
+            "allow_low_threshold=True for a certification twin."
+        )
     assert n_planes % n_bands == 0
     bits_per_band = n_planes // n_bands
     mask = (1 << bits_per_band) - 1
@@ -717,4 +743,156 @@ def pq_rerank(
         scored.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= k)
         .drop("__rn__")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity-graph construction — threshold-routed front door
+# ---------------------------------------------------------------------------
+
+
+def knn_graph_edges(
+    embeddings: DataFrame,
+    dims: int,
+    k: int = 10,
+    threshold: float = 0.3,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(u, w) undirected kNN-similarity-graph edges, O(n·√n).
+
+    The LOW-threshold scale path (banded sign-LSH collapses below
+    ~0.6): deterministic IVF with ~√n hash-mod centroids, ``n_probe``
+    probed cells per query, exact cosine re-rank of the ~n·√n·probe/√n
+    candidates, per-query top-``k`` above ``threshold``.  Bounded
+    degree (≤k) makes every downstream graph algorithm O(n·k).
+
+    Determinism: centroids are corpus rows with ``id % √n == 0``,
+    ties in both rankings break on id — the whole edge set is
+    hash-certifiable (the sim_ivf_topk_det discipline).
+
+    Scale notes pinned by the 10× probe (SCALE.md): the corpus frame
+    is localCheckpoint-ed once (feeds centroid pick, assignment,
+    probe ranking AND re-rank); the probe⋈assigned fan-out explicitly
+    repartitions on query_id because AQE coalesces the small⋈small
+    join to ~1 task and would serialize the re-rank (measured 190 s →
+    8 s); dot products statically unroll for whole-stage codegen.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        as_double_array(vec_col).alias("v"),
+    ).withColumn(
+        "nrm", F.sqrt(dot_unrolled(F.col("v"), F.col("v"), dims))
+    ).localCheckpoint()
+    p = max(2, int(e.count() ** 0.5))
+    cents = e.filter(F.col("vec_id") % p == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    qcos = F.round(
+        dot_unrolled(F.col("v"), F.col("cv"), dims)
+        / (F.col("nrm") * F.col("cnrm")),
+        6,
+    )
+    ranked = (
+        e.select(F.col("vec_id").alias("query_id"), "v", "nrm")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("qc", qcos)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("qc"), "cid")
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cid", "rn")
+        .localCheckpoint()  # one scoring pass serves assign AND probe
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        F.col("query_id").alias("vec_id"), F.col("cid").alias("cluster_id")
+    )
+    probe = ranked.select("query_id", F.col("cid").alias("cluster_id"))
+    spark = embeddings.sparkSession
+    cand = (
+        probe.join(assigned, "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .repartition(
+            spark.sparkContext.defaultParallelism * 2, "query_id"
+        )
+    )
+    scored = (
+        cand.join(e, "vec_id")
+        .join(
+            e.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("qnrm"),
+            ),
+            "query_id",
+        )
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot_unrolled(F.col("v"), F.col("qv"), dims)
+                / (F.col("nrm") * F.col("qnrm")),
+                6,
+            ),
+        )
+    )
+    knn = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cosine_sim"), "vec_id"
+            )
+        ),
+    ).filter((F.col("rn") <= k) & (F.col("cosine_sim") >= threshold))
+    return knn.select(
+        F.least("query_id", "vec_id").alias("u"),
+        F.greatest("query_id", "vec_id").alias("w"),
+    ).distinct()
+
+
+def similarity_graph_edges(
+    embeddings: DataFrame,
+    dims: int,
+    threshold: float,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """(u, w) similarity-graph edges, routed by threshold.
+
+    The user-facing graph constructor (r6 VERDICT item 4): a single
+    name that can't silently produce an empty graph at scale.
+
+    - ``threshold >= LSH_MIN_RELIABLE_THRESHOLD`` (0.6): banded
+      hyperplane LSH — near-dup territory, where band recall is high
+      and candidate volume ∝ true pairs.
+    - below: the O(n·√n) deterministic-kNN path — banded sign-LSH
+      recall measurably collapses here (empty candidate sets at the
+      10× probe), so low thresholds route to the path built for them.
+    """
+    if threshold >= LSH_MIN_RELIABLE_THRESHOLD:
+        pairs = hyperplane_lsh_pairs(
+            embeddings,
+            dims=dims,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_bucket_size=max_bucket_size,
+        )
+        return pairs.select(
+            F.col("id_a").alias("u"), F.col("id_b").alias("w")
+        )
+    return knn_graph_edges(
+        embeddings,
+        dims=dims,
+        k=k,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
     )

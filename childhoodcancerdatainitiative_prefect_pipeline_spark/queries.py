@@ -1347,16 +1347,63 @@ def multimodal_stub_features(spark, sf_dir):
     return extract_features(media)
 
 
+_STREAM_TUMBLING_ORACLE = """SELECT
+  CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+  CAST(epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS BIGINT)
+    AS window_end_us,
+  event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+    <= greatest(2, 0.15 * COUNT(DISTINCT user_id)) AS users_ok,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2, 3"""
+
+
 @register(
     "stream_tumbling_rollup",
-    None,  # approx_count_distinct → rows-only; exact twin: events_daily_rollup
-    "§2.15 tumbling-window rollup (same transform attaches to readStream)",
+    _STREAM_TUMBLING_ORACLE,
+    "§2.15 tumbling-window rollup — batch twin of "
+    "streaming/events.py::tumbling_rollup (the same window-agg plan "
+    "attaches to readStream with a watermark).  r7 VERDICT item 7: "
+    "rows-only → oracle.  Window bounds emit as NTZ epoch micros "
+    "(integer-exact, tz-independent); the HLL user count certifies as "
+    "a property boolean — each engine's estimate within 15% of ITS "
+    "OWN exact distinct, the profile_columns_approx sketch discipline "
+    "— because raw HLL++ estimates are engine-specific by nature",
 )
 def stream_tumbling_rollup(spark, sf_dir):
-    from .streaming.events import tumbling_rollup
-
     (events,) = _t(spark, sf_dir, "events")
-    return tumbling_rollup(events, "1 hour")
+    # F.window on the native TIMESTAMP_NTZ column (supported in batch
+    # and streaming since Spark 3.4) — no LTZ cast, so the epoch-us
+    # projection below is exact under ANY driver session timezone.
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {})"
+    base = events.groupBy(
+        F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return base.select(
+        F.expr(us.format("win.start")).alias("window_start_us"),
+        F.expr(us.format("win.end")).alias("window_end_us"),
+        "event_type",
+        "n_events",
+        "n_users",
+        # absolute-2 floor: HLL estimates of tiny windows (4-6 users)
+        # are off by ±1 on either engine — 25% relative — while the
+        # relative bound governs real cardinalities (measured at
+        # sf0.01: zero violations on both engines under max(2, 15%))
+        (
+            F.abs(F.col("approx_users") - F.col("n_users"))
+            <= F.greatest(F.lit(2.0), 0.15 * F.col("n_users"))
+        ).alias("users_ok"),
+        "total_value",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2037,16 +2084,41 @@ def rule_proband_family(spark, sf_dir):
     )
 
 
+_STREAM_SESSION_ORACLE = """WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,4)) AS vd,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, us, vd,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT CAST(MIN(us) AS BIGINT) AS session_start_us,
+       CAST(MAX(us) + 1800000000 AS BIGINT) AS session_end_us,
+       user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(vd) AS DOUBLE) AS session_value
+FROM sess GROUP BY user_id, sid"""
+
+
 @register(
     "stream_session_windows",
-    None,  # session_window is streaming-native → rows-only check
-    "§2.15 gap-based session windows per user (streaming-native)",
+    _STREAM_SESSION_ORACLE,
+    "§2.15 gap-based session windows per user via the native "
+    "F.session_window operator (the same plan attaches to readStream "
+    "with a watermark; streaming/events.py::sessionize).  r7 VERDICT "
+    "item 7: rows-only → oracle — batch session_window IS the classic "
+    "gap-islands computation: break where the per-user gap exceeds "
+    "30 min (measured: Spark MERGES a gap of exactly 30 min, so the "
+    "break rule is strictly-greater), session end = last event + gap. "
+    " Bounds emit as NTZ epoch micros, value sum decimal-routed",
 )
 def stream_session_windows(spark, sf_dir):
-    from .streaming.events import sessionize
-
     (events,) = _t(spark, sf_dir, "events")
-    # batch rendering of the same transform (no watermark in batch)
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {})"
     return (
         events.groupBy(
             F.session_window(F.col("ts"), "30 minutes").alias("sess"),
@@ -2059,8 +2131,8 @@ def stream_session_windows(spark, sf_dir):
             .alias("session_value"),
         )
         .select(
-            F.col("sess.start").alias("session_start"),
-            F.col("sess.end").alias("session_end"),
+            F.expr(us.format("sess.start")).alias("session_start_us"),
+            F.expr(us.format("sess.end")).alias("session_end_us"),
             "user_id",
             "n_events",
             "session_value",
@@ -6884,20 +6956,35 @@ def bipartite_degree_hist(spark, sf_dir):
     return deg.groupBy("degree").agg(F.count("*").alias("n_customers"))
 
 
+_STREAM_SLIDING_ORACLE = """WITH repl AS (
+  SELECT date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS ws,
+         event_type, value
+  FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS i))
+SELECT CAST(epoch_us(ws) AS BIGINT) AS window_start_us,
+       CAST(epoch_us(ws + INTERVAL 2 HOUR) AS BIGINT) AS window_end_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM repl GROUP BY 1, 2, 3"""
+
+
 @register(
     "stream_sliding_rollup",
-    None,  # sliding windows overlap → rows-only (stream-native shape)
+    _STREAM_SLIDING_ORACLE,
     "§2.15 sliding-window rollup (2h window, 1h slide): each event "
-    "lands in two windows; the same transform attaches to readStream "
-    "with a watermark for incremental state reclamation",
+    "lands in exactly two windows; the same window-agg attaches to "
+    "readStream with a watermark for incremental state reclamation.  "
+    "r7 VERDICT item 7: rows-only → oracle — overlapping windows ARE "
+    "SQL-expressible as explode-over-window-starts (an event at t "
+    "belongs to starts {trunc_hour(t), trunc_hour(t)-1h}), which is "
+    "also precisely how Spark's physical plan expands sliding "
+    "windows.  NTZ event time end-to-end; bounds as epoch micros",
 )
 def stream_sliding_rollup(spark, sf_dir):
-    from .streaming.events import _as_event_time
-
     (events,) = _t(spark, sf_dir, "events")
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {})"
     return (
-        _as_event_time(events, "ts")
-        .groupBy(
+        events.groupBy(
             F.window(F.col("ts"), "2 hours", "1 hour").alias("win"),
             "event_type",
         )
@@ -6908,8 +6995,8 @@ def stream_sliding_rollup(spark, sf_dir):
             .alias("total_value"),
         )
         .select(
-            F.col("win.start").alias("window_start"),
-            F.col("win.end").alias("window_end"),
+            F.expr(us.format("win.start")).alias("window_start_us"),
+            F.expr(us.format("win.end")).alias("window_end_us"),
             "event_type",
             "n_events",
             "total_value",
@@ -7204,8 +7291,13 @@ def dedup_embedding_lsh(spark, sf_dir):
     from .operators.similarity import hyperplane_lsh_pairs
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
+    # 0.45 sits below the operator's conservative 0.6 gate but within
+    # the 2-bit-band recall envelope (P[candidate] ≈ 0.99 here);
+    # opt-in documents that production embedding near-dup at scale
+    # uses blocked_cosine_pairs / similarity_graph_edges.
     return hyperplane_lsh_pairs(
-        embeddings, dims=64, threshold=0.45, max_bucket_size=200
+        embeddings, dims=64, threshold=0.45, max_bucket_size=200,
+        allow_low_threshold=True,
     )
 
 
@@ -9736,8 +9828,14 @@ def graph_triangle_count_lsh(spark, sf_dir):
     from .operators.similarity import hyperplane_lsh_pairs
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
+    # allow_low_threshold: this entry is the certification twin of the
+    # banded-candidate machinery itself; a production 0.3-threshold
+    # graph goes through similarity_graph_edges, which routes to the
+    # kNN path (graph_triangle_count_knn) — the LSH recall collapse at
+    # low thresholds is measured and gated in operators/similarity.py.
     edges = hyperplane_lsh_pairs(
-        embeddings, dims=64, threshold=0.3, max_bucket_size=200
+        embeddings, dims=64, threshold=0.3, max_bucket_size=200,
+        allow_low_threshold=True,
     ).select(F.col("id_a").alias("u"), F.col("id_b").alias("w"))
     return triangle_counts(edges, "u", "w", out_id="vertex")
 
@@ -10297,8 +10395,12 @@ def graph_kcore_membership_lsh(spark, sf_dir):
     from .operators.similarity import hyperplane_lsh_pairs
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
+    # certification twin of the banded-candidate machinery (see
+    # graph_triangle_count_lsh); production low-threshold graphs route
+    # through similarity_graph_edges → kNN (graph_kcore_membership_knn)
     edges = hyperplane_lsh_pairs(
-        embeddings, dims=64, threshold=0.3, max_bucket_size=200
+        embeddings, dims=64, threshold=0.3, max_bucket_size=200,
+        allow_low_threshold=True,
     ).select(F.col("id_a").alias("u"), F.col("id_b").alias("w"))
     return k_core(edges, k=3)
 
@@ -10371,104 +10473,19 @@ ed AS MATERIALIZED (
 def _knn_graph_edges(spark, sf_dir):
     """Spark twin of _KNN_EDGE_CTES: (u, w) kNN-graph edges.
 
-    The corpus frame is localCheckpoint-ed once (it feeds centroid
-    pick, cell assignment, probe ranking AND the exact re-rank), and
-    the ~sqrt(n) centroid modulus comes from one bounded-scalar
-    ``count()`` (the exact_kth_smallest driver-round-trip class).
+    Delegates to operators/similarity.py::knn_graph_edges (promoted
+    there in r7 so similarity_graph_edges can route low-threshold
+    graphs to it); dims=64 from the schema, top-10 at cosine >= 0.3
+    with 3 probed cells — numerically identical to the pre-promotion
+    inline build (same unrolled dots, same tie-breaks, same
+    localCheckpoint/repartition scale shape).
     """
-    from pyspark.sql import Window
-
-    from .operators.similarity import dot_unrolled
+    from .operators.similarity import knn_graph_edges
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
-    # dot products are statically unrolled (dims=64 from the schema):
-    # HOF folds run interpreted and the probe/re-rank stages evaluate
-    # ~12M dots at the 10x probe — unrolling keeps them in whole-stage
-    # codegen with the exact same left-to-right sum order (measured
-    # 95 s -> ~10 s on the edge build; rounded values bit-identical).
-    e = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn(
-        "nrm", F.sqrt(dot_unrolled(F.col("v"), F.col("v"), 64))
-    ).localCheckpoint()
-    p = max(2, int(e.count() ** 0.5))
-    cents = e.filter(F.col("vec_id") % p == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cnrm"),
+    return knn_graph_edges(
+        embeddings, dims=64, k=10, threshold=0.3, n_probe=3
     )
-    qcos = F.round(
-        dot_unrolled(F.col("v"), F.col("cv"), 64)
-        / (F.col("nrm") * F.col("cnrm")),
-        6,
-    )
-    ranked = (
-        e.select(F.col("vec_id").alias("query_id"), "v", "nrm")
-        .crossJoin(F.broadcast(cents))
-        .withColumn("qc", qcos)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc("qc"), "cid")
-            ),
-        )
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "cid", "rn")
-        .localCheckpoint()  # one scoring pass serves assign AND probe
-    )
-    assigned = ranked.filter(F.col("rn") == 1).select(
-        F.col("query_id").alias("vec_id"), F.col("cid").alias("cluster_id")
-    )
-    probe = ranked.filter(F.col("rn") <= 3).select(
-        "query_id", F.col("cid").alias("cluster_id")
-    )
-    # The probe⋈assigned fan-out is a broadcast join over two SMALL
-    # inputs whose 8.6M-row output inherits the small side's (AQE-
-    # coalesced, ~1-partition) layout — without an explicit spread the
-    # whole re-rank runs in ONE task (measured: 190 s single-task at
-    # the 10x probe, ~8 s spread).  Repartition on query_id, which the
-    # top-k window reuses.
-    cand = (
-        probe.join(assigned, "cluster_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .repartition(
-            spark.sparkContext.defaultParallelism * 2, "query_id"
-        )
-    )
-    scored = (
-        cand.join(e, "vec_id")
-        .join(
-            e.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("v").alias("qv"),
-                F.col("nrm").alias("qnrm"),
-            ),
-            "query_id",
-        )
-        .withColumn(
-            "cosine_sim",
-            F.round(
-                dot_unrolled(F.col("v"), F.col("qv"), 64)
-                / (F.col("nrm") * F.col("qnrm")),
-                6,
-            ),
-        )
-    )
-    knn = (
-        scored.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.desc("cosine_sim"), "vec_id"
-                )
-            ),
-        )
-        .filter((F.col("rn") <= 10) & (F.col("cosine_sim") >= 0.3))
-    )
-    return knn.select(
-        F.least("query_id", "vec_id").alias("u"),
-        F.greatest("query_id", "vec_id").alias("w"),
-    ).distinct()
 
 
 @register(
@@ -10519,6 +10536,24 @@ def graph_kcore_membership_knn(spark, sf_dir):
     from .operators.graph import k_core
 
     return k_core(_knn_graph_edges(spark, sf_dir), k=2)
+
+
+@register(
+    "similarity_graph_routed_low",
+    _KNN_EDGE_CTES + "\nSELECT u, w FROM ed",
+    "the threshold-routed similarity-graph front door "
+    "(operators/similarity.py::similarity_graph_edges, r6 VERDICT "
+    "item 4) exercised at cosine 0.3: thresholds below the 0.6 LSH "
+    "recall floor must route to the deterministic kNN path, so this "
+    "entry's oracle IS the kNN edge set — a routing regression (back "
+    "to banded LSH, which measurably returns zero candidates at 10×) "
+    "reds the hash immediately",
+)
+def similarity_graph_routed_low(spark, sf_dir):
+    from .operators.similarity import similarity_graph_edges
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return similarity_graph_edges(embeddings, dims=64, threshold=0.3)
 
 
 _SHARD_BALANCE_ORACLE = r"""WITH d AS (
@@ -10675,12 +10710,19 @@ def join_size_estimate_cms(spark, sf_dir):
     s2 = cms_build(
         orders.select(F.col("o_orderkey").alias("k")), "k", depth=3, width=1024
     ).withColumnRenamed("cnt", "c2")
+    # decimal-routed moment sum (r7 audit): a hot CMS bucket holds up
+    # to n counts, so c1*c2 ~ n² wraps int64 past ~3e9 rows/side —
+    # exactly the silent-at-tested-scale class the gini fix caught
     dots = (
         s1.join(s2, ["d", "bucket"])
         .groupBy("d")
-        .agg(F.sum(F.col("c1") * F.col("c2")).alias("dot"))
+        .agg(
+            F.sum(F.col("c1").cast("decimal(19,0)") * F.col("c2")).alias(
+                "dot"
+            )
+        )
     )
-    est = dots.agg(F.min("dot").alias("est_join_size"))
+    est = dots.agg(F.min("dot").cast("long").alias("est_join_size"))
     exact = (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .agg(F.count("*").alias("exact_join_size"))
@@ -14347,9 +14389,12 @@ def embedding_doc_pool_query(spark, sf_dir):
     pooled = exploded.groupBy("doc_id", "dim").agg(
         F.sum("xi").alias("s"), F.count("*").alias("n")
     )
+    # decimal-routed moment sum (r7 audit): s ~ n_chunks·1e6 micros, so
+    # s² wraps int64 once a document exceeds ~3e3 chunks·dims — route
+    # the square through decimal, one double cast at the sqrt
     per_doc = pooled.groupBy("doc_id").agg(
         F.max("n").alias("n_chunks"),
-        F.sum(F.col("s") * F.col("s")).alias("ssq"),
+        F.sum(F.col("s").cast("decimal(19,0)") * F.col("s")).alias("ssq"),
     )
     return per_doc.select(
         "doc_id",

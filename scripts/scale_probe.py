@@ -20,8 +20,14 @@ from childhoodcancerdatainitiative_prefect_pipeline_spark.queries import REGISTR
 from childhoodcancerdatainitiative_prefect_pipeline_spark.session import build_session
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DEST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1")
 FACTOR = int(os.environ.get("SCALE_FACTOR", "10"))
+# factor 10 shares bench.py's replica; other factors get their own
+# dir so switching scale points never thrashes a rebuild (the
+# _REPLICA_FACTOR marker would correctly force one otherwise)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEST = os.path.join(
+    _REPO, ".scratch", "sf1" if FACTOR == 10 else f"x{FACTOR}"
+)
 
 from childhoodcancerdatainitiative_prefect_pipeline_spark.scale_replica import (  # noqa: E402
     KEY_SHIFTS,

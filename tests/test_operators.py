@@ -1181,6 +1181,51 @@ def test_hyperplane_lsh_recall_vs_exact(spark):
         assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} pairs"
 
 
+def test_similarity_graph_low_threshold_gate(spark):
+    """r6 VERDICT item 4: a low-threshold similarity graph must never
+    silently come back empty — hyperplane_lsh_pairs raises below the
+    documented 0.6 recall floor unless explicitly opted in, and the
+    similarity_graph_edges front door routes low thresholds to the
+    kNN path (same edge set as the certified kNN-graph entries)."""
+    import pytest as _pytest
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.catalog import (
+        load_testdata,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.similarity import (
+        hyperplane_lsh_pairs,
+        knn_graph_edges,
+        similarity_graph_edges,
+    )
+
+    emb = load_testdata(
+        spark, "/root/testdata/sf0.001", tables=("embeddings",),
+        register_views=False,
+    )["embeddings"]
+
+    with _pytest.raises(ValueError, match="similarity_graph_edges"):
+        hyperplane_lsh_pairs(emb, dims=64, threshold=0.3)
+
+    routed = {
+        (r.u, r.w)
+        for r in similarity_graph_edges(emb, dims=64, threshold=0.3).collect()
+    }
+    knn = {
+        (r.u, r.w)
+        for r in knn_graph_edges(
+            emb, dims=64, k=10, threshold=0.3
+        ).collect()
+    }
+    assert routed == knn and len(routed) > 0
+
+    # high threshold routes to the banded-LSH path: every edge is a
+    # true pair at >= the threshold (verify step), none dropped to kNN
+    # top-k truncation semantics
+    high = similarity_graph_edges(emb, dims=64, threshold=0.7)
+    assert {"u", "w"} == set(high.columns)
+    high.collect()  # executes via the LSH plan without raising
+
+
 def test_hyperplane_signatures_deterministic(spark):
     from childhoodcancerdatainitiative_prefect_pipeline_spark.catalog import (
         load_testdata,
@@ -2242,6 +2287,48 @@ def test_canonicalize_url_rules(spark):
     }
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_jpeg_idct_kernels_byte_identical():
+    """The numpy batched IDCT kernel (r6 VERDICT item 6) must produce
+    byte-identical planes to the pure-Python reference on random
+    color content — both round half-even, so every downstream
+    perceptual-hash / stats oracle hash is kernel-independent."""
+    import random
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators import jpeg
+
+    rnd = random.Random(23)
+    img = [
+        [tuple(rnd.randrange(256) for _ in range(3)) for _ in range(24)]
+        for _ in range(24)
+    ]
+    payloads = [
+        jpeg.encode_jpeg(24, 24, lambda x, y: img[y][x], subsample=sub)
+        for sub in ("444", "420")
+    ] + [
+        jpeg.encode_jpeg(
+            13, 9, lambda x, y: (x * 31 + y * 57) % 256, grayscale=True
+        )
+    ]
+    for payload in payloads:
+        jpeg.set_idct_kernel("numpy")
+        np_planes = [
+            bytes(c["plane"]) for c in jpeg._decode_planes(payload)[2]
+        ]
+        jpeg.set_idct_kernel("python")
+        try:
+            py_planes = [
+                bytes(c["plane"]) for c in jpeg._decode_planes(payload)[2]
+            ]
+        finally:
+            jpeg.set_idct_kernel("numpy")
+        assert np_planes == py_planes
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        jpeg.set_idct_kernel("simd")
 
 
 def test_jpeg_encode_decode_exact_flat_blocks_and_quarantine(spark):

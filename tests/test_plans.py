@@ -503,3 +503,62 @@ def test_star_audit_fact_table_single_scan(spark, sf_dir):
 
     plan = _simple_plan(REGISTRY["star_referential_audit"].fn(spark, sf_dir))
     assert len(re.findall(r"Scan parquet[^\n]*lineitem", plan)) == 1
+
+
+def _balanced_blobs(s: str, marker: str) -> list[str]:
+    """Every ``marker(...)`` substring of ``s`` with balanced parens."""
+    out = []
+    i = 0
+    start = len(marker)
+    while True:
+        j = s.find(marker + "(", i)
+        if j < 0:
+            break
+        depth = 0
+        k = j + start
+        for k in range(j + start, len(s)):
+            if s[k] == "(":
+                depth += 1
+            elif s[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        out.append(s[j : k + 1])
+        i = k + 1
+    return out
+
+
+def test_no_unrouted_bigint_moment_sums(spark, sf_dir):
+    """int64-product audit as CI (r6 VERDICT item 9): a real overflow
+    was measured at 10× scale (customer_revenue_gini's rank*revenue
+    moment sum wrapped at 150k customers) and fixed by DECIMAL(38,0)
+    routing.  This walk pins the class: no registry plan may SUM a
+    product of BIGINT operands without first casting out of int64 —
+    silent ANSI-off wraparound corrupts results only past the tested
+    scale, which is exactly where no oracle is watching.
+    """
+    import re
+
+    # bounded products, justified where declared: none currently.
+    allow: dict[str, str] = {}
+    offenders = []
+    for name, q in REGISTRY.items():
+        if name in allow:
+            continue
+        plan = str(q.fn(spark, sf_dir)._jdf.queryExecution().analyzed())
+        for blob in _balanced_blobs(plan, "sum"):
+            if " * " not in blob:
+                continue
+            if "as decimal" in blob or "as double" in blob:
+                continue  # decimal-routed (exact) or fp (no wraparound)
+            # flag only genuine long×long products: both sides of a
+            # `*` reference #id-L-typed attributes
+            if re.search(r"#\d+L\)* \* ", blob) and re.search(
+                r" \* \(*[a-zA-Z_]+[^ )]*#\d+L", blob
+            ):
+                offenders.append((name, blob[:120]))
+                break
+    assert not offenders, (
+        "BIGINT moment sums without decimal routing (int64 wraparound "
+        f"risk at scale): {offenders}"
+    )
