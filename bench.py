@@ -46,6 +46,18 @@ BENCH_QUERIES = (
 )
 
 
+def _warm_tables(spark, sf_dir: str) -> None:
+    """One full-column pass per table: hot page cache before run 1."""
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            df = spark.read.parquet(p)
+            df.selectExpr(
+                "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in df.columns) + "))"
+            ).collect()
+
+
 def _time_queries(spark, sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -73,8 +85,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     loadavg = [round(x, 2) for x in os.getloadavg()]
 
-    # Warm the JVM + parquet footers once so timings measure the plans.
+    # Warm the JVM + parquet footers once so timings measure the plans,
+    # and force one full-column pass over every input table so the OS
+    # page cache is hot before run 1 (a cold box inflates the whole
+    # suite ~1.5× — measured r7 — and best-of-2 within a query does not
+    # undo a suite-wide cold start).
     REGISTRY["a1_group_count"].fn(spark, sf_dir).count()
+    _warm_tables(spark, sf_dir)
 
     timings = _time_queries(spark, sf_dir)
     total = round(sum(timings.values()), 4)
@@ -102,6 +119,7 @@ def main() -> None:
             t0 = time.perf_counter()
             built = ensure_replica(spark, sf_dir, dest, factor=10)
             t_rep = round(time.perf_counter() - t0, 1)
+            _warm_tables(spark, dest)
             t2 = _time_queries(spark, dest)
             result["scale_points"] = [
                 {

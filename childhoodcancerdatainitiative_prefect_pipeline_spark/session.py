@@ -23,7 +23,16 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # 20m, not the old 64m: byte size is a proxy for the broadcast
+    # build, which is a SINGLE-THREADED hashed-relation construction.
+    # Measured r7 on the 10× replica: a ~40 MB filtered fact side
+    # slipped under 64m and q3's orders⋈lineitem became a broadcast
+    # whose build cost 3.4 s vs 1.3 s for the parallel SMJ (the 30×
+    # replica flipped to SMJ on its own and ran FASTER than 10×).
+    # 20m keeps every post-pruning dimension broadcast (region/nation/
+    # supplier/customer key columns are ≤ single-digit MB even at 30×)
+    # while demoting fact-side relations past ~1M rows.
+    "spark.sql.autoBroadcastJoinThreshold": "20m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     # Parquet TIMESTAMP(NANOS) columns (events.ts) are read as long
