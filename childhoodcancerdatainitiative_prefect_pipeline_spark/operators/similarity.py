@@ -751,6 +751,48 @@ def pq_rerank(
 # ---------------------------------------------------------------------------
 
 
+def flatten_vectors(
+    df: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix: str = "v",
+) -> DataFrame:
+    """(id, {prefix}0..{prefix}{dims-1}) — vector exploded to scalar
+    DOUBLE columns (SoA layout).
+
+    Why this exists (measured, r7): an unrolled ``dims``-term dot over
+    ARRAY columns evaluated per JOIN PAIR generates ~2·dims array
+    extractions in one whole-stage-codegen method; past ~32 mixed-side
+    extractions the method outgrows the JVM's JIT budget and the whole
+    stage runs as interpreted bytecode (64-dim dot: 7 µs/pair vs
+    0.2 µs JIT'd — a silent 20-35× cliff; SCALE.md r7).  The same dot
+    over FLAT double columns is plain UnsafeRow field reads and stays
+    JIT-compiled at any practical ``dims``.  Flatten once per corpus,
+    join the flat frames, and compute dots with ``dot_flat``.
+    """
+    arr = as_double_array(vec_col)
+    return df.select(
+        F.col(id_col),
+        *[F.element_at(arr, i + 1).alias(f"{prefix}{i}") for i in range(dims)],
+    )
+
+
+def dot_flat(prefix_a: str, prefix_b: str, dims: int) -> Column:
+    """Left-associative product-sum over two flat column families.
+
+    Same term order as ``dot_unrolled`` on the equivalent arrays, so
+    results are bit-identical — certified oracle hashes are preserved
+    when a plan switches from array to flat layout.
+    """
+    expr: Column | None = None
+    for i in range(dims):
+        t = F.col(f"{prefix_a}{i}") * F.col(f"{prefix_b}{i}")
+        expr = t if expr is None else (expr + t)
+    assert expr is not None
+    return expr
+
+
 def knn_graph_edges(
     embeddings: DataFrame,
     dims: int,
@@ -773,33 +815,50 @@ def knn_graph_edges(
     hash-certifiable (the sim_ivf_topk_det discipline).
 
     Scale notes pinned by the 10× probe (SCALE.md): the corpus frame
-    is localCheckpoint-ed once (feeds centroid pick, assignment,
-    probe ranking AND re-rank); the probe⋈assigned fan-out explicitly
-    repartitions on query_id because AQE coalesces the small⋈small
-    join to ~1 task and would serialize the re-rank (measured 190 s →
-    8 s); dot products statically unroll for whole-stage codegen.
+    is flattened to SCALAR vector columns (see ``flatten_vectors`` —
+    array-element dots above a join fall off the JVM JIT cliff; the
+    flat layout cut the 10× build 4-5×); BOTH column families the
+    re-rank needs (candidate ``v*`` and query ``q*``) are computed in
+    the ONE flatten pass and checkpointed together, because a wide
+    Project that merely RENAMES N flat columns makes the non-AQE
+    ``.rdd``/checkpoint compile path exponentially slow in N (measured:
+    16 renamed columns = 32 s, 32 = minutes — a Catalyst constraint-
+    propagation pathology; selects here carry at most ONE alias).
+    Centroids flatten separately from the FILTERED source (partition-
+    pruned scan) rather than renaming 64 columns of the corpus frame.
+    The probe⋈assigned fan-out explicitly repartitions on query_id
+    because AQE coalesces the small⋈small join to ~1 task and would
+    serialize the re-rank (measured 190 s → 8 s); dot products
+    statically unroll for whole-stage codegen.
     """
+    vcols = [f"v{i}" for i in range(dims)]
+    arr = as_double_array(vec_col)
+    # one pass: candidate family v*, query family q* (identical values,
+    # distinct names so the pair join needs no wide rename), one norm
+    # expression per family (bit-identical)
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        as_double_array(vec_col).alias("v"),
+        *[F.element_at(arr, i + 1).alias(f"v{i}") for i in range(dims)],
+        *[F.element_at(arr, i + 1).alias(f"q{i}") for i in range(dims)],
     ).withColumn(
-        "nrm", F.sqrt(dot_unrolled(F.col("v"), F.col("v"), dims))
+        "nrm", F.sqrt(dot_flat("v", "v", dims))
+    ).withColumn(
+        "qnrm", F.sqrt(dot_flat("q", "q", dims))
     ).localCheckpoint()
     p = max(2, int(e.count() ** 0.5))
-    cents = e.filter(F.col("vec_id") % p == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cnrm"),
-    )
+    cents = flatten_vectors(
+        embeddings.filter(F.col(id_col) % p == 0), dims,
+        id_col=id_col, vec_col=vec_col, prefix="c",
+    ).withColumnRenamed(id_col, "cid").withColumn(
+        "cnrm", F.sqrt(dot_flat("c", "c", dims))
+    ).localCheckpoint()
     qcos = F.round(
-        dot_unrolled(F.col("v"), F.col("cv"), dims)
-        / (F.col("nrm") * F.col("cnrm")),
-        6,
+        dot_flat("v", "c", dims) / (F.col("nrm") * F.col("cnrm")), 6
     )
     ranked = (
-        e.select(F.col("vec_id").alias("query_id"), "v", "nrm")
+        e.select(F.col("vec_id").alias("query_id"), *vcols, "nrm")
         .crossJoin(F.broadcast(cents))
-        .withColumn("qc", qcos)
+        .select("query_id", "cid", qcos.alias("qc"))
         .withColumn(
             "rn",
             F.row_number().over(
@@ -822,22 +881,18 @@ def knn_graph_edges(
             spark.sparkContext.defaultParallelism * 2, "query_id"
         )
     )
+    qside = e.select(
+        F.col("vec_id").alias("query_id"),
+        *[f"q{i}" for i in range(dims)],
+        "qnrm",
+    )
     scored = (
-        cand.join(e, "vec_id")
-        .join(
-            e.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("v").alias("qv"),
-                F.col("nrm").alias("qnrm"),
-            ),
-            "query_id",
-        )
+        cand.join(e.select("vec_id", *vcols, "nrm"), "vec_id")
+        .join(qside, "query_id")
         .withColumn(
             "cosine_sim",
             F.round(
-                dot_unrolled(F.col("v"), F.col("qv"), dims)
-                / (F.col("nrm") * F.col("qnrm")),
-                6,
+                dot_flat("v", "q", dims) / (F.col("nrm") * F.col("qnrm")), 6
             ),
         )
     )
