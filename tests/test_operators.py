@@ -2857,3 +2857,34 @@ def test_dot_unrolled_bit_identical_to_hof_fold(spark):
         dot_unrolled(F.col("v"), F.col("v"), 64).alias("unrolled"),
     ).collect()
     assert rows and all(r["hof"] == r["unrolled"] for r in rows)
+
+
+def test_dot_flat_bit_identical_to_dot_unrolled(spark):
+    """dot_flat over flattened scalar columns keeps dot_unrolled's
+    left-associative term order, so results are bit-identical — which
+    is what let the kNN edge build switch to the JIT-safe SoA layout
+    without touching its certified oracles (SCALE.md r7)."""
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.similarity import (
+        dot_flat,
+        dot_unrolled,
+        flatten_vectors,
+    )
+
+    e = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(200)
+    flat = flatten_vectors(e, 64).withColumn(
+        "flat_dot", dot_flat("v", "v", 64)
+    ).select("vec_id", "flat_dot")
+    arr = e.select(
+        "vec_id",
+        dot_unrolled(
+            F.col("embedding").cast("array<double>"),
+            F.col("embedding").cast("array<double>"),
+            64,
+        ).alias("arr_dot"),
+    )
+    rows = flat.join(arr, "vec_id").collect()
+    assert rows and all(r["flat_dot"] == r["arr_dot"] for r in rows)

@@ -562,3 +562,18 @@ def test_no_unrouted_bigint_moment_sums(spark, sf_dir):
         "BIGINT moment sums without decimal routing (int64 wraparound "
         f"risk at scale): {offenders}"
     )
+
+
+def test_knn_graph_no_array_extraction_above_checkpoints(spark, sf_dir):
+    """The kNN edge build must keep per-pair scoring on FLAT columns.
+
+    An unrolled dot over ARRAY columns evaluated per join pair falls
+    off the JVM JIT budget past ~32 mixed-side element_at extractions
+    and runs interpreted (measured 20-35x; SCALE.md r7).  All array
+    extraction happens in the flatten pass BELOW the localCheckpoint
+    boundary, so the final plan — whose scans are checkpointed RDDs —
+    must contain no element_at at all.
+    """
+    plan = _plan(REGISTRY["graph_triangle_count_knn"].fn(spark, sf_dir))
+    assert "element_at" not in plan
+    assert "ExistingRDD" in plan  # the flatten checkpoint boundary
