@@ -8,11 +8,19 @@ Exit 0 = all green; prints one line per query.
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from collections import Counter
 
 sys.path.insert(0, "/root/repo")
+# Python WORKERS (the Arrow-UDF decode stages) resolve the package via
+# PYTHONPATH, not the driver's sys.path — without this, running the
+# script from any cwd other than the repo root fails exactly the 14
+# multimodal entries with ModuleNotFoundError in the executor.
+os.environ["PYTHONPATH"] = (
+    "/root/repo" + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 import duckdb  # noqa: E402
 
