@@ -265,7 +265,31 @@ _CERTIFY_FIRST = [
 ]
 
 
-def _already_certified() -> set[str]:
+def _fingerprint(q) -> str:
+    """Certification fingerprint: oracle SQL text + Spark fn source.
+
+    A cheap stand-in for a full plan digest (ADVICE r7 item 3): when an
+    entry's oracle or its registered function is reworked after it was
+    driver-certified, the recorded fingerprint in
+    ``CERT_FINGERPRINTS.json`` no longer matches and the entry rotates
+    back into the verification window instead of shipping a stale
+    green.  Helper functions called *by* the fn are not hashed — a
+    deliberate cost/benefit cut; registry fns are thin and reworks of
+    shared operators land with a registry-side alias or doc change in
+    practice.
+    """
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(q.fn)
+    except (OSError, TypeError):  # builtins/partials: fall back to repr
+        src = repr(q.fn)
+    body = (q.oracle or "") + "\n---\n" + src
+    return hashlib.sha256(body.encode()).hexdigest()[:16]
+
+
+def _already_certified(artifact_dir=None, registry=None) -> set[str]:
     """Names already green in a past round's CORRECTNESS_r*.json.
 
     Reading the driver's own artifacts makes the rotation automatic:
@@ -273,17 +297,29 @@ def _already_certified() -> set[str]:
     round's 50-query window lands on never-yet-certified entries
     without hand-maintaining the list between rounds.
 
-    An entry that NOW has an oracle counts as certified only on a
-    recorded hash match — a past rows-only pass (hash_match=None from
-    before the entry's oracle upgrade) must rotate forward again so
-    the stronger check gets a window slot (r7: the three stream_*
-    rollup upgrades).
+    Three rules decide whether a past green still counts:
+
+    1. hash_match=True → certified.
+    2. hash_match=None (rows-only pass) counts only for entries that
+       are STILL rows-only today — an entry that since grew an oracle
+       must rotate forward again so the stronger check gets a window
+       slot (r7: the three stream_* rollup upgrades).
+    3. A recorded CERT_FINGERPRINTS.json fingerprint that no longer
+       matches the entry's current oracle+source voids the
+       certification (the entry was reworked after its hash pass) and
+       rotates it forward (ADVICE r7 item 3).
+
+    ``artifact_dir``/``registry`` exist for the unit test
+    (tests/test_entry_rotation.py); production callers use defaults.
     """
     import json
     from pathlib import Path
 
+    adir = Path(artifact_dir) if artifact_dir else Path(__file__).parent
+    reg = registry if registry is not None else REGISTRY
+
     done: set[str] = set()
-    for f in sorted(Path(__file__).parent.glob("CORRECTNESS_r*.json")):
+    for f in sorted(adir.glob("CORRECTNESS_r*.json")):
         try:
             data = json.loads(f.read_text())
         except (OSError, ValueError):
@@ -300,11 +336,23 @@ def _already_certified() -> set[str]:
             # None (rows-only pass) only counts for entries that are
             # still rows-only today.
             if hm is True or (
-                hm is None
-                and k in REGISTRY
-                and REGISTRY[k].oracle is None
+                hm is None and k in reg and reg[k].oracle is None
             ):
                 done.add(k)
+
+    # Rule 3: void certifications whose recorded fingerprint drifted.
+    try:
+        fps = json.loads((adir / "CERT_FINGERPRINTS.json").read_text())
+    except (OSError, ValueError):
+        fps = {}
+    if fps:
+        done = {
+            k
+            for k in done
+            if k not in fps
+            or k not in reg
+            or fps[k].get("fp") == _fingerprint(reg[k])
+        }
     return done
 
 

@@ -2093,8 +2093,12 @@ _STREAM_SESSION_ORACLE = """WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
 sess AS (
   SELECT user_id, us, vd,
+         -- RANGE (not ROWS): duplicate (user_id, ts) rows at a session
+         -- break must share the tie group's cumulative brk so peers land
+         -- in ONE session, matching Spark's session_window merge of
+         -- equal-timestamp events (ADVICE r7 item 1).
          SUM(brk) OVER (PARTITION BY user_id ORDER BY us
-                        ROWS UNBOUNDED PRECEDING) AS sid
+                        RANGE UNBOUNDED PRECEDING) AS sid
   FROM marked)
 SELECT CAST(MIN(us) AS BIGINT) AS session_start_us,
        CAST(MAX(us) + 1800000000 AS BIGINT) AS session_end_us,

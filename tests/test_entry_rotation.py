@@ -1,0 +1,126 @@
+"""Driver-window rotation rules (__spark_entry__._already_certified).
+
+VERDICT r7 item 8: the rotation encodes subtle rules — pin them over a
+synthetic CORRECTNESS history so a future refactor can't silently
+change which entries get driver-window slots:
+
+1. hash_match=True              -> certified (sinks to back).
+2. hash_match=False             -> NOT certified (real failure).
+3. hash_match=None, rows-only   -> certified (weaker check is all it
+                                   can ever earn).
+4. hash_match=None, now-oracle  -> NOT certified (oracle upgrade must
+                                   re-front the entry).
+5. err set (incl. 'no_oracle')  -> NOT certified.
+6. fingerprint drift            -> certification VOIDED even after a
+                                   hash pass (ADVICE r7 item 3).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from types import SimpleNamespace
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+
+
+def _fake_registry():
+    def fn_a(spark, sf):  # pragma: no cover - source only hashed
+        return 1
+
+    def fn_b(spark, sf):  # pragma: no cover
+        return 2
+
+    def fn_c(spark, sf):  # pragma: no cover
+        return 3
+
+    return {
+        "hash_pass": SimpleNamespace(fn=fn_a, oracle="SELECT 1"),
+        "hash_fail": SimpleNamespace(fn=fn_a, oracle="SELECT 2"),
+        "rows_only": SimpleNamespace(fn=fn_b, oracle=None),
+        "upgraded": SimpleNamespace(fn=fn_b, oracle="SELECT 3"),
+        "errored": SimpleNamespace(fn=fn_c, oracle="SELECT 4"),
+        "reworked": SimpleNamespace(fn=fn_c, oracle="SELECT 5"),
+    }
+
+
+def _write_history(tmp_path, registry, reworked_fp="stale"):
+    rec_ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+              "spark_rows": 1, "oracle_rows": 1, "err": None}
+    rec_fail = dict(rec_ok, hash_match=False)
+    rec_rows = {"rows_match": True, "schema_match": True, "hash_match": None,
+                "spark_rows": 1, "oracle_rows": None, "err": None}
+    rec_err = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": 1, "oracle_rows": None, "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "hash_pass": rec_ok,
+        "hash_fail": rec_fail,
+        "rows_only": rec_rows,   # rows-only then, rows-only now
+        "upgraded": rec_rows,    # rows-only then, HAS oracle now
+        "errored": rec_err,
+        "reworked": rec_ok,      # hash pass then, source changed since
+    }))
+    fp_real = entrymod._fingerprint(registry["hash_pass"])
+    (tmp_path / "CERT_FINGERPRINTS.json").write_text(json.dumps({
+        "hash_pass": {"fp": fp_real, "round": "r01"},
+        "reworked": {"fp": reworked_fp, "round": "r01"},
+    }))
+
+
+def test_rotation_rules(tmp_path):
+    reg = _fake_registry()
+    _write_history(tmp_path, reg)
+    done = entrymod._already_certified(artifact_dir=tmp_path, registry=reg)
+    assert "hash_pass" in done          # rule 1
+    assert "hash_fail" not in done      # rule 2
+    assert "rows_only" in done          # rule 3
+    assert "upgraded" not in done       # rule 4
+    assert "errored" not in done        # rule 5
+    assert "reworked" not in done       # rule 6 (fingerprint drift)
+
+
+def test_unfingerprinted_entry_stays_certified(tmp_path):
+    """Entries certified before the fingerprint file existed keep their
+    status (the updater backfills them at the next round boundary)."""
+    reg = _fake_registry()
+    _write_history(tmp_path, reg)
+    fps = json.loads((tmp_path / "CERT_FINGERPRINTS.json").read_text())
+    del fps["reworked"]
+    (tmp_path / "CERT_FINGERPRINTS.json").write_text(json.dumps(fps))
+    done = entrymod._already_certified(artifact_dir=tmp_path, registry=reg)
+    assert "reworked" in done
+
+
+def test_matching_fingerprint_keeps_certification(tmp_path):
+    reg = _fake_registry()
+    _write_history(
+        tmp_path, reg, reworked_fp=entrymod._fingerprint(reg["reworked"])
+    )
+    done = entrymod._already_certified(artifact_dir=tmp_path, registry=reg)
+    assert "reworked" in done
+
+
+def test_updater_script_mirrors_fingerprint():
+    """scripts/update_cert_fingerprints.py duplicates the algorithm for
+    --from-tree use against old checkouts; the two must stay in sync."""
+    sys.path.insert(0, "/root/repo/scripts")
+    import update_cert_fingerprints as upd
+
+    reg = _fake_registry()
+    for q in reg.values():
+        assert upd._fingerprint(q) == entrymod._fingerprint(q)
+
+
+def test_live_window_fronts_uncertified():
+    """On the real repo: every non-certified entry must sort strictly
+    before every certified one in the driver's queries() ordering."""
+    names = list(entrymod.queries())
+    cert = entrymod._already_certified()
+    seen_cert = False
+    for n in names:
+        if n in cert:
+            seen_cert = True
+        else:
+            assert not seen_cert, f"uncertified {n} sorted after certified"
