@@ -103,6 +103,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "loadavg": loadavg,
+        # r7 VERDICT item 1 ("what's wrong"): a headline measured on a
+        # loaded box is weather, not signal.  quiet=false marks the
+        # artifact as contaminated; readers should prefer the last
+        # quiet run (SCALE.md keeps the history).
+        "quiet": loadavg[0] < 4.0,
     }
 
     # Second scale point: 10× key-shifted replica (≈ sf1), reused
@@ -134,6 +139,12 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001 - secondary measurement
             result["scale_points_error"] = f"{type(ex).__name__}: {ex}"
 
+    if not result["quiet"]:
+        print(
+            f"WARNING: loadavg {loadavg[0]} > 4 — timings reflect box "
+            "pressure, rerun on a quiet box for a headline number",
+            file=sys.stderr,
+        )
     print(json.dumps(result))
     spark.stop()
 

@@ -125,19 +125,63 @@ def _idct_place_python(
                 plane[row + xx] = min(255, max(0, v))
 
 
+def _batched_idct(coef, m):
+    """(n,8,8) inverse DCT with the SAME accumulation order as
+    :func:`_idct` (x→u ascending, then v ascending): each step is one
+    elementwise multiply+add over the batch, so every double matches
+    the scalar reference bit-for-bit — no BLAS reassociation can move
+    a value across a .5 rounding boundary (ADVICE r7 item 2)."""
+    import numpy as np
+
+    n = coef.shape[0]
+    tmp = np.zeros((n, 8, 8), dtype=np.float64)  # tmp[b,x,v]
+    for u in range(8):
+        # skipping an all-zero slice is bit-exact: it would only add
+        # ±0.0 products, which never change any accumulated double
+        if coef[:, u, :].any():
+            tmp += m[u, :][None, :, None] * coef[:, u, None, :]
+    out = np.zeros((n, 8, 8), dtype=np.float64)  # out[b,x,y]
+    for v in range(8):
+        if tmp[:, :, v].any():
+            out += tmp[:, :, v, None] * m[v, None, :][None, :, :]
+    return out
+
+
+def _batched_fdct(blocks, m):
+    """(n,8,8) forward DCT mirroring :func:`_fdct`'s accumulation
+    order (u→x ascending, then y ascending); see :func:`_batched_idct`
+    for why the order is pinned."""
+    import numpy as np
+
+    n = blocks.shape[0]
+    tmp = np.zeros((n, 8, 8), dtype=np.float64)  # tmp[b,u,y]
+    for x in range(8):
+        tmp += m[:, x][None, :, None] * blocks[:, x, None, :]
+    out = np.zeros((n, 8, 8), dtype=np.float64)  # out[b,u,v]
+    for y in range(8):
+        out += tmp[:, :, y, None] * m[:, y][None, None, :]
+    return out
+
+
 def _idct_place_numpy(
     plane: bytearray, cols: int, blocks, qt: list[int]
 ) -> None:
-    """Vectorized kernel: one (n,8,8) batched Mᵀ·F·M for the scan."""
+    """Vectorized kernel: one (n,8,8) batched fixed-order IDCT."""
     import numpy as np
 
+    from itertools import chain
+
     n = len(blocks)
-    zzm = np.array([b[2] for b in blocks], dtype=np.float64)  # (n,64)
+    zzm = np.fromiter(
+        chain.from_iterable(b[2] for b in blocks),
+        dtype=np.float64,
+        count=n * 64,
+    ).reshape(n, 64)
     deq = zzm * np.asarray(qt, dtype=np.float64)
     coef = np.empty((n, 64), dtype=np.float64)
     coef[:, ZIGZAG] = deq  # de-zigzag: coef[natural ZIGZAG[i]] = deq[i]
     m = np.asarray(_M, dtype=np.float64)
-    px = m.T @ coef.reshape(n, 8, 8) @ m
+    px = _batched_idct(coef.reshape(n, 8, 8), m)
     v = np.rint(px).astype(np.int64) + 128
     np.clip(v, 0, 255, out=v)
     by = np.fromiter((b[0] for b in blocks), dtype=np.int64, count=n)
@@ -247,11 +291,11 @@ def _rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
     return clamp(y), clamp(cb), clamp(cr)
 
 
-def _encode_block(
-    plane: list[list[int]], bx: int, by: int, quant: int, pred: int,
-    writer: _BitWriter,
-) -> int:
-    """FDCT + quantize + entropy-code one 8×8 block; returns new DC pred."""
+def _block_zigzag(
+    plane: list[list[int]], bx: int, by: int, quant: int
+) -> list[int]:
+    """Scalar reference: extract (edge-clamped) + FDCT + quantize +
+    zigzag one 8×8 block."""
     h = len(plane)
     w = len(plane[0])
     block = [0.0] * 64
@@ -261,7 +305,51 @@ def _encode_block(
             block[y * 8 + x] = plane[sy][min(bx + x, w - 1)] - 128.0
     coef = _fdct(block)
     q = [int(round(c / quant)) for c in coef]
-    zz = [q[ZIGZAG[i]] for i in range(64)]
+    return [q[ZIGZAG[i]] for i in range(64)]
+
+
+def _batch_component_zigzag(
+    plane: list[list[int]], hs: int, vs: int, mcux: int, mcuy: int,
+    quant: int,
+):
+    """All of one component's blocks, MCU-major, through ONE batched
+    fixed-order FDCT (the encode hot loop: _fdct was ~70% of scalar
+    encode time).  Returns a list of 64-int zigzag lists in exactly
+    the order the scalar MCU walk would emit them; byte-identical to
+    :func:`_block_zigzag` because the batched transform replicates the
+    scalar accumulation order (see _batched_fdct) and np.rint rounds
+    half-even like Python round."""
+    import numpy as np
+
+    h = len(plane)
+    w = len(plane[0])
+    rows, cols = mcuy * vs * 8, mcux * hs * 8
+    arr = np.asarray(plane, dtype=np.float64)
+    # edge replication == the scalar path's min(y, h-1)/min(x, w-1)
+    arr = np.pad(arr, ((0, rows - h), (0, cols - w)), mode="edge") - 128.0
+    blocks = (
+        arr.reshape(rows // 8, 8, cols // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )  # raster block order: block_row-major
+    # reorder raster → MCU-major: for my, mx, by, bx
+    my, by_, mx, bx_ = np.meshgrid(
+        np.arange(mcuy), np.arange(vs), np.arange(mcux), np.arange(hs),
+        indexing="ij",
+    )
+    raster = (
+        (my * vs + by_) * (mcux * hs) + (mx * hs + bx_)
+    ).transpose(0, 2, 1, 3).reshape(-1)
+    m = np.asarray(_M, dtype=np.float64)
+    coef = _batched_fdct(blocks[raster], m).reshape(-1, 64)
+    q = np.rint(coef / float(quant)).astype(np.int64)
+    return q[:, ZIGZAG].tolist()
+
+
+def _entropy_encode_block(
+    zz: list[int], pred: int, writer: _BitWriter
+) -> int:
+    """Huffman/run-length code one zigzag block; returns new DC pred."""
     diff = zz[0] - pred
     s, bits = _magnitude(diff)
     code, length = _ENC_DC[s]
@@ -376,6 +464,22 @@ def encode_jpeg(
     vmax = max(v for _, v in sampling)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    # Transform stage: every block of every component through the
+    # batched fixed-order FDCT when numpy is available (MCU-major
+    # queues), else the scalar reference per block in the walk below.
+    queues: list | None
+    try:
+        queues = [
+            _batch_component_zigzag(
+                planes[ci], hs, vs, mcux, mcuy, quant
+            )
+            for ci, (hs, vs) in enumerate(sampling)
+        ]
+    except ImportError:
+        queues = None
+    qpos = [0] * ncomp
+
     writer = _BitWriter()
     preds = [0] * ncomp
     mcu_index = 0
@@ -393,13 +497,18 @@ def encode_jpeg(
             for ci, (hs, vs) in enumerate(sampling):
                 for by in range(vs):
                     for bx in range(hs):
-                        preds[ci] = _encode_block(
-                            planes[ci],
-                            (mx * hs + bx) * 8,
-                            (my * vs + by) * 8,
-                            quant,
-                            preds[ci],
-                            writer,
+                        if queues is not None:
+                            zz = queues[ci][qpos[ci]]
+                            qpos[ci] += 1
+                        else:
+                            zz = _block_zigzag(
+                                planes[ci],
+                                (mx * hs + bx) * 8,
+                                (my * vs + by) * 8,
+                                quant,
+                            )
+                        preds[ci] = _entropy_encode_block(
+                            zz, preds[ci], writer
                         )
     writer.flush()
     out += writer.out
@@ -494,13 +603,25 @@ class _BitReader:
         raise ValueError("expected marker, hit end of stream")
 
 
+#: (bits, vals) → built table.  MJPEG streams re-declare identical DHT
+#: segments every frame — building tables was ~16% of frame decode.
+_HUFF_CACHE: dict[tuple[bytes, bytes], dict] = {}
+
+
 def _build_huffman(bits: list[int], vals: bytes) -> dict:
     """Canonical table: (length, code) → symbol, plus an 8-bit prefix
     LUT (symbol, length) for codes ≤ 8 bits — the JPEG-standard fast
     decode: one peek resolves the overwhelmingly common short codes,
-    the canonical map handles the 9-16 bit tail."""
+    the canonical map handles the 9-16 bit tail.  A full 16-bit LUT
+    (``lut16``, packed (sym << 5) | length, 0 = invalid) backs the
+    table-driven scan kernel; both are cached per (bits, vals)."""
+    key = (bytes(bits), bytes(vals))
+    hit = _HUFF_CACHE.get(key)
+    if hit is not None:
+        return hit
     table: dict[tuple[int, int], int] = {}
     lut: list[tuple[int, int] | None] = [None] * 256
+    lut16 = [0] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
@@ -511,10 +632,19 @@ def _build_huffman(bits: list[int], vals: bytes) -> dict:
                 entry = (vals[k], length)
                 for i in range(1 << (8 - length)):
                     lut[base + i] = entry
+            base16 = code << (16 - length)
+            span = 1 << (16 - length)
+            lut16[base16 : base16 + span] = [
+                (vals[k] << 5) | length
+            ] * span
             code += 1
             k += 1
         code <<= 1
-    return {"map": table, "lut": lut}
+    built = {"map": table, "lut": lut, "lut16": lut16}
+    if len(_HUFF_CACHE) >= 64:  # bound worker-lifetime growth
+        _HUFF_CACHE.clear()
+    _HUFF_CACHE[key] = built
+    return built
 
 
 def _huff_decode(reader: _BitReader, table: dict) -> int:
@@ -534,6 +664,244 @@ def _huff_decode(reader: _BitReader, table: dict) -> int:
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code")
+
+
+def _decode_scan_python(
+    payload, pos, comps, by_id, scan, htables, restart_interval,
+    mcux, mcuy,
+):
+    """Reference scan kernel: the original _BitReader MCU walk."""
+    reader = _BitReader(payload, pos)
+    preds = {c["id"]: 0 for c in comps}
+    pending: dict[int, list] = {c["id"]: [] for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                marker = reader.align_to_marker()
+                if not 0xD0 <= marker <= 0xD7:
+                    raise ValueError(f"expected RST, got 0x{marker:02X}")
+                preds = {c["id"]: 0 for c in comps}
+            for sc in scan:
+                comp = by_id[sc["id"]]
+                dc_t = htables[(0, sc["td"])]
+                ac_t = htables[(1, sc["ta"])]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        s = _huff_decode(reader, dc_t)
+                        diff = _extend(reader.read_bits(s), s)
+                        preds[comp["id"]] += diff
+                        zz = [0] * 64
+                        zz[0] = preds[comp["id"]]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(reader, ac_t)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overrun")
+                            zz[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+                        base_y = (my * comp["v"] + by) * 8
+                        base_x = (mx * comp["h"] + bx) * 8
+                        pending[comp["id"]].append((base_y, base_x, zz))
+            mcu_count += 1
+    return pending
+
+
+def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
+    """Entropy stream → destuffed byte segments split at RST markers.
+
+    Destuffing ONCE up front (bytes.replace, C speed) removes the
+    0xFF-stuffing branch from the per-symbol hot loop entirely.
+    """
+    segs = []
+    start = i = pos
+    n = len(data)
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0:
+            segs.append(data[start:n])
+            break
+        if j + 1 >= n:  # lone trailing 0xFF: truncated stream
+            segs.append(data[start:j])
+            break
+        nxt = data[j + 1]
+        if nxt == 0x00:
+            i = j + 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            segs.append(data[start:j])
+            start = i = j + 2
+            continue
+        segs.append(data[start:j])  # EOI or other marker ends the scan
+        break
+    return [s.replace(b"\xff\x00", b"\xff") for s in segs]
+
+
+def _decode_scan_fast(
+    payload, pos, comps, by_id, scan, htables, restart_interval,
+    mcux, mcuy,
+):
+    """Table-driven scan kernel (VERDICT r7 item 2): destuffed
+    segments + a 16-bit-peek Huffman LUT + inline bit accumulator —
+    no per-bit method calls, no stuffing checks in the loop.  Output
+    (positions + zigzag coefficient lists) is identical to
+    :func:`_decode_scan_python`; equivalence is pinned across a
+    fixture battery in tests/test_operators.py.
+    """
+    segs = _entropy_segments(payload, pos)
+    plan = []
+    for sc in scan:
+        comp = by_id[sc["id"]]
+        plan.append((
+            sc["id"],
+            comp["v"] * comp["h"],
+            htables[(0, sc["td"])]["lut16"],
+            htables[(1, sc["ta"])]["lut16"],
+        ))
+    out: dict[int, list] = {c["id"]: [] for c in comps}
+    preds = {c["id"]: 0 for c in comps}
+    seg = segs[0]
+    end = len(seg)
+    p = 0
+    acc = 0
+    nb = 0
+    seg_i = 0
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("expected RST, hit end of stream")
+            seg = segs[seg_i]
+            end = len(seg)
+            p = 0
+            acc = 0
+            nb = 0
+            preds = {c["id"]: 0 for c in comps}
+        for cid, nblk, dc16, ac16 in plan:
+            pred = preds[cid]
+            olist = out[cid]
+            for _ in range(nblk):
+                # --- DC coefficient ---
+                if nb < 27 and p < end:
+                    acc &= (1 << nb) - 1
+                    while nb < 27 and p < end:
+                        acc = (acc << 8) | seg[p]
+                        p += 1
+                        nb += 8
+                v16 = (
+                    (acc >> (nb - 16)) & 0xFFFF
+                    if nb >= 16
+                    else (acc << (16 - nb)) & 0xFFFF
+                )
+                e = dc16[v16]
+                ln = e & 31
+                if e == 0 or ln > nb:
+                    raise ValueError(
+                        "entropy data exhausted"
+                        if p >= end and nb < 16
+                        else "invalid Huffman code"
+                    )
+                nb -= ln
+                s = e >> 5
+                if s:
+                    if nb < s:
+                        raise ValueError("entropy data exhausted")
+                    nb -= s
+                    bits = (acc >> nb) & ((1 << s) - 1)
+                    pred += (
+                        bits - (1 << s) + 1
+                        if bits < (1 << (s - 1))
+                        else bits
+                    )
+                zz = [0] * 64
+                zz[0] = pred
+                k = 1
+                # --- AC run-length loop ---
+                while k < 64:
+                    if nb < 27 and p < end:
+                        acc &= (1 << nb) - 1
+                        while nb < 27 and p < end:
+                            acc = (acc << 8) | seg[p]
+                            p += 1
+                            nb += 8
+                    v16 = (
+                        (acc >> (nb - 16)) & 0xFFFF
+                        if nb >= 16
+                        else (acc << (16 - nb)) & 0xFFFF
+                    )
+                    e = ac16[v16]
+                    ln = e & 31
+                    if e == 0 or ln > nb:
+                        raise ValueError(
+                            "entropy data exhausted"
+                            if p >= end and nb < 16
+                            else "invalid Huffman code"
+                        )
+                    nb -= ln
+                    sym = e >> 5
+                    if sym == 0:  # EOB
+                        break
+                    size = sym & 0x0F
+                    if size == 0:
+                        if sym != 0xF0:
+                            raise ValueError("bad AC symbol")
+                        k += 16  # ZRL
+                        continue
+                    k += sym >> 4
+                    if k > 63:
+                        raise ValueError("AC index overrun")
+                    if nb < size:
+                        raise ValueError("entropy data exhausted")
+                    nb -= size
+                    bits = (acc >> nb) & ((1 << size) - 1)
+                    zz[k] = (
+                        bits - (1 << size) + 1
+                        if bits < (1 << (size - 1))
+                        else bits
+                    )
+                    k += 1
+                olist.append(zz)
+            preds[cid] = pred
+    # Attach block positions: decode order per component is MCU-major
+    # (my, mx, by, bx), so position is a pure function of the index.
+    pending: dict[int, list] = {}
+    for c in comps:
+        v, hs = c["v"], c["h"]
+        per = v * hs
+        blocks = []
+        for i, zz in enumerate(out[c["id"]]):
+            mno, r = divmod(i, per)
+            byy, bxx = divmod(r, hs)
+            my, mx = divmod(mno, mcux)
+            blocks.append(
+                ((my * v + byy) * 8, (mx * hs + bxx) * 8, zz)
+            )
+        pending[c["id"]] = blocks
+    return pending
+
+
+_SCAN_KERNELS = {"python": _decode_scan_python, "fast": _decode_scan_fast}
+_scan_kernel_name = "fast"
+
+
+def set_scan_kernel(name: str) -> None:
+    """Select the entropy-decode scan kernel ('fast' default,
+    'python' reference)."""
+    global _scan_kernel_name
+    if name not in _SCAN_KERNELS:
+        raise ValueError(f"unknown scan kernel {name!r}")
+    _scan_kernel_name = name
 
 
 def _decode_planes(payload: bytes):
@@ -638,54 +1006,16 @@ def _decode_planes(payload: bytes):
         if (0, sc["td"]) not in htables or (1, sc["ta"]) not in htables:
             raise ValueError("missing Huffman table for scan")
 
-    reader = _BitReader(payload, pos)
-    preds = {c["id"]: 0 for c in comps}
     # Entropy decoding is inherently serial (DC prediction + bit
-    # stream), but the IDCT is not: buffer every block's (position,
-    # coefficients) here and batch them through the selected kernel
-    # per component — one vectorized Mᵀ·F·M for the whole scan.
-    pending: dict[int, list] = {c["id"]: [] for c in comps}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and (
-                mcu_count % restart_interval == 0
-            ):
-                marker = reader.align_to_marker()
-                if not 0xD0 <= marker <= 0xD7:
-                    raise ValueError(f"expected RST, got 0x{marker:02X}")
-                preds = {c["id"]: 0 for c in comps}
-            for sc in scan:
-                comp = by_id[sc["id"]]
-                dc_t = htables[(0, sc["td"])]
-                ac_t = htables[(1, sc["ta"])]
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        s = _huff_decode(reader, dc_t)
-                        diff = _extend(reader.read_bits(s), s)
-                        preds[comp["id"]] += diff
-                        zz = [0] * 64
-                        zz[0] = preds[comp["id"]]
-                        k = 1
-                        while k < 64:
-                            sym = _huff_decode(reader, ac_t)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0x0F
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError("bad AC symbol")
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC index overrun")
-                            zz[k] = _extend(reader.read_bits(size), size)
-                            k += 1
-                        base_y = (my * comp["v"] + by) * 8
-                        base_x = (mx * comp["h"] + bx) * 8
-                        pending[comp["id"]].append((base_y, base_x, zz))
-            mcu_count += 1
+    # stream), but the IDCT is not: the scan kernel buffers every
+    # block's (position, coefficients) and batches them through the
+    # selected IDCT kernel per component — one vectorized fixed-order
+    # transform for the whole scan.
+    kernel = _SCAN_KERNELS[_scan_kernel_name]
+    pending = kernel(
+        payload, pos, comps, by_id, scan, htables,
+        restart_interval, mcux, mcuy,
+    )
     for c in comps:
         if pending[c["id"]]:
             _idct_place(
@@ -704,31 +1034,68 @@ def decode_jpeg(payload: bytes) -> dict:
     """
     w, h, comps, hmax, vmax = _decode_planes(payload)
     sum_r = sum_g = sum_b = 0
+    try:
+        import numpy as np
+    except ImportError:
+        np = None
     if len(comps) == 1:
         c = comps[0]
         cols = c["cols"]
         plane = c["plane"]
-        for y in range(h):
-            row = y * cols
-            s = sum(plane[row : row + w])
-            sum_r += s
+        if np is not None:
+            arr = np.frombuffer(plane, dtype=np.uint8)
+            rows = (np.arange(h, dtype=np.int64) * cols)[:, None]
+            sum_r = int(
+                arr[rows + np.arange(w, dtype=np.int64)[None, :]]
+                .astype(np.int64)
+                .sum()
+            )
+        else:
+            for y in range(h):
+                row = y * cols
+                sum_r += sum(plane[row : row + w])
         sum_g = sum_b = sum_r
     elif len(comps) == 3:
         cy, ccb, ccr = comps
-        for y in range(h):
-            yy = {
-                id(c): (y * c["v"] // vmax) * c["cols"] for c in comps
-            }
-            for x in range(w):
-                lum = cy["plane"][yy[id(cy)] + (x * cy["h"] // hmax)]
-                cb = ccb["plane"][yy[id(ccb)] + (x * ccb["h"] // hmax)]
-                cr = ccr["plane"][yy[id(ccr)] + (x * ccr["h"] // hmax)]
-                r = lum + 1.402 * (cr - 128)
-                g = lum - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
-                b = lum + 1.772 * (cb - 128)
-                sum_r += min(255, max(0, int(round(r))))
-                sum_g += min(255, max(0, int(round(g))))
-                sum_b += min(255, max(0, int(round(b))))
+        if np is not None:
+            # Vectorized upsample+transform: elementwise IEEE ops in
+            # the same expression structure as the scalar path, and
+            # np.rint rounds half-even like Python round → identical
+            # per-pixel values, just batched.
+            ax = np.arange(w, dtype=np.int64)
+            ay = np.arange(h, dtype=np.int64)
+
+            def samp(c):
+                a = np.frombuffer(c["plane"], dtype=np.uint8)
+                rows = (ay * c["v"] // vmax) * c["cols"]
+                xs = ax * c["h"] // hmax
+                return a[rows[:, None] + xs[None, :]].astype(np.float64)
+
+            lum, cb, cr = samp(cy), samp(ccb), samp(ccr)
+            r = lum + 1.402 * (cr - 128.0)
+            g = lum - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = lum + 1.772 * (cb - 128.0)
+            clipsum = lambda m: int(  # noqa: E731
+                np.clip(np.rint(m), 0.0, 255.0).astype(np.int64).sum()
+            )
+            sum_r, sum_g, sum_b = clipsum(r), clipsum(g), clipsum(b)
+        else:
+            for y in range(h):
+                yy = {
+                    id(c): (y * c["v"] // vmax) * c["cols"] for c in comps
+                }
+                for x in range(w):
+                    lum = cy["plane"][yy[id(cy)] + (x * cy["h"] // hmax)]
+                    cb = ccb["plane"][yy[id(ccb)] + (x * ccb["h"] // hmax)]
+                    cr = ccr["plane"][yy[id(ccr)] + (x * ccr["h"] // hmax)]
+                    r = lum + 1.402 * (cr - 128)
+                    g = (
+                        lum - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+                    )
+                    b = lum + 1.772 * (cb - 128)
+                    sum_r += min(255, max(0, int(round(r))))
+                    sum_g += min(255, max(0, int(round(g))))
+                    sum_b += min(255, max(0, int(round(b))))
     else:
         raise ValueError(f"unsupported component count {len(comps)}")
     return {
@@ -753,12 +1120,29 @@ def decode_jpeg_gray_grid(payload: bytes, grid: int = 8) -> list[int]:
     luma = comps[0]
     plane, cols = luma["plane"], luma["cols"]
     ch, cv = luma["h"], luma["v"]
-    cells = [0] * (grid * grid)
-    for y in range(h):
-        row = (y * cv // vmax) * cols
-        gy = y * grid // h
-        for x in range(w):
-            cells[gy * grid + x * grid // w] += plane[
-                row + (x * ch // hmax)
-            ]
-    return cells
+    try:
+        import numpy as np
+    except ImportError:
+        cells = [0] * (grid * grid)
+        for y in range(h):
+            row = (y * cv // vmax) * cols
+            gy = y * grid // h
+            for x in range(w):
+                cells[gy * grid + x * grid // w] += plane[
+                    row + (x * ch // hmax)
+                ]
+        return cells
+    arr = np.frombuffer(plane, dtype=np.uint8)
+    ay = np.arange(h, dtype=np.int64)
+    ax = np.arange(w, dtype=np.int64)
+    rows = (ay * cv // vmax) * cols
+    xs = ax * ch // hmax
+    sampled = arr[rows[:, None] + xs[None, :]].astype(np.int64)
+    gy = ay * grid // h
+    gx = ax * grid // w
+    idx = (gy[:, None] * grid + gx[None, :]).ravel()
+    # integer cell sums fit float64 exactly (≤ 255·w·h < 2^53)
+    cells = np.bincount(
+        idx, weights=sampled.ravel(), minlength=grid * grid
+    )
+    return [int(v) for v in cells]

@@ -75,3 +75,50 @@ def salted_join(
     )
     joined = probe_salted.join(build_salted, [*list(keys), SALT_COL], how)
     return joined.drop(SALT_COL)
+
+
+def _hot_predicate(keys: Sequence[str], hot_keys) -> "F.Column":
+    """Membership predicate for a SMALL driver-side hot-key list."""
+    keys = list(keys)
+    if len(keys) == 1:
+        return F.col(keys[0]).isin(list(hot_keys))
+    pred = F.lit(False)
+    for tup in hot_keys:
+        clause = F.lit(True)
+        for k, v in zip(keys, tup):
+            clause = clause & (F.col(k) == F.lit(v))
+        pred = pred | clause
+    return pred
+
+
+def salted_join_targeted(
+    probe: DataFrame,
+    build: DataFrame,
+    keys: Sequence[str],
+    hot_keys,
+    n_salts: int = 32,
+    how: str = "inner",
+) -> DataFrame:
+    """Salt ONLY the flagged hot keys; everything else joins plain.
+
+    The 100 TB shape: full-side salting replicates the entire build
+    side ``n_salts``× through the shuffle, which can cost more than
+    the skew it cures.  Here ``hot_keys`` (a small driver-side list,
+    e.g. from :func:`top_skewed_keys` — scalars for a single key,
+    tuples for composite keys) partitions the probe: cold rows take
+    the ordinary equi-join, hot rows take the salted join against a
+    build side FILTERED to the hot keys — so the replication cost is
+    n_salts × |hot build rows|, not n_salts × |build|.  The union is
+    exact because hot/cold partition the probe.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join_targeted supports inner and left")
+    hot_keys = list(hot_keys)
+    if not hot_keys:
+        return probe.join(build, list(keys), how)
+    pred = _hot_predicate(keys, hot_keys)
+    cold = probe.filter(~pred).join(build, list(keys), how)
+    hot = salted_join(
+        probe.filter(pred), build.filter(pred), keys, n_salts, how
+    )
+    return cold.unionByName(hot)

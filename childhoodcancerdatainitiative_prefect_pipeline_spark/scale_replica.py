@@ -52,6 +52,7 @@ SHIFT_BASE = {
 }
 
 _FACTOR_MARKER = "_REPLICA_FACTOR"
+_SKEW_MARKER = "_SKEW_ORDERS"
 
 
 def replicate_table(
@@ -109,3 +110,56 @@ def ensure_replica(
     with open(marker, "w") as f:
         f.write(str(factor))
     return True
+
+
+def ensure_skewed_orders(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    factor: int = 10,
+    hot_mod: int = 2,
+    hot_key: int = 1,
+) -> str:
+    """Write ``orders_skew.parquet`` next to the replica: the factor×
+    key-shifted orders with ``o_custkey`` remapped to ONE hot customer
+    for every ``o_orderkey % hot_mod == 0`` row (hot_mod=2 → ~50 % of
+    all orders point at a single customer — the "one study holds half
+    the files" shape of the reference's EAV pivot key,
+    src/neo4j_data_tools.py:1666-1759).  Deterministic (key-derived,
+    no RNG), idempotent via a marker recording (factor, hot_mod,
+    hot_key).  Returns the parquet path.
+    """
+    out = f"{dest}/orders_skew.parquet"
+    marker = os.path.join(dest, _SKEW_MARKER)
+    want = f"{factor},{hot_mod},{hot_key}"
+    if os.path.exists(f"{out}/_SUCCESS"):
+        try:
+            with open(marker) as f:
+                if f.read().strip() == want:
+                    return out
+        except OSError:
+            pass
+    df = spark.read.parquet(f"{src}/orders.parquet")
+    base = SHIFT_BASE["orders"]
+    cbase = SHIFT_BASE["customer"]
+    parts = []
+    for i in range(factor):
+        rep = df.withColumn(
+            "o_orderkey", (F.col("o_orderkey") + F.lit(i * base)).cast("long")
+        ).withColumn(
+            "o_custkey", (F.col("o_custkey") + F.lit(i * cbase)).cast("long")
+        )
+        parts.append(rep)
+    full = parts[0]
+    for p in parts[1:]:
+        full = full.unionByName(p)
+    full = full.withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % hot_mod == 0, F.lit(hot_key).cast("long")
+        ).otherwise(F.col("o_custkey")),
+    )
+    full.write.mode("overwrite").parquet(out)
+    with open(marker, "w") as f:
+        f.write(want)
+    return out

@@ -655,6 +655,74 @@ def test_salted_join_left_preserves_unmatched(spark):
     assert rows == {1: "x", 2: "y", 99: None}
 
 
+def test_salted_join_targeted_matches_plain_join(spark, sf_dir):
+    """Targeted salting (hot keys only) must equal the plain join and
+    keep the build-side replication confined to the hot-key filter."""
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.catalog import (
+        load_testdata,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.skew import (
+        salted_join_targeted,
+    )
+
+    cat = load_testdata(
+        spark, sf_dir, tables=("lineitem", "supplier"), register_views=False
+    )
+    lineitem = cat["lineitem"].select("l_suppkey", "l_orderkey", "l_quantity")
+    supplier = cat["supplier"].selectExpr("s_suppkey AS l_suppkey", "s_name")
+    hot = [r["l_suppkey"] for r in lineitem.groupBy("l_suppkey").count()
+           .orderBy(F.desc("count"), "l_suppkey").limit(2).collect()]
+
+    plain = lineitem.join(supplier, "l_suppkey", "inner")
+    targeted = salted_join_targeted(
+        lineitem, supplier, ["l_suppkey"], hot_keys=hot, n_salts=4
+    )
+    assert sorted(targeted.columns) == sorted(plain.columns)
+    key = [F.col(c).cast("string") for c in plain.columns]
+
+    def multiset(df):
+        return {
+            (r["k"], r["count"])
+            for r in df.select(F.concat_ws("|", *key).alias("k"))
+            .groupBy("k").count().collect()
+        }
+
+    assert multiset(targeted) == multiset(plain)
+    # hot-key salting must appear in the plan exactly once (the hot
+    # branch), and the cold branch joins plain — Union of the two
+    plan = targeted._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in plan
+    assert plan.count("__salt__") <= plan.count("Join") * 2
+
+    # empty hot list degrades to the plain join, plan included
+    nohot = salted_join_targeted(
+        lineitem, supplier, ["l_suppkey"], hot_keys=[], n_salts=4
+    )
+    assert "__salt__" not in nohot._jdf.queryExecution().optimizedPlan().toString()
+    assert multiset(nohot) == multiset(plain)
+
+
+def test_salted_join_targeted_left_and_composite(spark):
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.skew import (
+        salted_join_targeted,
+    )
+
+    probe = spark.createDataFrame(
+        [(1, "a", "p1"), (1, "a", "p2"), (2, "b", "p3"), (9, "z", "p4")],
+        ["k1", "k2", "v"],
+    )
+    build = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], ["k1", "k2", "w"]
+    )
+    out = salted_join_targeted(
+        probe, build, ["k1", "k2"], hot_keys=[(1, "a")], n_salts=3, how="left"
+    )
+    rows = sorted((r["v"], r["w"]) for r in out.collect())
+    assert rows == [("p1", "x"), ("p2", "x"), ("p3", "y"), ("p4", None)]
+
+
 def test_running_user_totals_stateful(spark, tmp_path, sf_dir):
     """applyInPandasWithState keeps per-user state across micro-batches:
     feed the same users in two files and expect cumulative counters."""
@@ -2329,6 +2397,176 @@ def test_jpeg_idct_kernels_byte_identical():
 
     with _pytest.raises(ValueError):
         jpeg.set_idct_kernel("simd")
+
+
+def _jpeg_fixture_battery():
+    """Shared payload battery: 444/420 color, grayscale, edge-clamped
+    odd dimensions, restart intervals 1 and 2, multiple seeds."""
+    import random
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators import jpeg
+
+    payloads = []
+    for seed in range(5):
+        r = random.Random(seed)
+        img = [
+            [tuple(r.randrange(256) for _ in range(3)) for _ in range(21)]
+            for _ in range(13)
+        ]
+        payloads.append(
+            jpeg.encode_jpeg(21, 13, lambda x, y, i=img: i[y][x], quant=3)
+        )
+        payloads.append(
+            jpeg.encode_jpeg(
+                21, 13, lambda x, y, i=img: i[y][x], quant=5,
+                subsample="420",
+            )
+        )
+        g = [[r.randrange(256) for _ in range(24)] for _ in range(24)]
+        for ri in (1, 2):
+            payloads.append(
+                jpeg.encode_jpeg(
+                    24, 24, lambda x, y, g=g: g[y][x], quant=2,
+                    grayscale=True, restart_interval=ri,
+                )
+            )
+    return payloads
+
+
+def test_jpeg_scan_kernels_byte_identical():
+    """r8: the table-driven scan kernel (destuffed segments + 16-bit
+    Huffman LUT) must reproduce the _BitReader reference walk exactly
+    — same planes, and ValueError on the same broken streams.  The
+    batched IDCT/FDCT use FIXED-ORDER accumulation (one elementwise
+    multiply-add per input index, ascending — no BLAS), so scalar/
+    batched equality is structural, not a property of this fixture
+    set; the multi-seed battery guards the indexing, not the
+    arithmetic (ADVICE r7 item 2)."""
+    import pytest as _pytest
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators import jpeg
+
+    payloads = _jpeg_fixture_battery()
+    for payload in payloads:
+        jpeg.set_scan_kernel("fast")
+        fast = [bytes(c["plane"]) for c in jpeg._decode_planes(payload)[2]]
+        jpeg.set_scan_kernel("python")
+        try:
+            ref = [
+                bytes(c["plane"]) for c in jpeg._decode_planes(payload)[2]
+            ]
+        finally:
+            jpeg.set_scan_kernel("fast")
+        assert fast == ref
+    # broken streams quarantine identically (ValueError in both)
+    for bad in (payloads[0][: len(payloads[0]) // 2], payloads[0][:-15]):
+        for kernel in ("fast", "python"):
+            jpeg.set_scan_kernel(kernel)
+            try:
+                with _pytest.raises(ValueError):
+                    jpeg._decode_planes(bad)
+            finally:
+                jpeg.set_scan_kernel("fast")
+    with _pytest.raises(ValueError):
+        jpeg.set_scan_kernel("gpu")
+
+
+def test_jpeg_huffman_lut16_matches_canonical_map():
+    """lut16 must agree with the canonical (length, code) map for
+    LONG codes too (9-16 bits) — the encoder only emits 4/8-bit
+    codes, so this pins the table fill directly."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators import jpeg
+
+    # canonical table with lengths 3, 9 and 12: 2 three-bit codes,
+    # 3 nine-bit codes, 2 twelve-bit codes
+    bits = [0, 0, 2, 0, 0, 0, 0, 0, 3, 0, 0, 2, 0, 0, 0, 0]
+    vals = bytes([10, 11, 20, 21, 22, 30, 31])
+    table = jpeg._build_huffman(bits, vals)
+    for (length, code), sym in table["map"].items():
+        base = code << (16 - length)
+        for probe in (base, base + (1 << (16 - length)) - 1):
+            e = table["lut16"][probe]
+            assert e == (sym << 5) | length
+    # and the 8-bit LUT still refuses codes longer than 8
+    assert all(
+        hit is None or hit[1] <= 8 for hit in table["lut"] if hit
+    )
+
+
+def test_jpeg_vectorized_sums_match_scalar_reference():
+    """decode_jpeg's numpy upsample+YCbCr→RGB sum path must equal the
+    per-pixel scalar loop (same IEEE expression structure, half-even
+    rounding) — checked by recomputing the scalar sums from the
+    decoded planes."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators import jpeg
+
+    for payload in _jpeg_fixture_battery()[:6]:
+        d = jpeg.decode_jpeg(payload)
+        w, h, comps, hmax, vmax = jpeg._decode_planes(payload)
+        if len(comps) == 1:
+            c = comps[0]
+            ref = sum(
+                sum(c["plane"][y * c["cols"] : y * c["cols"] + w])
+                for y in range(h)
+            )
+            assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (ref, ref, ref)
+            continue
+        cy, ccb, ccr = comps
+        sr = sg = sb = 0
+        for y in range(h):
+            yy = {id(c): (y * c["v"] // vmax) * c["cols"] for c in comps}
+            for x in range(w):
+                lum = cy["plane"][yy[id(cy)] + (x * cy["h"] // hmax)]
+                cb = ccb["plane"][yy[id(ccb)] + (x * ccb["h"] // hmax)]
+                cr = ccr["plane"][yy[id(ccr)] + (x * ccr["h"] // hmax)]
+                sr += min(255, max(0, int(round(lum + 1.402 * (cr - 128)))))
+                sg += min(255, max(0, int(round(
+                    lum - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+                ))))
+                sb += min(255, max(0, int(round(lum + 1.772 * (cb - 128)))))
+        assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (sr, sg, sb)
+
+
+def test_jpeg_encoder_batched_fdct_byte_identical():
+    """r8 encode vectorization: the batched fixed-order FDCT path must
+    emit BYTE-identical streams to the scalar _block_zigzag walk —
+    certified hashes depend on it."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators import jpeg
+
+    def scalar_encode(*args, **kwargs):
+        orig = jpeg._batch_component_zigzag
+
+        def forced_import_error(*a, **k):
+            raise ImportError("forced scalar path")
+
+        jpeg._batch_component_zigzag = forced_import_error
+        try:
+            return jpeg.encode_jpeg(*args, **kwargs)
+        finally:
+            jpeg._batch_component_zigzag = orig
+
+    import random
+
+    for seed in range(4):
+        r = random.Random(100 + seed)
+        img = [
+            [tuple(r.randrange(256) for _ in range(3)) for _ in range(21)]
+            for _ in range(13)
+        ]
+        pf = lambda x, y, i=img: i[y][x]  # noqa: E731
+        for kwargs in (
+            {"quant": 3},
+            {"quant": 5, "subsample": "420"},
+            {"quant": 2, "restart_interval": 2},
+        ):
+            assert jpeg.encode_jpeg(21, 13, pf, **kwargs) == scalar_encode(
+                21, 13, pf, **kwargs
+            )
+        g = [[r.randrange(256) for _ in range(13)] for _ in range(9)]
+        gf = lambda x, y, g=g: g[y][x]  # noqa: E731
+        assert jpeg.encode_jpeg(
+            13, 9, gf, quant=2, grayscale=True
+        ) == scalar_encode(13, 9, gf, quant=2, grayscale=True)
 
 
 def test_jpeg_encode_decode_exact_flat_blocks_and_quarantine(spark):
