@@ -48,6 +48,12 @@ def transitive_children(
     the edge build involves real work (unions over many node tables);
     disable it when edges are a raw 100 TB storage scan you'd rather
     re-read with pushdown than spill to cache.
+
+    The frontier broadcast is a declared contract, not an oversight:
+    this operator models removal/closure requests whose frontier is
+    bounded by the (small) deletion closure.  A traversal whose
+    frontier can reach graph scale is a different algorithm — use
+    ``connected_components`` / ``label_propagation`` there.
     """
     out_cols = ["entry_id"] + ([label_col] if label_col else [])
     if cache_edges:

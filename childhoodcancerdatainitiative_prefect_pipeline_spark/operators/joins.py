@@ -77,7 +77,10 @@ def lookup_join(
     Reference: src/s3_catcherry.py:312-411, :651-695 — a 2-column TSV
     loaded into a dict and applied with ``.get(v, v)``.  Spark-first:
     broadcast left join + ``coalesce(mapped, original)``; the lookup
-    never shuffles the fact side.
+    never shuffles the fact side.  The forced hint is safe by
+    contract: the mapping is a curated, human-maintained TSV (the
+    reference materializes it as an in-memory dict), bounded at any
+    corpus scale.
     """
     out = out_col or on
     m = F.broadcast(
@@ -252,28 +255,27 @@ def fuzzy_relink(
 
     The classification depends only on per-(name) and per-(name, size)
     listing counts, so the listing is aggregated FIRST and the manifest
-    joins the two count tables — both listing-cardinality-bounded and
-    broadcastable.  The naive shape (join on name, then window over the
-    candidates) fans the manifest out by the name-duplication factor
-    and shuffles the blow-up twice; with 64 distinct names over 20k
-    files that was a 4M-row window for a 20k-row answer (8.5 s → 0.6 s
-    at sf0.1), and filenames in real buckets duplicate too
-    (``sample.bam``...).  Here the manifest never shuffles at all.
+    joins the two count tables.  The naive shape (join on name, then
+    window over the candidates) fans the manifest out by the
+    name-duplication factor and shuffles the blow-up twice; with 64
+    distinct names over 20k files that was a 4M-row window for a
+    20k-row answer (8.5 s → 0.6 s at sf0.1), and filenames in real
+    buckets duplicate too (``sample.bam``...).  The count tables carry
+    NO forced broadcast hint: they scale with the bucket listing (a
+    100 TB bucket lists 10⁸+ objects), so size-based selection (20m
+    threshold + AQE) broadcasts them for bench-sized listings and
+    demotes to a shuffle join when the listing outgrows an executor.
     """
-    by_name = F.broadcast(
-        listing.groupBy(name_col).agg(
-            F.count(F.lit(1)).alias("__n_cand__"),
-            F.min(listing_path_col).alias("__only_path__"),
-        )
+    by_name = listing.groupBy(name_col).agg(
+        F.count(F.lit(1)).alias("__n_cand__"),
+        F.min(listing_path_col).alias("__only_path__"),
     )
-    by_size = F.broadcast(
-        listing.groupBy(
-            F.col(name_col).alias("__bs_name__"),
-            F.col(size_col).alias("__ls_size__"),
-        ).agg(
-            F.count(F.lit(1)).alias("__n_size__"),
-            F.min(listing_path_col).alias("__size_path__"),
-        )
+    by_size = listing.groupBy(
+        F.col(name_col).alias("__bs_name__"),
+        F.col(size_col).alias("__ls_size__"),
+    ).agg(
+        F.count(F.lit(1)).alias("__n_size__"),
+        F.min(listing_path_col).alias("__size_path__"),
     )
     cand = (
         manifest.join(by_name, on=name_col, how="left")

@@ -64,8 +64,14 @@ def flag_risky_rows(
 ) -> DataFrame:
     """Carry the cell-level flags back onto rows (suppression input).
 
-    The profile is QI-cardinality-sized — broadcast it; the fact table
-    never shuffles.
+    The profile is QI-cardinality-sized.  That cardinality is NOT
+    bounded — distinct quasi-identifier combinations approach row
+    count on high-entropy QI sets — so the join carries no forced
+    broadcast hint; size-based selection (20m threshold + AQE)
+    broadcasts typical profiles and demotes the pathological ones.
+    (The eqNullSafe compound condition plans as BroadcastNestedLoop /
+    shuffle join either way at the extremes; null-safe equi-keys keep
+    it hash-joinable.)
     """
     flags = [c for c in ("at_risk_k", "at_risk_l") if c in profile.columns]
     # null-safe equality: groupBy keeps NULL quasi-identifier cells (and
@@ -78,5 +84,5 @@ def flag_risky_rows(
     for c in quasi_cols:
         eq = df[c].eqNullSafe(F.col(f"__p_{c}__"))
         cond = eq if cond is None else (cond & eq)
-    joined = df.join(F.broadcast(prof), cond, "left")
+    joined = df.join(prof, cond, "left")
     return joined.drop(*[f"__p_{c}__" for c in quasi_cols])

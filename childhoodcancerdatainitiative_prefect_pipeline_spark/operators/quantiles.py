@@ -123,6 +123,8 @@ def grouped_weighted_median(
         F.max(v).alias("__hi__"),
         F.sum(wd).alias("__T__"),
     )
+    # the broadcast hints on stats/below rest on the few-huge-groups
+    # contract above: both frames are group-cardinality-sized
     staged = df.join(F.broadcast(stats), g)
     width = (F.col("__hi__") - F.col("__lo__")) / bins
     bucket = F.when(F.col("__hi__") == F.col("__lo__"), F.lit(0)).otherwise(

@@ -206,12 +206,17 @@ def build_levels(
     participant_level = study_level ⟕ participant (study_id)
                                      ⟕ diagnosis (participant_id).
     """
+    # study_admin/study_personnel are study-level (bounded — a release
+    # has tens of studies) and keep their hints; participant/diagnosis
+    # scale with enrollment, so their strategy is left to size-based
+    # selection — broadcast for a per-study submission batch, shuffle
+    # join for a full-registry flatten
     study_level = study.join(F.broadcast(study_admin), "study_id", "left").join(
         F.broadcast(study_personnel), "study_id", "left"
     )
     participant_level = study_level.join(
-        F.broadcast(participant), "study_id", "left"
-    ).join(F.broadcast(diagnosis), "participant_id", "left")
+        participant, "study_id", "left"
+    ).join(diagnosis, "participant_id", "left")
     return study_level, participant_level
 
 

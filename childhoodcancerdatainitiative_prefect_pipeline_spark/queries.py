@@ -293,16 +293,20 @@ def j3_multi_path(spark, sf_dir):
     orders, customer, nation, lineitem, supplier = _t(
         spark, sf_dir, "orders", "customer", "nation", "lineitem", "supplier"
     )
+    # nation is FIXED-size (25 rows at any SF) — hint it; customer and
+    # supplier SCALE with SF (15B / 1B rows at a 100 TB build), so their
+    # join strategy is left to size-based selection (20m threshold +
+    # AQE): broadcast at bench scale, demote to a parallel shuffle join
+    # once the side outgrows an executor — a forced hint would pin the
+    # 100 TB plan to an impossible broadcast.
     nation_b = F.broadcast(nation)
     via_customer = (
-        orders.join(
-            F.broadcast(customer), orders.o_custkey == customer.c_custkey
-        )
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(nation_b, customer.c_nationkey == nation.n_nationkey)
         .select(F.col("o_orderkey"), F.col("n_name"))
     )
     via_supplier = (
-        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        lineitem.join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(nation_b, supplier.s_nationkey == nation.n_nationkey)
         .select(F.col("l_orderkey").alias("o_orderkey"), F.col("n_name"))
     )
@@ -333,9 +337,12 @@ def j8_chain(spark, sf_dir):
         (region.select(F.col("r_regionkey").alias("k"), F.col("r_name").alias("v"))),
     ]
     cur = orders.select("o_orderkey", F.col("o_custkey").alias("__cursor__"))
+    # no broadcast hint: the nation/region hops auto-broadcast under
+    # the 20m threshold at any SF, while the customer hop (SF-scaling)
+    # must be free to demote to a shuffle join at 100 TB
     for hop in hops:
         cur = (
-            cur.join(F.broadcast(hop), cur["__cursor__"] == hop["k"], "left")
+            cur.join(hop, cur["__cursor__"] == hop["k"], "left")
             .drop("__cursor__", "k")
             .withColumnRenamed("v", "__cursor__")
         )
@@ -593,10 +600,12 @@ def q1_pricing_summary(spark, sf_dir):
 def q3_revenue(spark, sf_dir):
     customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    # dim scales with SF (1/5 of customer) — no forced hint; the 20m
+    # threshold broadcasts it at bench scale and demotes at 100 TB
     dim = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     return (
         orders.filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
-        .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .join(dim, orders.o_custkey == dim.c_custkey)
         .join(lineitem, F.col("o_orderkey") == lineitem.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -633,12 +642,15 @@ def q5_region_revenue(spark, sf_dir):
             nation.n_regionkey == region.r_regionkey,
         ).select("n_nationkey", "n_name")
     )
+    # nr (≤25 rows) keeps its hint; sup scales with supplier (1B rows
+    # at 100 TB) — size-based selection broadcasts it at bench scale
+    # and demotes it at a scale where the hint would OOM the build
     sup = supplier.join(
         F.broadcast(nr), supplier.s_nationkey == nr.n_nationkey
     ).select("s_suppkey", "s_nationkey", "n_name")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sup), lineitem.l_suppkey == sup.s_suppkey)
+        .join(sup, lineitem.l_suppkey == sup.s_suppkey)
         .join(
             customer,
             (orders.o_custkey == customer.c_custkey)
@@ -1169,11 +1181,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    # sizes is one row PER DOCUMENT — corpus-scale, so no forced
+    # broadcast: at 100 TB (billions of docs) the hint would pin an
+    # impossible build; AQE broadcasts it while it actually fits
     full = common.join(
-        F.broadcast(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))),
+        sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")),
         "id_a",
     ).join(
-        F.broadcast(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))),
+        sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")),
         "id_b",
     )
     jac = F.col("common").cast("double") / (
@@ -2799,8 +2814,9 @@ def _cds_graph(spark, sf_dir) -> dict[str, DataFrame]:
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .select(F.col("c_custkey").alias("cust"), F.col("r_name").alias("st"))
     )
+    # cust_study is customer-scale — no hint; AQE broadcasts when small
     ob = orders.join(
-        F.broadcast(cust_study), orders["o_custkey"] == cust_study["cust"]
+        cust_study, orders["o_custkey"] == cust_study["cust"]
     ).select(F.col("o_orderkey").alias("k"), "cust", "st")
 
     k = F.col("k")
@@ -3991,10 +4007,12 @@ def db_stats_wide_query(spark, sf_dir):
         F.count("*").alias("n")
     )
     # orders carries no nation key — route through the (custkey →
-    # nationkey) map, broadcast so the fact side never shuffles
+    # nationkey) map; the map is customer-scale, so no forced hint:
+    # size-based selection broadcasts it at bench scale and demotes to
+    # a shuffle join once customer outgrows an executor (100 TB)
     ord_n = (
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             orders["o_custkey"] == F.col("c_custkey"),
         )
         .groupBy(F.col("c_nationkey").alias("study_id"))
@@ -4296,9 +4314,11 @@ def surrogate_key_translate(spark, sf_dir):
         ).alias("customer.id"),
     )
     # the reference keeps unmapped / null surrogates as-is
-    # (join_tsv_to_manifest.py:172-174), then blanks the surrogate col
+    # (join_tsv_to_manifest.py:172-174), then blanks the surrogate col.
+    # mapping is customer-scale (one surrogate per customer) — no
+    # forced hint; size-based selection decides per scale
     out = child.join(
-        F.broadcast(mapping), F.col("`customer.id`") == F.col("__id__"), "left"
+        mapping, F.col("`customer.id`") == F.col("__id__"), "left"
     )
     return out.select(
         "orders_id",
@@ -5272,8 +5292,10 @@ def necrosis_tumor_fill(spark, sf_dir):
         )
         .dropDuplicates()
     )
+    # parsed is participant-scale (one row per customer) — no forced
+    # hint; AQE broadcasts it while it fits and demotes at 100 TB
     merged = clin.join(
-        F.broadcast(parsed),
+        parsed,
         (F.col("pid") == F.col("subject_id"))
         & (F.col("data_category") == F.col("report_type")),
         "left",
@@ -5901,8 +5923,10 @@ GROUP BY ROLLUP (n_name, c_mktsegment)"""
 )
 def orders_rollup_stats(spark, sf_dir):
     orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    # customer projection is SF-scaling — no hint (AQE decides); the
+    # fixed 25-row nation keeps its broadcast
     base = orders.join(
-        F.broadcast(customer.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        customer.select("c_custkey", "c_nationkey", "c_mktsegment"),
         orders["o_custkey"] == F.col("c_custkey"),
     ).join(
         F.broadcast(nation.select("n_nationkey", "n_name")),
@@ -6281,7 +6305,9 @@ def text_bm25_search(spark, sf_dir):
         )
     )
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        # dfreq is vocabulary-sized (Heaps-law unbounded) — no forced
+        # hint, AQE decides; stats stays hinted (one global row)
+        tf.join(dfreq, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
@@ -7468,8 +7494,9 @@ def igm_sample_mapper(spark, sf_dir):
         .when(F.col("file_name").contains("tumor_normal"), "tumor_normal")
         .otherwise(""),
     )
+    # uniq_assay is participant-scale — no forced hint (AQE decides)
     filled = inferred.join(
-        F.broadcast(uniq_assay), ["participant_id", "assay"], "left"
+        uniq_assay, ["participant_id", "assay"], "left"
     ).select(
         "file_id",
         "participant_id",
@@ -7808,12 +7835,14 @@ def text_collocation_pmi(spark, sf_dir):
         F.count("*").cast("double").alias("n_tok")
     )
     return (
+        # uni is vocabulary-sized (unbounded under Heaps' law) — no
+        # forced hint; AQE broadcasts while it fits
         pair_n.join(
-            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))),
+            uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")),
             "w1",
         )
         .join(
-            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))),
+            uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")),
             "w2",
         )
         .crossJoin(F.broadcast(total))
@@ -8131,8 +8160,9 @@ def q14_promo_share(spark, sf_dir):
         F.lit(0).cast("decimal(18,4)")
     )
     return (
+        # part projection is SF-scaling — no hint, AQE decides
         li.join(
-            F.broadcast(part.select("p_partkey", "p_type")),
+            part.select("p_partkey", "p_type"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .agg(
@@ -8190,8 +8220,9 @@ def q19_disjunctive_filter(spark, sf_dir):
         )
     )
     return (
+        # part projection is SF-scaling — no hint, AQE decides
         lineitem.join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            part.select("p_partkey", "p_brand", "p_size"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .filter(cond)
@@ -8543,8 +8574,9 @@ def q2_min_cost_supplier(spark, sf_dir):
     small_parts = part.filter(F.col("p_size") < 10).select("p_partkey", "p_name")
     shp = (
         lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
-        .join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
+        # eu_sup / small_parts scale with supplier / part — no hints
+        .join(eu_sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(small_parts, F.col("l_partkey") == F.col("p_partkey"))
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -8654,10 +8686,11 @@ def q9_profit_by_nation(spark, sf_dir):
         "p_partkey", "p_retailprice"
     )
     joined = (
-        lineitem.join(F.broadcast(widget_parts), F.col("l_partkey") == F.col("p_partkey"))
+        # widget_parts / supplier projections are SF-scaling — no hints
+        lineitem.join(widget_parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        .join(supplier.select("s_suppkey", "s_nationkey"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
     )
@@ -8812,7 +8845,8 @@ def q15_top_supplier(spark, sf_dir):
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        # supplier is SF-scaling — no hint (the mx side stays scalar)
+        .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
         )
@@ -8844,9 +8878,10 @@ def q16_supplier_part_types(spark, sf_dir):
     excluded = supplier.filter(F.col("s_name").like("%7")).select("s_suppkey")
     return (
         lineitem.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        # parts_f / excluded scale with part / supplier — no hints
+        .join(parts_f, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(excluded),
+            excluded,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -8884,8 +8919,9 @@ def q17_small_quantity_revenue(spark, sf_dir):
     # identical)
     lineitem, part = _t(spark, sf_dir, "lineitem", "part")
     brand_parts = part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    # brand_parts is SF-scaling — no hint, AQE decides
     li_b = lineitem.join(
-        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+        brand_parts, F.col("l_partkey") == F.col("p_partkey")
     )
     pa = li_b.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(F.col("l_quantity").cast(_DEC)).alias("sq"),
@@ -8931,7 +8967,8 @@ def q18_large_volume_customers(spark, sf_dir):
     )
     return (
         oq.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer is SF-scaling — no hint, AQE decides
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "c_custkey",
@@ -8973,7 +9010,8 @@ def q20_part_share_suppliers(spark, sf_dir):
     )
     gear_parts = part.filter(F.col("p_name").like("%gear%")).select("p_partkey")
     qualified = (
-        per.join(F.broadcast(gear_parts), F.col("l_partkey") == F.col("p_partkey"))
+        # gear_parts is SF-scaling — no hint, AQE decides
+        per.join(gear_parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(tot, F.col("tpk") == F.col("l_partkey"))
         .filter(F.col("sq") * 20 > F.col("tq") * 3)
         .select("l_suppkey")
@@ -9044,7 +9082,8 @@ def q21_waiting_suppliers(spark, sf_dir):
         )
     )
     return (
-        qual.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier is SF-scaling — no hint, AQE decides
+        qual.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").alias("numwait"))
     )
@@ -11118,7 +11157,8 @@ def search_hybrid_rrf(spark, sf_dir):
         F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
     )
     bm = (
-        tf.join(F.broadcast(dfreq), "term")
+        # dfreq is vocabulary-sized — no forced hint (AQE decides)
+        tf.join(dfreq, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
@@ -12275,7 +12315,8 @@ def corpus_source_scorecard(spark, sf_dir):
     )
     passed = (F.col("n_tokens").between(50, 200)) & (F.col("sw_ratio") >= 0.05)
     return (
-        base.join(F.broadcast(dups), "nh", "left")
+        # dups scales with near-dup neighborhoods — no hint
+        base.join(dups, "nh", "left")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -13944,13 +13985,14 @@ def dedup_minhash_eval_query(spark, sf_dir):
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # sizes is per-document (corpus-scale) — no forced hints
     truth = (
         common.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("id_a"),
-                                     F.col("n").alias("n_a"))), "id_a")
+            sizes.select(F.col("doc_id").alias("id_a"),
+                         F.col("n").alias("n_a")), "id_a")
         .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("id_b"),
-                                     F.col("n").alias("n_b"))), "id_b")
+            sizes.select(F.col("doc_id").alias("id_b"),
+                         F.col("n").alias("n_b")), "id_b")
         .filter(3 * F.col("c") >= F.col("n_a") + F.col("n_b"))
         .select("id_a", "id_b", F.lit(True).alias("in_truth"))
     )
@@ -17822,13 +17864,15 @@ def star_referential_audit_query(spark, sf_dir):
     )
     li_counts = (
         li.join(o_keys, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        # p_keys/s_keys are distinct part/supplier keys — SF-scaling,
+        # no hints; AQE broadcasts while they fit
         .join(
-            F.broadcast(p_keys),
+            p_keys,
             F.col("l_partkey") == F.col("p_partkey"),
             "left",
         )
         .join(
-            F.broadcast(s_keys),
+            s_keys,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left",
         )
@@ -17966,8 +18010,9 @@ FROM t"""
 def supplier_concentration_hhi_query(spark, sf_dir):
     lineitem, part = _t(spark, sf_dir, "lineitem", "part")
     s = (
+        # part projection is SF-scaling — no hint, AQE decides
         lineitem.join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
+            part.select("p_partkey", "p_brand"),
             lineitem["l_partkey"] == part["p_partkey"],
         )
         .groupBy(F.col("p_brand").alias("brand"), F.col("l_suppkey").alias("supp"))
@@ -18143,17 +18188,14 @@ def dedup_jaccard_histogram_query(spark, sf_dir):
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # sizes is per-document (corpus-scale) — no forced hints
     binned = (
         common.join(
-            F.broadcast(
-                sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
-            ),
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")),
             "id_a",
         )
         .join(
-            F.broadcast(
-                sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
-            ),
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")),
             "id_b",
         )
         .withColumn("__num__", 10 * F.col("c"))
