@@ -826,10 +826,12 @@ def knn_graph_edges(
     propagation pathology; selects here carry at most ONE alias).
     Centroids flatten separately from the FILTERED source (partition-
     pruned scan) rather than renaming 64 columns of the corpus frame.
-    The probe⋈assigned fan-out explicitly repartitions on query_id
-    because AQE coalesces the small⋈small join to ~1 task and would
-    serialize the re-rank (measured 190 s → 8 s); dot products
-    statically unroll for whole-stage codegen.
+    The re-rank scores candidates INSIDE the cluster_id join (see the
+    inline notes): vector bytes shuffle O(n·d) keyed by cell, the
+    n·√n candidate stream never hits an exchange, and the join is
+    explicitly repartitioned wide because AQE would coalesce it to ~1
+    task and serialize the scoring; dot products statically unroll
+    for whole-stage codegen.
     """
     vcols = [f"v{i}" for i in range(dims)]
     arr = as_double_array(vec_col)
@@ -874,29 +876,58 @@ def knn_graph_edges(
     )
     probe = ranked.select("query_id", F.col("cid").alias("cluster_id"))
     spark = embeddings.sparkSession
-    cand = (
-        probe.join(assigned, "cluster_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .repartition(
-            spark.sparkContext.defaultParallelism * 2, "query_id"
-        )
-    )
+    width = spark.sparkContext.defaultParallelism * 2
     qside = e.select(
         F.col("vec_id").alias("query_id"),
         *[f"q{i}" for i in range(dims)],
         "qnrm",
     )
+    # Score candidates INSIDE the cell join (r8 rework): vectors are
+    # attached to the CELL-level frames — members carry the v* family,
+    # probes carry the q* family — and both sides are hash-partitioned
+    # on cluster_id at an explicit width (AQE would coalesce the
+    # small⋈small join to ~1 task and serialize the scoring; measured
+    # 190 s → 8 s on the earlier shape, same failure mode here).  The
+    # O(n·√n) candidate stream then lives ONLY inside this one codegen
+    # pipeline: it is never shuffled, never sorted, never widened
+    # through an exchange.  The previous shape (id-level candidate
+    # pairs joined BACK to the vector table) silently demoted to a
+    # sort-merge join once the vector side crossed the 20m broadcast
+    # threshold (~30× on 64-dim vectors) and sorted n·√n rows widened
+    # by 2·dims+2 scalar columns — ~90 GB of exchange at the 100×
+    # probe (graph_triangle_count_knn 867 s; fitted exponent 2.3).
+    # Vector bytes now move O(n·d) once, keyed by cell.
+    members = assigned.join(e.select("vec_id", *vcols, "nrm"), "vec_id")
+    probes_v = probe.join(qside, "query_id")
     scored = (
-        cand.join(e.select("vec_id", *vcols, "nrm"), "vec_id")
-        .join(qside, "query_id")
-        .withColumn(
-            "cosine_sim",
+        probes_v.repartition(width, "cluster_id")
+        .join(members.repartition(width, "cluster_id"), "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "cluster_id",
+            "query_id",
+            "vec_id",
             F.round(
                 dot_flat("v", "q", dims) / (F.col("nrm") * F.col("qnrm")), 6
-            ),
+            ).alias("cosine_sim"),
         )
     )
-    knn = scored.withColumn(
+    # Per-(cell, query) top-k runs with NO new shuffle — partitioning
+    # on cluster_id already clusters the compound window key — and cuts
+    # the global top-k's input to ≤ n_probe·k rows per query.  Each
+    # (query, candidate) pair exists in exactly ONE cell (assignment is
+    # rn == 1), so per-cell top-k → global top-k is exact, and the
+    # (desc cosine, vec_id) tie-break is identical in both stages:
+    # certified hashes are unchanged by construction.
+    local_w = Window.partitionBy("cluster_id", "query_id").orderBy(
+        F.desc("cosine_sim"), "vec_id"
+    )
+    pruned = (
+        scored.withColumn("rn", F.row_number().over(local_w))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "cluster_id")
+    )
+    knn = pruned.withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("query_id").orderBy(

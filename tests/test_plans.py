@@ -577,3 +577,52 @@ def test_knn_graph_no_array_extraction_above_checkpoints(spark, sf_dir):
     plan = _plan(REGISTRY["graph_triangle_count_knn"].fn(spark, sf_dir))
     assert "element_at" not in plan
     assert "ExistingRDD" in plan  # the flatten checkpoint boundary
+
+
+def test_knn_rerank_candidate_stream_never_shuffles(spark, sf_dir):
+    """The kNN re-rank must score candidates INSIDE the cluster_id
+    join (SCALE.md r8): vector payload is attached to the CELL-level
+    frames, so the n·√n candidate stream exists only inside one
+    codegen pipeline.  The old id-level shape (candidate pairs joined
+    back to the corpus vector table) silently demoted to a sort-merge
+    join once the vector side crossed the broadcast threshold and
+    sorted the candidate stream widened by 2·dims columns — 90 GB of
+    exchange and a 2.3 fitted exponent at the 100× probe.
+
+    Pins: (a) the per-(cell, query) top-k Window sits directly on the
+    cluster_id join with NO Exchange between them — partitioning on
+    cluster_id already clusters the compound window key; (b) no join
+    in the plan matches on vec_id/query_id with vector columns on the
+    build side (the old shape's signature was a vec_id join whose
+    output carried v0..; cheap proxy: the string 'v63' — the last
+    flat vector column — appears only below the checkpoint boundary,
+    never in a SortMergeJoin/Exchange operator line).
+    """
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.similarity import (
+        knn_graph_edges,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = knn_graph_edges(emb, dims=64, k=10, threshold=0.3)
+    # the SIMPLE plan string (keys inline on the operator lines) —
+    # formatted mode moves join keys into a detail section
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    # (a) the first Window above the cluster_id join must not have an
+    # Exchange between itself and that join
+    win_idx = [i for i, l in enumerate(lines) if "Window" in l]
+    assert win_idx, "expected the per-cell top-k Window in the plan"
+    lo = max(win_idx)  # deepest Window = the per-(cell, query) top-k
+    below = lines[lo + 1:]
+    join_idx = next(
+        i for i, l in enumerate(below) if "Join" in l and "cluster_id" in l
+    )
+    assert not any(
+        "Exchange" in l for l in below[:join_idx]
+    ), "per-cell top-k window must reuse the cluster_id partitioning"
+    # (b) wide vector columns never travel through a shuffle or a
+    # sort-merge join above the checkpoints
+    assert not any(
+        ("Exchange" in l or "SortMergeJoin" in l) and "v63" in l
+        for l in lines
+    ), "vector payload must not ride the candidate-pair exchanges"
