@@ -1169,27 +1169,40 @@ def dedup_ngram_jaccard(spark, sf_dir):
     staged = with_shingles(documents, "text", "sh", 3).select(
         "doc_id", "lang", "source", "sh"
     ).localCheckpoint()
+    # per-doc shingle counts ride ALONG the postings instead of
+    # joining back onto the pair set afterwards: |A| is just
+    # size(sh) on the pre-explode array (sh is distinct), so n_a/n_b
+    # flow through the band join into the pair aggregation as
+    # first() aggregates.  The old shape joined the pair set (which
+    # the dup-heavy fixture makes QUADRATIC) back to the per-doc
+    # sizes table — a forced broadcast masked the cost until the
+    # size side outgrew the threshold, then two sort-merge joins
+    # sorted the pair set twice (115 → 209 s at the 100× probe).
+    # Same trap class as the kNN re-rank (SCALE.md r8): attach
+    # payload on the linear side, never join a pair stream back to
+    # a corpus-sized table.
     ex = staged.select(
-        "doc_id", "lang", "source", F.explode("sh").alias("shingle")
+        "doc_id", "lang", "source",
+        F.size("sh").alias("n"),
+        F.explode("sh").alias("shingle"),
     )
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = ex.select(F.col("doc_id").alias("id_a"), "lang", "source", "shingle")
-    b = ex.select(F.col("doc_id").alias("id_b"), "lang", "source", "shingle")
-    common = (
+    a = ex.select(
+        F.col("doc_id").alias("id_a"), "lang", "source", "shingle",
+        F.col("n").alias("n_a"),
+    )
+    b = ex.select(
+        F.col("doc_id").alias("id_b"), "lang", "source", "shingle",
+        F.col("n").alias("n_b"),
+    )
+    full = (
         a.join(b, on=["lang", "source", "shingle"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    # sizes is one row PER DOCUMENT — corpus-scale, so no forced
-    # broadcast: at 100 TB (billions of docs) the hint would pin an
-    # impossible build; AQE broadcasts it while it actually fits
-    full = common.join(
-        sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")),
-        "id_a",
-    ).join(
-        sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")),
-        "id_b",
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
     )
     jac = F.col("common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("common")
@@ -13976,23 +13989,27 @@ def dedup_minhash_eval_query(spark, sf_dir):
     staged = with_shingles(documents, "text", "sh", 3).select(
         "doc_id", F.array_distinct("sh").alias("sh")
     ).localCheckpoint()
-    ex = staged.select("doc_id", F.explode("sh").alias("g"))
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    common = (
-        ex.select(F.col("doc_id").alias("id_a"), "g")
-        .join(ex.select(F.col("doc_id").alias("id_b"), "g"), "g")
+    # per-doc sizes ride the postings (size(sh) on the pre-explode
+    # array) instead of joining back onto the quadratic pair set —
+    # the kNN-re-rank trap class, see dedup_ngram_jaccard
+    ex = staged.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g")
+    )
+    truth = (
+        ex.select(F.col("doc_id").alias("id_a"), "g", F.col("n").alias("n_a"))
+        .join(
+            ex.select(
+                F.col("doc_id").alias("id_b"), "g", F.col("n").alias("n_b")
+            ),
+            "g",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    # sizes is per-document (corpus-scale) — no forced hints
-    truth = (
-        common.join(
-            sizes.select(F.col("doc_id").alias("id_a"),
-                         F.col("n").alias("n_a")), "id_a")
-        .join(
-            sizes.select(F.col("doc_id").alias("id_b"),
-                         F.col("n").alias("n_b")), "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
         .filter(3 * F.col("c") >= F.col("n_a") + F.col("n_b"))
         .select("id_a", "id_b", F.lit(True).alias("in_truth"))
     )
@@ -18179,24 +18196,26 @@ def dedup_jaccard_histogram_query(spark, sf_dir):
     staged = with_shingles(documents, "text", "sh", 3).select(
         "doc_id", F.array_distinct("sh").alias("sh")
     ).localCheckpoint()
-    ex = staged.select("doc_id", F.explode("sh").alias("g"))
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    common = (
-        ex.select(F.col("doc_id").alias("id_a"), "g")
-        .join(ex.select(F.col("doc_id").alias("id_b"), "g"), "g")
+    # per-doc sizes ride the postings (size(sh) on the pre-explode
+    # array) instead of joining back onto the quadratic pair set —
+    # the kNN-re-rank trap class, see dedup_ngram_jaccard
+    ex = staged.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g")
+    )
+    binned = (
+        ex.select(F.col("doc_id").alias("id_a"), "g", F.col("n").alias("n_a"))
+        .join(
+            ex.select(
+                F.col("doc_id").alias("id_b"), "g", F.col("n").alias("n_b")
+            ),
+            "g",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    # sizes is per-document (corpus-scale) — no forced hints
-    binned = (
-        common.join(
-            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")),
-            "id_b",
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
         )
         .withColumn("__num__", 10 * F.col("c"))
         .withColumn("__den__", F.col("n_a") + F.col("n_b") - F.col("c"))

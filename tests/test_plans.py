@@ -626,3 +626,25 @@ def test_knn_rerank_candidate_stream_never_shuffles(spark, sf_dir):
         ("Exchange" in l or "SortMergeJoin" in l) and "v63" in l
         for l in lines
     ), "vector payload must not ride the candidate-pair exchanges"
+
+
+def test_ngram_jaccard_pair_stream_no_extra_shuffles(spark, sf_dir):
+    """Per-doc shingle counts must ride the postings into the pair
+    aggregation (size(sh) before the explode), NOT join back onto the
+    pair set afterwards: the pair stream is the largest intermediate
+    (quadratic on dup-heavy corpora), and the old sizes-join shape
+    either sorted it twice (unhinted SMJ, 209 s at the 100× probe) or
+    pinned a corpus-sized broadcast build.  Pin: exactly ONE
+    hash-partitioned exchange (the unavoidable pair aggregation) and
+    no Sort operator anywhere in the plan at test scale."""
+    plan = (
+        REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    hash_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "SortMergeJoin" not in plan
+    assert "\n" + "Sort " not in plan  # no standalone sorts either
