@@ -113,6 +113,52 @@ def test_updater_script_mirrors_fingerprint():
         assert upd._fingerprint(q) == entrymod._fingerprint(q)
 
 
+def test_stamp_after_green_flow(tmp_path):
+    """VERDICT r8 item 1: the round-boundary re-stamp flow. An entry
+    hash-green in rNN whose fingerprint is still stale stays VOIDED
+    (it was reworked after stamping) until the updater re-stamps it
+    from a verified tree, after which it is certified again without a
+    fresh driver pass."""
+    reg = _fake_registry()
+    _write_history(tmp_path, reg, reworked_fp="stale")
+    done = entrymod._already_certified(artifact_dir=tmp_path, registry=reg)
+    assert "reworked" not in done  # green in r01 + stale fp -> void
+    # Re-stamp from the current tree (what update_cert_fingerprints.py
+    # does at the round boundary, after verify_driver.py passes).
+    fps = json.loads((tmp_path / "CERT_FINGERPRINTS.json").read_text())
+    fps["reworked"] = {
+        "fp": entrymod._fingerprint(reg["reworked"]), "round": "r01",
+    }
+    (tmp_path / "CERT_FINGERPRINTS.json").write_text(json.dumps(fps))
+    done = entrymod._already_certified(artifact_dir=tmp_path, registry=reg)
+    assert "reworked" in done  # green in r01 + current fp -> certified
+
+
+def test_live_fingerprints_match_current_tree():
+    """Tripwire for VERDICT r8 item 1: on the live repo, no stamped
+    fingerprint may drift from the current source — a drift means a
+    query was reworked without re-running verify_driver.py + the
+    updater, and the driver would burn r-window slots re-proving
+    greens. Fix by verifying locally then re-stamping:
+        python scripts/verify_driver.py && \
+        python scripts/update_cert_fingerprints.py
+    """
+    import pathlib
+
+    fps = json.loads(
+        pathlib.Path("/root/repo/CERT_FINGERPRINTS.json").read_text()
+    )
+    reg = entrymod.REGISTRY
+    stale = sorted(
+        k for k, v in fps.items()
+        if k in reg and v.get("fp") != entrymod._fingerprint(reg[k])
+    )
+    assert stale == [], (
+        "stale fingerprints (rework without re-stamp): "
+        f"{stale[:10]}{'...' if len(stale) > 10 else ''}"
+    )
+
+
 def test_live_window_fronts_uncertified():
     """On the real repo: every non-certified entry must sort strictly
     before every certified one in the driver's queries() ordering."""
