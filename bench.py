@@ -78,9 +78,40 @@ def _time_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def _wait_for_quiet(
+    cap: float = 2.0, max_wait: float = 300.0, poll: float = 10.0
+) -> float:
+    """Bounded wait for box loadavg below ``cap`` (VERDICT r8 item 2:
+    eight rounds of artifacts measured on loaded boxes).  Runs BEFORE
+    the JVM starts so our own executor threads don't count against the
+    1-min average.  Returns seconds waited; proceeds loudly on
+    timeout — a late artifact beats a missing one."""
+    t0 = time.monotonic()
+    while os.getloadavg()[0] >= cap:
+        waited = time.monotonic() - t0
+        if waited >= max_wait:
+            print(
+                f"WARNING: box still at loadavg {os.getloadavg()[0]:.2f} "
+                f"after {int(waited)}s quiet-wait — proceeding anyway",
+                file=sys.stderr,
+            )
+            break
+        print(
+            f"loadavg {os.getloadavg()[0]:.2f} >= {cap} — waiting for a "
+            f"quiet box ({int(waited)}/{int(max_wait)}s)",
+            file=sys.stderr,
+        )
+        time.sleep(poll)
+    return round(time.monotonic() - t0, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # SPARK_GRAFT_QUIET_WAIT=0 disables the wait (iteration runs)
+    quiet_wait = _wait_for_quiet(
+        max_wait=float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "300"))
+    )
     spark = build_session(app_name="ccdi-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     loadavg = [round(x, 2) for x in os.getloadavg()]
@@ -106,8 +137,11 @@ def main() -> None:
         # r7 VERDICT item 1 ("what's wrong"): a headline measured on a
         # loaded box is weather, not signal.  quiet=false marks the
         # artifact as contaminated; readers should prefer the last
-        # quiet run (SCALE.md keeps the history).
+        # quiet run (SCALE.md keeps the history).  r9: bench now
+        # waits (bounded) for loadavg < 2 before starting the JVM;
+        # quiet_wait_sec records how long it had to wait.
         "quiet": loadavg[0] < 4.0,
+        "quiet_wait_sec": quiet_wait,
     }
 
     # Second scale point: 10× key-shifted replica (≈ sf1), reused

@@ -218,6 +218,53 @@ def dedup_exact_keep_first(
 # ---------------------------------------------------------------------------
 
 
+#: (Observation, warn_threshold, context) triples attached by
+#: minhash_lsh_candidates' hot-bucket guard; drained (non-blocking) by
+#: :func:`check_hot_buckets` after the caller runs an action.
+_HOT_BUCKET_OBSERVATIONS: list[tuple[object, int, str]] = []
+
+
+def check_hot_buckets(clear: bool = True, emit=None) -> list[dict]:
+    """Drain completed hot-bucket observations; warn on exceeded ones.
+
+    Non-blocking: observations whose query has not yet run an action
+    are skipped (and retained for a later check).  For each completed
+    one whose ``max_bucket_members`` exceeded its threshold, emits a
+    ``warnings.warn`` (or ``emit(msg)``) so a skewed corpus announces
+    itself, and returns the metric dicts (VERDICT r8 item 7).
+    """
+    import warnings
+
+    out: list[dict] = []
+    keep: list[tuple[object, int, str]] = []
+    for obs, threshold, ctx in _HOT_BUCKET_OBSERVATIONS:
+        jo = getattr(obs, "_jo", None)
+        # getRowOrEmpty is the non-blocking readiness probe (the JVM
+        # getOrEmpty NPEs on schemaless rows in Spark 4.1)
+        if jo is None or jo.getRowOrEmpty().isEmpty():
+            keep.append((obs, threshold, ctx))  # no action yet
+            continue
+        metrics = dict(obs.get)  # completed → non-blocking now
+        metrics["threshold"] = threshold
+        metrics["context"] = ctx
+        out.append(metrics)
+        mx = metrics.get("max_bucket_members")
+        if mx is not None and mx > threshold:
+            msg = (
+                f"LSH hot bucket in {ctx}: a (band, bucket) group has "
+                f"{mx} members (> {threshold}); the self-join squares "
+                f"it ({metrics.get('hot_pair_candidates', '?')} pair "
+                "candidates from hot buckets). Boilerplate-heavy "
+                "corpus — run exact dedup first, or cap with "
+                "max_bucket_size= and route capped groups through "
+                "minhash_dedup_clusters."
+            )
+            (emit or (lambda m: warnings.warn(m, stacklevel=2)))(msg)
+    if clear:
+        _HOT_BUCKET_OBSERVATIONS[:] = keep
+    return out
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -226,6 +273,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 3,
     max_bucket_size: int | None = None,
+    hot_bucket_warn: int | None = 100_000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -244,6 +292,18 @@ def minhash_lsh_candidates(
     exchange).  Boilerplate groups a cap skips are exact or
     close-to-exact duplicates — catch them with the exact-dedup pass
     (hash-groupBy), which is linear, not quadratic.
+
+    ``hot_bucket_warn`` (default ON, VERDICT r8 item 7): a default
+    diagnostic so a skewed 100 TB corpus announces itself instead of
+    silently hanging in one quadratic task.  A window count over the
+    join's LEFT side (the sort it needs is one the sort-merge join
+    already requires at scale, and the count rides the same
+    (band, bucket) exchange) plus an ``observe`` node above the join
+    record ``max_bucket_members`` and the number of pair candidates
+    coming from over-threshold buckets — zero extra jobs, zero extra
+    shuffles; call :func:`check_hot_buckets` after any action to
+    surface the warning.  Set ``None`` to opt out (plan-pin tests that
+    count operators do).
     """
     rows_per_band = num_hashes // bands
     # stage shingles as a bound column so the 64 hash members iterate
@@ -288,12 +348,35 @@ def minhash_lsh_candidates(
     left = band_keys.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
     )
+    if hot_bucket_warn is not None:
+        from pyspark.sql import Window
+        from pyspark.sql.observation import Observation
+
+        # count on the LEFT side only: attaching to the shared
+        # band_keys frame would count rows once per join branch, and
+        # the asymmetric CollectMetrics node would also defeat
+        # exchange reuse on the right branch
+        wl = Window.partitionBy("band", "bucket")
+        left = left.withColumn("__bn__", F.count(F.lit(1)).over(wl))
     right = band_keys.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b")
     )
     pairs = left.join(right, on=["band", "bucket"]).filter(
         F.col("id_a") < F.col("id_b")
     )
+    if hot_bucket_warn is not None:
+        obs = Observation()
+        pairs = pairs.observe(
+            obs,
+            F.max("__bn__").alias("max_bucket_members"),
+            F.sum(
+                (F.col("__bn__") > hot_bucket_warn).cast("long")
+            ).alias("hot_pair_candidates"),
+            F.count(F.lit(1)).alias("pair_candidates"),
+        ).drop("__bn__")
+        _HOT_BUCKET_OBSERVATIONS.append(
+            (obs, hot_bucket_warn, f"minhash_lsh_candidates(bands={bands})")
+        )
     return pairs.select("id_a", "id_b").distinct()
 
 

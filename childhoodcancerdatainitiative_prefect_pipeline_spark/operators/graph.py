@@ -15,8 +15,48 @@ the entry count.  The DuckDB oracle twin is a recursive CTE
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _loop_shuffle_width(spark, n_rows: int, bytes_per_row: int = 32):
+    """Scale an iterative loop's shuffle width with its input size.
+
+    VERDICT r8 item 3: the per-iteration joins/aggregations of the
+    graph loops shuffled at the session's fixed
+    ``spark.sql.shuffle.partitions`` (32 locally), so per-partition
+    data grew linearly with input and the measured 100× PageRank curve
+    went superlinear (spill, not plan).  Target ~64 MB per shuffle
+    partition for the narrow (2-3 int64 column) loop frames; never
+    narrow below the session setting, cap at 4096 tasks.
+
+    On a real cluster the equivalent knob is AQE advisory partition
+    sizing (``spark.sql.adaptive.coalescePartitions.initialPartitionNum``
+    high + ``advisoryPartitionSizeInBytes``) — AQE can only coalesce
+    DOWN from the configured width, so the session default must be
+    sized for the largest loop either way; this helper derives it from
+    the measured input instead.  The conf is restored on exit; it only
+    governs the loop's eager ``localCheckpoint`` materializations, so
+    lazy frames returned to the caller plan under the caller's conf.
+    """
+    target = 64 << 20
+    old = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # floor at the session width (it already encodes cores/cluster
+    # sizing; a small loop must not override a deliberately small
+    # test/session setting), scale up by data volume, cap the task
+    # count
+    width = min(4096, (n_rows * bytes_per_row + target - 1) // target)
+    if width <= old:
+        yield old
+        return
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        yield width
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(old))
 
 
 def transitive_children(
@@ -187,36 +227,38 @@ def connected_components(
     sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     sym = sym.unionByName(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    ).distinct().localCheckpoint()  # every round re-reads sym: flat
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     )
-    for _ in range(max_iters):
-        nbr = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("label").alias("__nbr__"))
-        )
-        new_labels = (
-            labels.join(nbr, labels["node"] == nbr["a"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("__nbr__"), F.col("label"))
-                ).alias("label"),
+    with _loop_shuffle_width(sym.sparkSession, sym.count()):
+        for _ in range(max_iters):
+            nbr = (
+                sym.join(labels, sym["b"] == labels["node"])
+                .groupBy("a")
+                .agg(F.min("label").alias("__nbr__"))
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            new_labels = (
+                labels.join(nbr, labels["node"] == nbr["a"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("__nbr__"), F.col("label")),
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias(label_col)
     )
@@ -277,40 +319,45 @@ def connected_components_star(
         return (row["n"], row["h"])
 
     prev = _checksum(e)
-    for _ in range(max_rounds):
-        # large-star: neighborhoods over the symmetric view
-        sym = e.unionByName(
-            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        nbr_min = sym.groupBy(F.col("a").alias("u")).agg(
-            F.min(F.least(F.col("b"), F.col("a"))).alias("m")
-        )
-        e = (
-            sym.join(nbr_min, sym["a"] == nbr_min["u"])
-            .filter(F.col("b") > F.col("a"))
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint()
-        )
-        # small-star: orient every edge child=max, parent=min
-        oriented = e.select(
-            F.greatest(F.col("a"), F.col("b")).alias("u"),
-            F.least(F.col("a"), F.col("b")).alias("v"),
-        )
-        nbr_min = oriented.groupBy("u").agg(F.min("v").alias("m"))
-        joined = oriented.join(nbr_min, "u")
-        e = (
-            joined.select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .unionByName(joined.select(F.col("u").alias("a"), F.col("m").alias("b")))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint()
-        )
-        cur = _checksum(e)
-        if cur == prev:
-            break
-        prev = cur
+    with _loop_shuffle_width(e.sparkSession, prev[0]):
+        for _ in range(max_rounds):
+            # large-star: neighborhoods over the symmetric view
+            sym = e.unionByName(
+                e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            nbr_min = sym.groupBy(F.col("a").alias("u")).agg(
+                F.min(F.least(F.col("b"), F.col("a"))).alias("m")
+            )
+            e = (
+                sym.join(nbr_min, sym["a"] == nbr_min["u"])
+                .filter(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+                .localCheckpoint()
+            )
+            # small-star: orient every edge child=max, parent=min
+            oriented = e.select(
+                F.greatest(F.col("a"), F.col("b")).alias("u"),
+                F.least(F.col("a"), F.col("b")).alias("v"),
+            )
+            nbr_min = oriented.groupBy("u").agg(F.min("v").alias("m"))
+            joined = oriented.join(nbr_min, "u")
+            e = (
+                joined.select(F.col("v").alias("a"), F.col("m").alias("b"))
+                .unionByName(
+                    joined.select(
+                        F.col("u").alias("a"), F.col("m").alias("b")
+                    )
+                )
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+                .localCheckpoint()
+            )
+            cur = _checksum(e)
+            if cur == prev:
+                break
+            prev = cur
 
     # fixed point: e maps child → root; roots and isolated nodes → self.
     # The min-aggregate guarantees ONE row per node even if max_rounds
@@ -373,50 +420,58 @@ def pagerank(
         # this shuffle — on an 11.7M-edge graph it's ~20% of the run
         edges = edges.distinct()
     edges = edges.localCheckpoint()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n_nodes = nodes.count()
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # rank/out_deg is computed per EDGE row (not pre-divided per node)
-    # so the float arithmetic matches the unrolled SQL oracles exactly.
-    edges_deg = edges.join(out_deg, "src").localCheckpoint()
-    dangling_nodes = nodes.join(
-        out_deg, nodes.node == out_deg.src, "left_anti"
-    ).localCheckpoint()
-    has_dangling = bool(dangling_nodes.head(1))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(n_iter):
-        dangling_mass = 0.0
-        if has_dangling:
-            dangling_mass = (
-                ranks.join(dangling_nodes, "node", "semi")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-                .collect()[0]["m"]
-            )
-        summed = (
-            ranks.join(
-                edges_deg.withColumnRenamed("src", "__e_src__"),
-                F.col("node") == F.col("__e_src__"),
-            )
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("in_sum"))
-        )
-        base = (1.0 - damping) / n_nodes + damping * dangling_mass / n_nodes
-        ranks = (
-            nodes.join(summed, nodes.node == summed.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
-                ).alias("rank"),
-            )
+    n_edges = edges.count()  # checkpointed → a cached-RDD count
+    spark = edges.sparkSession
+    with _loop_shuffle_width(spark, n_edges):
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
             .localCheckpoint()
         )
+        n_nodes = nodes.count()
+        out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+        # rank/out_deg is computed per EDGE row (not pre-divided per
+        # node) so the float arithmetic matches the unrolled SQL
+        # oracles exactly.
+        edges_deg = edges.join(out_deg, "src").localCheckpoint()
+        dangling_nodes = nodes.join(
+            out_deg, nodes.node == out_deg.src, "left_anti"
+        ).localCheckpoint()
+        has_dangling = bool(dangling_nodes.head(1))
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+        for _ in range(n_iter):
+            dangling_mass = 0.0
+            if has_dangling:
+                dangling_mass = (
+                    ranks.join(dangling_nodes, "node", "semi")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+                    .collect()[0]["m"]
+                )
+            summed = (
+                ranks.join(
+                    edges_deg.withColumnRenamed("src", "__e_src__"),
+                    F.col("node") == F.col("__e_src__"),
+                )
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("in_sum"))
+            )
+            base = (
+                (1.0 - damping) / n_nodes
+                + damping * dangling_mass / n_nodes
+            )
+            ranks = (
+                nodes.join(summed, nodes.node == summed.dst, "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
     return ranks
 
 
@@ -520,16 +575,19 @@ def k_core(
     und = und.unionByName(
         und.select(F.col("w").alias("u"), F.col("u").alias("w"))
     ).distinct().localCheckpoint()
-    for _ in range(max_iter):
-        deg = und.groupBy("u").agg(F.count("*").alias("deg"))
-        low = deg.filter(F.col("deg") < k).select("u").localCheckpoint()
-        if low.isEmpty():
-            break
-        und = (
-            und.join(low, "u", "left_anti")
-            .join(low.select(F.col("u").alias("w")), "w", "left_anti")
-            .localCheckpoint()
-        )
+    with _loop_shuffle_width(und.sparkSession, und.count()):
+        for _ in range(max_iter):
+            deg = und.groupBy("u").agg(F.count("*").alias("deg"))
+            low = (
+                deg.filter(F.col("deg") < k).select("u").localCheckpoint()
+            )
+            if low.isEmpty():
+                break
+            und = (
+                und.join(low, "u", "left_anti")
+                .join(low.select(F.col("u").alias("w")), "w", "left_anti")
+                .localCheckpoint()
+            )
     return (
         und.groupBy("u")
         .agg(F.count("*").alias("degree"))

@@ -5979,7 +5979,7 @@ _SESSIONIZE_ORACLE = """WITH marked AS (
 sess AS (
   SELECT user_id, us,
          CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us
-                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             RANGE UNBOUNDED PRECEDING) AS BIGINT)
            AS session_seq
   FROM marked)
 SELECT user_id, session_seq,
@@ -6022,10 +6022,16 @@ def events_sessionize(spark, sf_dir):
         .otherwise(0)
         .alias("brk"),
     )
+    # RANGE, not ROWS (r9 sweep of the r8 stream_session_windows
+    # class): `us` alone is not a total order, and a ROWS running sum
+    # over tied peers is peer-order-dependent on BOTH engines — a
+    # latent phantom-red the moment the fixture produces two events
+    # with one (user_id, ts).  RANGE gives tied rows the shared peer
+    # total: deterministic, and ties belong to one session anyway.
     ws = (
         Window.partitionBy("user_id")
         .orderBy("us")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = marked.withColumn("session_seq", F.sum("brk").over(ws))
     return sess.groupBy("user_id", "session_seq").agg(

@@ -36,11 +36,30 @@ from childhoodcancerdatainitiative_prefect_pipeline_spark.scale_replica import (
 
 
 def main():
+    global DEST
     spark = build_session(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(DEST, exist_ok=True)
     built = ensure_replica(spark, SRC, DEST, FACTOR)
     print("replica " + ("built" if built else "reused"), file=sys.stderr)
+
+    # SCALE_SALT_DOCS=k → run against the REALISTIC-dup-rate documents
+    # arm (VERDICT r8 item 4): replica text word-salted per replica
+    # except 1-in-k docs that keep exact dups, so dedup pair outputs
+    # stop being fixture-quadratic.  Non-document tables symlink to
+    # the plain replica.
+    salt = os.environ.get("SCALE_SALT_DOCS")
+    if salt:
+        from childhoodcancerdatainitiative_prefect_pipeline_spark.scale_replica import (
+            ensure_salted_documents,
+        )
+
+        DEST = ensure_salted_documents(
+            spark, SRC, DEST + "_salted", factor=FACTOR,
+            keep_dup_one_in=int(salt), link_from=DEST,
+        )
+        print(f"salted docs arm (1-in-{salt} exact dups): {DEST}",
+              file=sys.stderr)
 
     queries = (
         "q1_pricing_summary", "q3_revenue_by_order", "q5_region_revenue",

@@ -331,6 +331,56 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     assert not any(a >= 100 and b >= 100 for a, b in capped_pairs)
 
 
+def test_lsh_hot_bucket_guard_announces_skew(spark):
+    """The default hot-bucket diagnostic (VERDICT r8 item 7): a
+    boilerplate bucket over the warn threshold must surface through
+    check_hot_buckets after any action — no extra job, non-blocking
+    before the action, silent on quiet corpora."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.dedup import (
+        _HOT_BUCKET_OBSERVATIONS,
+        check_hot_buckets,
+        minhash_lsh_candidates,
+    )
+
+    _HOT_BUCKET_OBSERVATIONS.clear()
+    boiler = (
+        "subscribe to our newsletter for updates terms of service "
+        "privacy policy all rights reserved copyright twenty twenty four"
+    )
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(30)]
+        + [(100, "a perfectly unique document about owls and rivers")],
+        ["doc_id", "text"],
+    )
+
+    # opt-out registers nothing
+    minhash_lsh_candidates(docs, hot_bucket_warn=None)
+    assert _HOT_BUCKET_OBSERVATIONS == []
+
+    cands = minhash_lsh_candidates(docs, hot_bucket_warn=5)
+    assert len(_HOT_BUCKET_OBSERVATIONS) == 1
+    # no action yet: the check must not block, and must retain the obs
+    assert check_hot_buckets() == []
+    assert len(_HOT_BUCKET_OBSERVATIONS) == 1
+
+    assert cands.count() >= 435  # C(30,2) boilerplate pairs
+    msgs: list = []
+    got = check_hot_buckets(emit=msgs.append)
+    assert len(got) == 1 and _HOT_BUCKET_OBSERVATIONS == []
+    assert got[0]["max_bucket_members"] == 30
+    assert got[0]["hot_pair_candidates"] >= 435
+    assert got[0]["threshold"] == 5
+    assert msgs and "hot bucket" in msgs[0] and "max_bucket_size" in msgs[0]
+
+    # the default threshold stays silent on this corpus but still
+    # reports metrics
+    minhash_lsh_candidates(docs).count()
+    msgs2: list = []
+    got2 = check_hot_buckets(emit=msgs2.append)
+    assert len(got2) == 1 and got2[0]["max_bucket_members"] == 30
+    assert msgs2 == []
+
+
 # ---------------------------------------------------------------------------
 # fuzzy relink (J9)
 # ---------------------------------------------------------------------------
@@ -1098,6 +1148,40 @@ def test_gdc_multi_map_sorted_join_and_not_mapped(spark):
     # sorted join of mapped survivors; lone unmapped → Not Mapped;
     # mixed keeps only mapped; null passes through
     assert got == ["Alpha;Beta", "Alpha", "Not Mapped", "Alpha", None]
+
+
+def test_loop_shuffle_width_scales_and_restores(spark):
+    """The iterative loops' shuffle width must grow with input size
+    (VERDICT r8 item 3: fixed 32 partitions made the 100x PageRank
+    curve superlinear via spill), never narrow below the session
+    setting, cap at 4096, and always restore the conf — even on
+    error."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.graph import (
+        _loop_shuffle_width,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    # small input → no change (never narrow below the session width)
+    with _loop_shuffle_width(spark, 1000) as w:
+        assert w == int(old)
+        assert spark.conf.get(key) == old
+    # 64 MB/partition target at 32 B/row → 2M rows per partition
+    with _loop_shuffle_width(spark, 500_000_000) as w:
+        assert w == 239  # ceil(500e6 rows * 32 B / 64 MiB)
+        assert spark.conf.get(key) == "239"
+    assert spark.conf.get(key) == old
+    # capped at 4096 tasks
+    with _loop_shuffle_width(spark, 10**12) as w:
+        assert w == 4096
+    assert spark.conf.get(key) == old
+    # restored on error too
+    try:
+        with _loop_shuffle_width(spark, 500_000_000):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == old
 
 
 def test_connected_components_chain_and_singletons(spark):

@@ -101,6 +101,55 @@ def test_no_hugeint_oracle_output_types(sf_dir):
     assert not offenders, f"HUGEINT oracle output columns: {offenders}"
 
 
+#: VERDICT r8 item 6 — every ROWS-framed running window in an oracle
+#: is peer-order-dependent unless its ORDER BY is a total order within
+#: the partition.  Each audited site records WHY its order key is
+#: unique; a new ROWS frame must be audited here (or rewritten as
+#: RANGE, the fix applied to stream_session_windows in r8 and
+#: events_sessionize in r9) before it ships.
+ROWS_FRAME_AUDIT = {
+    # ORDER BY substr(md5(doc_id),1,16), doc_id — doc_id unique
+    "corpus_token_budget_mix": "doc_id tie-break, unique per row",
+    # cust is GROUP BY o_custkey; ORDER BY revenue DESC, o_custkey
+    "orders_abc_pareto": "o_custkey tie-break, unique post-group",
+    "orders_abc_pareto_scaled": "o_custkey tie-break, unique post-group",
+    # p has one row per (doc_id, pos); PARTITION doc_id ORDER BY pos
+    "dedup_substring_spans": "pos unique within doc_id partition",
+    # ORDER BY us, event_id — event_id unique
+    "events_attribution": "event_id tie-break, unique per row",
+    # grid is GROUP BY t_days; ORDER BY t_days
+    "events_kaplan_meier": "t_days unique post-group",
+    "events_logrank_test": "t_days unique post-group",
+    "events_rmst": "t_days unique post-group",
+}
+
+
+def test_rows_frames_have_audited_total_orders():
+    """No oracle may use a ROWS running frame over a non-total order.
+
+    A ROWS cumulative window over tied ORDER BY peers takes
+    peer-order-dependent values on BOTH engines — a latent phantom-red
+    that fires the first time the fixture produces tied keys (the r8
+    stream_session_windows class; events_sessionize carried the same
+    trap until r9 switched it to RANGE).  Every ROWS-framed site must
+    be listed in ROWS_FRAME_AUDIT with its uniqueness justification.
+    """
+    import re
+
+    pat = re.compile(r"ROWS\s+(BETWEEN\s+)?UNBOUNDED\s+PRECEDING", re.I)
+    found = {
+        name for name, q in REGISTRY.items()
+        if q.oracle and pat.search(q.oracle)
+    }
+    unaudited = sorted(found - set(ROWS_FRAME_AUDIT))
+    assert not unaudited, (
+        "ROWS running frames without a total-order audit (add a "
+        f"justification to ROWS_FRAME_AUDIT or use RANGE): {unaudited}"
+    )
+    stale = sorted(set(ROWS_FRAME_AUDIT) - found)
+    assert not stale, f"audited sites no longer present: {stale}"
+
+
 def test_all_queries_return_rows_or_valid_empty(spark, sf_dir):
     for name, q in REGISTRY.items():
         df = q.fn(spark, sf_dir)

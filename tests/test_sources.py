@@ -1921,3 +1921,72 @@ def test_scale_replica_key_shifts_and_reuse(spark, tmp_path):
     base_o = spark.read.parquet(f"{src}/orders.parquet")
     assert o3.count() == base_o.count() * 3
     assert ensure_replica(spark, src, dest, factor=3) is False
+
+
+def test_salted_documents_realistic_dup_rate(spark, tmp_path):
+    """The salted replica arm (VERDICT r8 item 4): per-replica word
+    salting must (a) keep 1-in-k docs as exact cross-replica dups,
+    (b) break cross-replica similarity for the rest (shingle sets
+    disjoint), (c) preserve WITHIN-replica similarity structure
+    exactly (the salt is a bijective token rename)."""
+    import pyspark.sql.functions as SF
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.scale_replica import (
+        ensure_salted_documents,
+    )
+
+    src = str(tmp_path / "base")
+    # doc 0: kept (0 % 4 == 0); docs 1/2: planted near-dups; doc 3 odd
+    spark.createDataFrame(
+        [
+            (0, "boilerplate terms of service apply to all pages"),
+            (1, "the quick brown fox jumps over the lazy dog daily"),
+            (2, "the quick brown fox jumps over the lazy cat daily"),
+            (3, "completely unrelated text about rivers and owls"),
+            (4, "another kept doc candidate but four mod four is zero"),
+        ],
+        ["doc_id", "text"],
+    ).write.parquet(f"{src}/documents.parquet")
+
+    dest = str(tmp_path / "salted")
+    got = ensure_salted_documents(
+        spark, src, dest, factor=3, keep_dup_one_in=4
+    )
+    assert got == dest
+    # idempotent reuse
+    assert ensure_salted_documents(
+        spark, src, dest, factor=3, keep_dup_one_in=4
+    ) == dest
+
+    docs = spark.read.parquet(f"{dest}/documents.parquet")
+    assert docs.count() == 15
+    by_text = {
+        r["text"]: r["n"]
+        for r in docs.groupBy("text").agg(SF.count("*").alias("n")).collect()
+    }
+    # (a) kept docs (0, 4) appear verbatim in all 3 replicas
+    assert by_text["boilerplate terms of service apply to all pages"] == 3
+    assert (
+        by_text["another kept doc candidate but four mod four is zero"] == 3
+    )
+    # (b) salted docs are unique strings (no cross-replica dups), and
+    # replica-1/2 tokens never collide with base tokens
+    assert all(
+        n == 1 for t, n in by_text.items() if "~r" in t
+    ) and sum("~r1" in t for t in by_text) == 3
+    # (c) within-replica similarity preserved: the fox docs in replica
+    # 1 still differ by exactly one token (dog~r1 vs cat~r1)
+    r1 = {
+        r["doc_id"]: r["text"].split()
+        for r in docs.filter(
+            (SF.col("doc_id") >= 1_000_001) & (SF.col("doc_id") <= 1_000_002)
+        ).collect()
+    }
+    a, b = r1[1_000_001], r1[1_000_002]
+    assert len(a) == len(b) and sum(x != y for x, y in zip(a, b)) == 1
+    # non-document tables are symlinked so dest works as an sf_dir
+    import os as _os
+
+    assert not _os.path.exists(f"{dest}/orders.parquet") or _os.path.islink(
+        f"{dest}/orders.parquet"
+    )
