@@ -28,6 +28,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries to the front; everything here is also locally verified across
 # the whole registry by scripts/verify_driver.py before each commit.
 _CERTIFY_FIRST = [
+    # round-9 reworks: every oracle-backed entry whose execution path
+    # crossed this round's operator changes (RANGE sessionize frame,
+    # minhash hot-bucket guard, input-scaled loop widths + the CC
+    # symmetrized-edge checkpoint) fronts the certified tier so the
+    # r09 driver window re-proves current behavior (the fingerprint
+    # rule only voids on registry-fn/oracle drift, not operator-module
+    # drift — this list is the manual complement)
+    "events_sessionize",
+    "dedup_minhash_clusters_md5",
+    "dedup_cluster_components",
+    "dedup_cluster_star",
+    "entity_golden_record",
+    "graph_pagerank_topk",
+    "graph_kcore_membership",
     # round-6 additions (front-loaded per VERDICT r5: certify the new
     # de-weakened scale paths in the same round they land)
     "graph_triangle_count_lsh",
@@ -358,7 +372,11 @@ def _already_certified(artifact_dir=None, registry=None) -> set[str]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    pos = {n: i for i, n in enumerate(_CERTIFY_FIRST)}
+    # first occurrence wins: re-prioritizing an entry means PREPENDING
+    # it; a stale mention further down must not demote it
+    pos: dict[str, int] = {}
+    for i, n in enumerate(_CERTIFY_FIRST):
+        pos.setdefault(n, i)
     certified = _already_certified()
     # Sort tiers (VERDICT r6 item 3): never-certified oracle-backed
     # entries fill the driver's 50-slot window FIRST; rows-only

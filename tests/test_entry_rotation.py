@@ -159,6 +159,27 @@ def test_live_fingerprints_match_current_tree():
     )
 
 
+def test_certify_first_prepend_wins_over_stale_mentions():
+    """Re-prioritizing an entry = PREPENDING it to _CERTIFY_FIRST; a
+    stale mention further down the list must not demote it (the pos
+    map keeps the FIRST occurrence).  Pinned on the live repo: the r9
+    reworked entries (operator-path changes the fingerprint rule
+    cannot see) must land inside the driver's 50-slot window."""
+    names = list(entrymod.queries())[:50]
+    for n in (
+        "events_sessionize",
+        "dedup_minhash_clusters_md5",
+        "dedup_cluster_components",
+        "dedup_cluster_star",
+        "entity_golden_record",
+        "graph_pagerank_topk",
+        "graph_kcore_membership",
+        "graph_kcore_membership_lsh",
+        "graph_kcore_membership_knn",
+    ):
+        assert n in names, f"{n} fell out of the r09 certify window"
+
+
 def test_live_window_fronts_uncertified():
     """On the real repo: every non-certified entry must sort strictly
     before every certified one in the driver's queries() ordering."""
