@@ -159,6 +159,32 @@ def test_live_fingerprints_match_current_tree():
     )
 
 
+def test_bench_wait_for_quiet(monkeypatch):
+    """bench._wait_for_quiet (VERDICT r8 item 2): waits while loadavg
+    is above the cap, returns once it drops, and proceeds loudly on
+    timeout instead of waiting forever."""
+    import bench
+
+    loads = iter([5.0, 5.0, 1.0, 1.0])
+    slept: list = []
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (next(loads), 0, 0))
+    monkeypatch.setattr(bench.time, "sleep", slept.append)
+    clock = iter([0.0, 1.0, 2.0, 3.0, 4.0, 5.0])
+    monkeypatch.setattr(bench.time, "monotonic", lambda: next(clock))
+    waited = bench._wait_for_quiet(cap=2.0, max_wait=300, poll=10)
+    assert slept == [10]  # one wait tick, then the box went quiet
+    assert waited >= 0
+
+    # timeout path: loadavg never drops, the wait gives up at max_wait
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (9.9, 0, 0))
+    clock2 = iter([0.0, 100.0, 400.0, 500.0])
+    monkeypatch.setattr(bench.time, "monotonic", lambda: next(clock2))
+    slept.clear()
+    waited = bench._wait_for_quiet(cap=2.0, max_wait=300, poll=10)
+    assert slept == [10]  # one tick at t=100, timeout observed at 400
+    assert waited == 500.0
+
+
 def test_certify_first_prepend_wins_over_stale_mentions():
     """Re-prioritizing an entry = PREPENDING it to _CERTIFY_FIRST; a
     stale mention further down the list must not demote it (the pos
