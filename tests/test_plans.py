@@ -667,6 +667,23 @@ def test_knn_rerank_candidate_stream_never_shuffles(spark, sf_dir):
     ), "formatted plan lost the flat vector columns — pin needs rework"
 
 
+def test_cds_flatten_dims_broadcast_at_small_scale(spark, sf_dir):
+    """Size-based-selection canary for the r8 hint audit: cds_flatten
+    deliberately carries NO broadcast hints on its enrollment-scaling
+    sides (participant/diagnosis), trusting the 20m threshold + AQE to
+    broadcast them while they are actually small.  If a future change
+    inflates their Catalyst size estimates (a wide rename, a stats-
+    destroying node), every dimension join demotes to sort-merge at
+    ALL scales and the flatten quietly triples (the r9 sweep chased
+    exactly this suspicion — the executed 10x plan was still 37/37
+    broadcast joins; pin it at test scale so the property is guarded,
+    not re-litigated)."""
+    plan = _plan(REGISTRY["cds_flatten"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 30
+
+
 def test_ngram_jaccard_pair_stream_no_extra_shuffles(spark, sf_dir):
     """Per-doc shingle counts must ride the postings into the pair
     aggregation (size(sh) before the explode), NOT join back onto the
