@@ -28,13 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries to the front; everything here is also locally verified across
 # the whole registry by scripts/verify_driver.py before each commit.
 _CERTIFY_FIRST = [
-    # round-9 reworks: every oracle-backed entry whose execution path
-    # crossed this round's operator changes (RANGE sessionize frame,
-    # minhash hot-bucket guard, input-scaled loop widths + the CC
-    # symmetrized-edge checkpoint) fronts the certified tier so the
-    # r09 driver window re-proves current behavior (the fingerprint
-    # rule only voids on registry-fn/oracle drift, not operator-module
-    # drift — this list is the manual complement)
+    # round-9 reworked entries (re-certified hash-green in r09).  As of
+    # r10 the fingerprint hashes the fn's TRANSITIVE in-package deps
+    # (_dep_nodes below), so operator-module drift voids certification
+    # automatically — no more hand-assembled rework lists; prepends
+    # here only tune ordering among already-voided entries.
     "events_sessionize",
     "dedup_minhash_clusters_md5",
     "dedup_cluster_components",
@@ -279,18 +277,209 @@ _CERTIFY_FIRST = [
 ]
 
 
-def _fingerprint(q) -> str:
-    """Certification fingerprint: oracle SQL text + Spark fn source.
+_PKG = "childhoodcancerdatainitiative_prefect_pipeline_spark"
 
-    A cheap stand-in for a full plan digest (ADVICE r7 item 3): when an
-    entry's oracle or its registered function is reworked after it was
-    driver-certified, the recorded fingerprint in
+
+def _stable_repr(v, depth: int = 0) -> str:
+    """Deterministic repr for module-level data globals.
+
+    ``repr`` alone is unstable across processes for sets (hash-seeded
+    iteration order) and for objects with the default ``<... at 0x..>``
+    repr (memory addresses) — either would void certifications at
+    random.  Containers recurse with sorted set/dict ordering; opaque
+    objects degrade to their type name only.
+    """
+    if depth > 6:
+        return "<deep>"
+    if v is None or isinstance(v, (bool, int, float, str, bytes)):
+        return repr(v)
+    if isinstance(v, dict):
+        items = sorted(v.items(), key=lambda kv: repr(kv[0]))
+        return "{%s}" % ",".join(
+            _stable_repr(k, depth + 1) + ":" + _stable_repr(x, depth + 1)
+            for k, x in items
+        )
+    if isinstance(v, (list, tuple)):
+        return "[%s]" % ",".join(_stable_repr(x, depth + 1) for x in v)
+    if isinstance(v, (set, frozenset)):
+        return "{%s}" % ",".join(
+            sorted(_stable_repr(x, depth + 1) for x in v)
+        )
+    pat = getattr(v, "pattern", None)  # compiled regex
+    if isinstance(pat, (str, bytes)):
+        return "re:%r" % (pat,)
+    return "<%s.%s>" % (type(v).__module__, type(v).__qualname__)
+
+
+_DEP_SRC_CACHE: dict = {}
+_DEP_IMPORT_CACHE: dict = {}
+
+
+def _dep_nodes(fn) -> set:
+    """Transitive in-package dependency nodes reachable from ``fn``.
+
+    Walks the fn's code object(s): every global it names resolves to a
+    module / function / class / constant; in-package callables recurse
+    into THEIR globals, referenced in-package modules contribute their
+    full source hash.  The result is a set of (kind, name..., sha16)
+    tuples — hashing the sorted set (rather than a recursive digest)
+    sidesteps import cycles.  This is what lets a rework of
+    ``operators/graph.py`` void the certification of every registry
+    entry whose execution path crosses it, with no manual
+    ``_CERTIFY_FIRST`` bookkeeping (VERDICT r9 item 1 / ADVICE r9).
+    """
+    import ast
+    import hashlib
+    import importlib
+    import importlib.util
+    import inspect
+    import sys
+    import textwrap
+    import types
+
+    def sha(text: str) -> str:
+        return hashlib.sha256(text.encode()).hexdigest()[:16]
+
+    def src_sha(obj) -> str:
+        # memoized across _dep_nodes calls: registry entries share most
+        # of their closures (the cache holds an obj ref so ids can't be
+        # recycled; tests clear it after editing sources on disk)
+        hit = _DEP_SRC_CACHE.get(id(obj))
+        if hit is not None and hit[0] is obj:
+            return hit[1]
+        try:
+            digest = sha(inspect.getsource(obj))
+        except (OSError, TypeError):
+            digest = sha(repr(type(obj)))
+        _DEP_SRC_CACHE[id(obj)] = (obj, digest)
+        return digest
+
+    def in_pkg(modname) -> bool:
+        return isinstance(modname, str) and (
+            modname == _PKG or modname.startswith(_PKG + ".")
+        )
+
+    nodes: set = set()
+    seen: set = set()
+    work: list = [(None, fn)]
+
+    def push_code(code, globs) -> None:
+        for name in code.co_names:
+            if name in globs:
+                work.append((name, globs[name]))
+        for const in code.co_consts:
+            if isinstance(const, types.CodeType):
+                push_code(const, globs)
+
+    def push_local_imports(fn_obj) -> None:
+        """Registry fns import operators INSIDE the body (lazy import
+        convention) — those names never hit ``__globals__``, so resolve
+        Import/ImportFrom statements from the AST and push their
+        in-package targets.  Memoized across _dep_nodes calls (the
+        cache holds refs so ids can't be recycled)."""
+        hit = _DEP_IMPORT_CACHE.get(id(fn_obj))
+        if hit is not None and hit[0] is fn_obj:
+            work.extend((None, t) for t in hit[1])
+            return
+        targets: list = []
+        try:
+            tree = ast.parse(textwrap.dedent(inspect.getsource(fn_obj)))
+        except (OSError, TypeError, SyntaxError):
+            _DEP_IMPORT_CACHE[id(fn_obj)] = (fn_obj, targets)
+            return
+        pkg = getattr(
+            sys.modules.get(fn_obj.__module__), "__package__", None
+        )
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                for alias in node.names:
+                    if in_pkg(alias.name):
+                        try:
+                            targets.append(
+                                importlib.import_module(alias.name)
+                            )
+                        except ImportError:
+                            pass
+            elif isinstance(node, ast.ImportFrom):
+                try:
+                    resolved = importlib.util.resolve_name(
+                        "." * node.level + (node.module or ""), pkg
+                    )
+                except (ImportError, ValueError):
+                    continue
+                if not in_pkg(resolved):
+                    continue
+                try:
+                    mod = importlib.import_module(resolved)
+                except ImportError:
+                    continue
+                for alias in node.names:
+                    tgt = getattr(mod, alias.name, None)
+                    if tgt is None:
+                        try:
+                            tgt = importlib.import_module(
+                                resolved + "." + alias.name
+                            )
+                        except ImportError:
+                            continue
+                    targets.append(tgt)
+        _DEP_IMPORT_CACHE[id(fn_obj)] = (fn_obj, targets)
+        work.extend((None, t) for t in targets)
+
+    while work:
+        name, obj = work.pop()
+        # functools.partial / bound method unwrap
+        obj = getattr(obj, "__func__", obj)
+        inner = getattr(obj, "func", None)
+        if inner is not None and callable(inner) and not isinstance(
+            obj, (types.FunctionType, types.ModuleType, type)
+        ):
+            obj = inner
+        oid = id(obj)
+        if oid in seen:
+            continue
+        seen.add(oid)
+        if isinstance(obj, types.ModuleType):
+            if in_pkg(obj.__name__):
+                nodes.add(("m", obj.__name__, src_sha(obj)))
+            continue
+        if isinstance(obj, types.FunctionType):
+            if in_pkg(getattr(obj, "__module__", None)):
+                nodes.add(
+                    ("f", obj.__module__, obj.__qualname__, src_sha(obj))
+                )
+                push_code(obj.__code__, obj.__globals__)
+                push_local_imports(obj)
+            continue
+        if isinstance(obj, type):
+            if in_pkg(getattr(obj, "__module__", None)):
+                nodes.add(
+                    ("c", obj.__module__, obj.__qualname__, src_sha(obj))
+                )
+                for m in vars(obj).values():
+                    f = getattr(m, "__func__", m)
+                    if isinstance(f, types.FunctionType):
+                        work.append((None, f))
+            continue
+        # plain data global (rule tables, SQL strings, thresholds):
+        # value-hashed under its referenced name
+        if name is not None and not callable(obj):
+            nodes.add(("v", name, sha(_stable_repr(obj))))
+    return nodes
+
+
+def _fingerprint(q) -> str:
+    """Certification fingerprint: oracle SQL + fn source + transitive
+    in-package dependency sources.
+
+    When an entry's oracle, its registered function, OR any in-package
+    helper/operator module on its execution path is reworked after it
+    was driver-certified, the recorded fingerprint in
     ``CERT_FINGERPRINTS.json`` no longer matches and the entry rotates
     back into the verification window instead of shipping a stale
-    green.  Helper functions called *by* the fn are not hashed — a
-    deliberate cost/benefit cut; registry fns are thin and reworks of
-    shared operators land with a registry-side alias or doc change in
-    practice.
+    green.  r7–r9 hashed only oracle+fn source and relied on a manual
+    ``_CERTIFY_FIRST`` complement for operator reworks; r10 closes that
+    gap by folding in ``_dep_nodes`` (VERDICT r9 item 1).
     """
     import hashlib
     import inspect
@@ -299,7 +488,13 @@ def _fingerprint(q) -> str:
         src = inspect.getsource(q.fn)
     except (OSError, TypeError):  # builtins/partials: fall back to repr
         src = repr(q.fn)
-    body = (q.oracle or "") + "\n---\n" + src
+    try:
+        deps = "\n".join(
+            "|".join(map(str, t)) for t in sorted(_dep_nodes(q.fn))
+        )
+    except Exception:  # never let dep-walking break certification reads
+        deps = "<depwalk-failed>"
+    body = (q.oracle or "") + "\n---\n" + src + "\n---\n" + deps
     return hashlib.sha256(body.encode()).hexdigest()[:16]
 
 
@@ -370,6 +565,29 @@ def _already_certified(artifact_dir=None, registry=None) -> set[str]:
     return done
 
 
+def _drained(fn: Callable) -> Callable:
+    """Wrap a registry fn so pending LSH hot-bucket observations from
+    the PREVIOUS query's action are drained before the next plan is
+    built (ADVICE r9: the guard was inert in driver runs — the driver
+    collects results itself, so there is no post-action hook; draining
+    at the next call is the equivalent \"after any action\" point).
+    The wrapped fn (not this wrapper) is what ``_fingerprint`` hashes.
+    """
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.dedup import (
+                check_hot_buckets,
+            )
+
+            check_hot_buckets()
+        except Exception:
+            pass
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     # first occurrence wins: re-prioritizing an entry means PREPENDING
@@ -391,7 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n,
         ),
     )
-    return {name: REGISTRY[name].fn for name in names}
+    return {name: _drained(REGISTRY[name].fn) for name in names}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -3,9 +3,11 @@
 Run AFTER a round's CORRECTNESS artifact lands green (or after
 scripts/verify_driver.py passes locally): for every entry the driver
 artifacts mark certified, record the fingerprint of its CURRENT oracle
-SQL + function source.  From then on, any rework of that entry voids
-its certification in ``__spark_entry__._already_certified`` and
-rotates it back into the driver's 50-slot window (ADVICE r7 item 3).
+SQL + function source + transitive in-package dependency sources.
+From then on, any rework of that entry OR of an operator module on its
+execution path voids its certification in
+``__spark_entry__._already_certified`` and rotates it back into the
+driver's 50-slot window (ADVICE r7 item 3; VERDICT r9 item 1).
 
 Usage: python scripts/update_cert_fingerprints.py [--from-tree DIR]
 
@@ -13,10 +15,17 @@ Usage: python scripts/update_cert_fingerprints.py [--from-tree DIR]
 repo (e.g. a git worktree at the round boundary commit) so that edits
 made AFTER certification are detected as drift.  The artifact scan
 still reads /root/repo's CORRECTNESS files.
+
+The fingerprint algorithm is imported from the TARGET TREE's
+``__spark_entry__`` (r10: the r9 duplicate-and-mirror scheme could
+drift silently; importing the tree's own algorithm cannot).  For
+--from-tree checkouts that predate the mechanism, the current repo's
+algorithm is the fallback.
 """
 
 from __future__ import annotations
 
+import importlib.util
 import json
 import sys
 from pathlib import Path
@@ -24,19 +33,13 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def _fingerprint(q) -> str:
-    """MUST mirror __spark_entry__._fingerprint (pinned by the unit
-    test) — duplicated here so --from-tree works against checkouts
-    that predate the fingerprint mechanism."""
-    import hashlib
-    import inspect
-
-    try:
-        src = inspect.getsource(q.fn)
-    except (OSError, TypeError):
-        src = repr(q.fn)
-    body = (q.oracle or "") + "\n---\n" + src
-    return hashlib.sha256(body.encode()).hexdigest()[:16]
+def _load_entry_module(tree: Path):
+    spec = importlib.util.spec_from_file_location(
+        "_tree_spark_entry", tree / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def main() -> int:
@@ -49,6 +52,11 @@ def main() -> int:
     from childhoodcancerdatainitiative_prefect_pipeline_spark.queries import (  # noqa: E402
         REGISTRY as reg,
     )
+
+    entrymod = _load_entry_module(tree)
+    fingerprint = getattr(entrymod, "_fingerprint", None)
+    if fingerprint is None:  # pre-r7 checkout: fall back to the live repo's
+        fingerprint = _load_entry_module(REPO)._fingerprint
 
     # Certified set per the artifact scan, IGNORING fingerprints (we
     # are about to rewrite them).
@@ -76,7 +84,7 @@ def main() -> int:
     for name in sorted(done):
         if name not in reg:
             continue
-        out[name] = {"fp": _fingerprint(reg[name]), "round": stamp}
+        out[name] = {"fp": fingerprint(reg[name]), "round": stamp}
 
     path = REPO / "CERT_FINGERPRINTS.json"
     path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")

@@ -102,15 +102,68 @@ def test_matching_fingerprint_keeps_certification(tmp_path):
     assert "reworked" in done
 
 
-def test_updater_script_mirrors_fingerprint():
-    """scripts/update_cert_fingerprints.py duplicates the algorithm for
-    --from-tree use against old checkouts; the two must stay in sync."""
+def test_updater_script_uses_tree_fingerprint():
+    """r10: scripts/update_cert_fingerprints.py no longer duplicates
+    the algorithm — it loads the target tree's __spark_entry__ and uses
+    ITS _fingerprint, so the two cannot drift apart."""
+    import pathlib
+
     sys.path.insert(0, "/root/repo/scripts")
     import update_cert_fingerprints as upd
 
+    mod = upd._load_entry_module(pathlib.Path("/root/repo"))
     reg = _fake_registry()
     for q in reg.values():
-        assert upd._fingerprint(q) == entrymod._fingerprint(q)
+        assert mod._fingerprint(q) == entrymod._fingerprint(q)
+
+
+def test_helper_module_drift_voids_fingerprint(tmp_path, monkeypatch):
+    """VERDICT r9 item 1 (the 'done =' criterion): editing a HELPER
+    module on the fn's execution path — not the fn itself — must change
+    the fingerprint, so the certification voids automatically with no
+    manual _CERTIFY_FIRST prepend."""
+    import importlib
+    import linecache
+
+    pkg = tmp_path / "fpfakepkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    helper = pkg / "helper.py"
+    helper.write_text("def boost(x):\n    return x + 1\n")
+    (pkg / "main.py").write_text(
+        "def run(spark, sf):\n"
+        "    from .helper import boost\n"
+        "    return boost(1)\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setattr(entrymod, "_PKG", "fpfakepkg")
+    try:
+        main = importlib.import_module("fpfakepkg.main")
+        q = SimpleNamespace(fn=main.run, oracle="SELECT 1")
+        fp1 = entrymod._fingerprint(q)
+        assert entrymod._fingerprint(q) == fp1  # deterministic
+        # the dep walk actually saw the helper
+        nodes = entrymod._dep_nodes(main.run)
+        assert any(
+            t[0] == "f" and t[1] == "fpfakepkg.helper" for t in nodes
+        ), nodes
+        # rework the helper ONLY; the registered fn's source is untouched
+        helper.write_text("def boost(x):\n    return x + 2\n")
+        importlib.invalidate_caches()
+        importlib.reload(sys.modules["fpfakepkg.helper"])
+        linecache.checkcache()
+        # per-process memo caches hold pre-edit objects; a real rework
+        # lands on disk and the driver fingerprints in a fresh process
+        entrymod._DEP_SRC_CACHE.clear()
+        entrymod._DEP_IMPORT_CACHE.clear()
+        fp2 = entrymod._fingerprint(q)
+        assert fp2 != fp1, "helper rework did not void the fingerprint"
+    finally:
+        for name in list(sys.modules):
+            if name.startswith("fpfakepkg"):
+                del sys.modules[name]
+        entrymod._DEP_SRC_CACHE.clear()
+        entrymod._DEP_IMPORT_CACHE.clear()
 
 
 def test_stamp_after_green_flow(tmp_path):
