@@ -18,6 +18,8 @@ Design for scale:
 
 from __future__ import annotations
 
+from collections import deque
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -219,25 +221,34 @@ def dedup_exact_keep_first(
 
 
 #: (Observation, warn_threshold, context) triples attached by
-#: minhash_lsh_candidates' hot-bucket guard; drained (non-blocking) by
-#: :func:`check_hot_buckets` after the caller runs an action.
-_HOT_BUCKET_OBSERVATIONS: list[tuple[object, int, str]] = []
+#: minhash_lsh_candidates' hot-bucket guard; drained by
+#: :func:`check_hot_buckets` after the caller runs an action.  Bounded
+#: (ADVICE r9): a long-lived session that never drains would otherwise
+#: grow this forever, each entry pinning a JVM Observation — at maxlen
+#: the oldest undrained observation falls off and its JVM object
+#: becomes collectable.  Drains run automatically after bench.py query
+#: actions and before each ``__spark_entry__.queries()`` call.
+_HOT_BUCKET_OBSERVATIONS: deque = deque(maxlen=64)
 
 
 def check_hot_buckets(clear: bool = True, emit=None) -> list[dict]:
     """Drain completed hot-bucket observations; warn on exceeded ones.
 
-    Non-blocking: observations whose query has not yet run an action
-    are skipped (and retained for a later check).  For each completed
-    one whose ``max_bucket_members`` exceeded its threshold, emits a
-    ``warnings.warn`` (or ``emit(msg)``) so a skewed corpus announces
-    itself, and returns the metric dicts (VERDICT r8 item 7).
+    Observations whose query has not yet run an action are skipped
+    (and retained for a later check) — but "skipped" is not free: the
+    readiness probe (``getRowOrEmpty``) awaits up to ~100 ms per
+    PENDING observation, so a caller sitting on N never-acted plans
+    pays up to ``N × 100 ms`` per check.  Completed observations read
+    instantly.  For each completed one whose ``max_bucket_members``
+    exceeded its threshold, emits a ``warnings.warn`` (or
+    ``emit(msg)``) so a skewed corpus announces itself, and returns
+    the metric dicts (VERDICT r8 item 7).
     """
     import warnings
 
     out: list[dict] = []
     keep: list[tuple[object, int, str]] = []
-    for obs, threshold, ctx in _HOT_BUCKET_OBSERVATIONS:
+    for obs, threshold, ctx in list(_HOT_BUCKET_OBSERVATIONS):
         jo = getattr(obs, "_jo", None)
         # getRowOrEmpty is the non-blocking readiness probe (the JVM
         # getOrEmpty NPEs on schemaless rows in Spark 4.1)
@@ -261,7 +272,8 @@ def check_hot_buckets(clear: bool = True, emit=None) -> list[dict]:
             )
             (emit or (lambda m: warnings.warn(m, stacklevel=2)))(msg)
     if clear:
-        _HOT_BUCKET_OBSERVATIONS[:] = keep
+        _HOT_BUCKET_OBSERVATIONS.clear()
+        _HOT_BUCKET_OBSERVATIONS.extend(keep)
     return out
 
 
@@ -296,13 +308,18 @@ def minhash_lsh_candidates(
     ``hot_bucket_warn`` (default ON, VERDICT r8 item 7): a default
     diagnostic so a skewed 100 TB corpus announces itself instead of
     silently hanging in one quadratic task.  A window count over the
-    join's LEFT side (the sort it needs is one the sort-merge join
-    already requires at scale, and the count rides the same
-    (band, bucket) exchange) plus an ``observe`` node above the join
-    record ``max_bucket_members`` and the number of pair candidates
-    coming from over-threshold buckets — zero extra jobs, zero extra
-    shuffles; call :func:`check_hot_buckets` after any action to
-    surface the warning.  Set ``None`` to opt out (plan-pin tests that
+    join's LEFT side plus an ``observe`` node above the join record
+    ``max_bucket_members`` and the number of pair candidates coming
+    from over-threshold buckets.  Cost (ADVICE r9): zero extra jobs
+    always; at sort-merge scale zero extra shuffles (the window's sort
+    is one the join already requires), but when the join planned as a
+    BROADCAST (small corpora / test scale) the left-branch window
+    forces one hash exchange the join alone didn't need — PLANS.md
+    records it as the +1 exchange on ``dedup_minhash_pairs``.  Call
+    :func:`check_hot_buckets` after any action to surface the warning
+    (bench.py and ``__spark_entry__.queries()`` do this
+    automatically); its readiness probe costs up to ~100 ms per still-
+    pending observation.  Set ``None`` to opt out (plan-pin tests that
     count operators do).
     """
     rows_per_band = num_hashes // bands

@@ -41,9 +41,23 @@ def _loop_shuffle_width(spark, n_rows: int, bytes_per_row: int = 32):
     the measured input instead.  The conf is restored on exit; it only
     governs the loop's eager ``localCheckpoint`` materializations, so
     lazy frames returned to the caller plan under the caller's conf.
+
+    Concurrency (ADVICE r9): ``spark.sql.shuffle.partitions`` is
+    SESSION-global — a concurrent query planned on the same session
+    while a loop runs would plan at the inflated width.  The engine
+    assumes single-threaded session use (the driver/bench/test
+    harnesses all run queries sequentially); callers sharing a session
+    across threads should plan loops on a dedicated
+    ``spark.newSession()``.
     """
     target = 64 << 20
-    old = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        old = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # non-numeric setting (e.g. 'auto' on some platforms): leave
+        # the width untouched rather than clobber an opaque config
+        yield None
+        return
     # floor at the session width (it already encodes cores/cluster
     # sizing; a small loop must not override a deliberately small
     # test/session setting), scale up by data volume, cap the task

@@ -355,7 +355,7 @@ def test_lsh_hot_bucket_guard_announces_skew(spark):
 
     # opt-out registers nothing
     minhash_lsh_candidates(docs, hot_bucket_warn=None)
-    assert _HOT_BUCKET_OBSERVATIONS == []
+    assert len(_HOT_BUCKET_OBSERVATIONS) == 0
 
     cands = minhash_lsh_candidates(docs, hot_bucket_warn=5)
     assert len(_HOT_BUCKET_OBSERVATIONS) == 1
@@ -366,7 +366,7 @@ def test_lsh_hot_bucket_guard_announces_skew(spark):
     assert cands.count() >= 435  # C(30,2) boilerplate pairs
     msgs: list = []
     got = check_hot_buckets(emit=msgs.append)
-    assert len(got) == 1 and _HOT_BUCKET_OBSERVATIONS == []
+    assert len(got) == 1 and len(_HOT_BUCKET_OBSERVATIONS) == 0
     assert got[0]["max_bucket_members"] == 30
     assert got[0]["hot_pair_candidates"] >= 435
     assert got[0]["threshold"] == 5
@@ -1182,6 +1182,26 @@ def test_loop_shuffle_width_scales_and_restores(spark):
     except RuntimeError:
         pass
     assert spark.conf.get(key) == old
+    # non-numeric conf (ADVICE r9: platforms like Databricks accept
+    # 'auto'; this Spark build rejects setting it, so stub the conf):
+    # leave the width untouched instead of raising ValueError
+    class _FakeConf:
+        def __init__(self):
+            self.sets: list = []
+
+        def get(self, k):
+            return "auto"
+
+        def set(self, k, v):  # pragma: no cover - must not be called
+            self.sets.append((k, v))
+
+    class _FakeSpark:
+        conf = _FakeConf()
+
+    fake = _FakeSpark()
+    with _loop_shuffle_width(fake, 500_000_000) as w:
+        assert w is None
+    assert fake.conf.sets == []  # never touched the opaque config
 
 
 def test_connected_components_chain_and_singletons(spark):
