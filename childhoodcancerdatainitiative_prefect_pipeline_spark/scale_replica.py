@@ -134,7 +134,8 @@ def ensure_salted_documents(
     with ``doc_id % keep_dup_one_in == 0`` keep their original text in
     every replica (exact-dup groups of size ``factor``: the realistic
     boilerplate fraction).  Deterministic (key-derived, no RNG),
-    idempotent via a marker recording (factor, keep_dup_one_in).
+    idempotent via a marker recording (factor, keep_dup_one_in,
+    link_from) — a changed link source re-points the symlinks.
 
     Writes ``documents.parquet`` under ``dest`` and symlinks every
     other table from ``link_from`` (default ``src`` — pass the plain
@@ -142,7 +143,10 @@ def ensure_salted_documents(
     so the dest works as a query sf_dir.  Returns ``dest``.
     """
     marker = os.path.join(dest, _SALT_MARKER)
-    want = f"{factor},{keep_dup_one_in}"
+    # link_from is part of the identity (ADVICE r9): re-running with a
+    # different non-document source must re-point the symlinks, or the
+    # dest silently mixes scale points
+    want = f"{factor},{keep_dup_one_in},{os.path.abspath(link_from or src)}"
     if os.path.exists(f"{dest}/documents.parquet/_SUCCESS"):
         try:
             with open(marker) as f:
@@ -184,6 +188,10 @@ def ensure_salted_documents(
             continue
         link = f"{dest}/{name}.parquet"
         target = f"{link_from or src}/{name}.parquet"
+        # re-point stale links: the marker mismatch that got us here
+        # may be a changed link_from, not just a changed dup rate
+        if os.path.islink(link):
+            os.unlink(link)
         if not os.path.exists(link) and os.path.exists(target):
             os.symlink(os.path.abspath(target), link)
     with open(marker, "w") as f:

@@ -123,14 +123,44 @@ def workbook_to_tables(
     return out
 
 
-def write_workbook(tables: dict[str, DataFrame], out_path: str) -> None:
+#: Workbook sinks collect to the driver (`toPandas`): they exist for
+#: the reference's MANIFEST artifacts (tens of thousands of rows at
+#: most; Excel's own sheet format caps out at 1,048,576 rows anyway).
+#: Past this bound, refuse with a pointer at the distributed TSV sink
+#: instead of OOMing the driver (VERDICT r9 item 2 — the
+#: transpose_small discipline applied to the Excel edges).
+MAX_WORKBOOK_ROWS = 200_000
+
+
+def _bounded_pandas(df: DataFrame, sheet: str, max_rows: int):
+    """Collect ``df`` to pandas, refusing past ``max_rows``.
+
+    The probe is ``limit(max_rows + 1)`` — a bounded scan, never a
+    full count of an unboundedly large frame.
+    """
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(
+            f"sheet {sheet!r} exceeds {max_rows} rows: Excel workbooks "
+            "are a driver-side manifest format. Write large tables "
+            "with sources.files.write_node_tsvs (the distributed TSV "
+            "sink), or raise max_rows= if this is deliberate."
+        )
+    return pdf
+
+
+def write_workbook(
+    tables: dict[str, DataFrame],
+    out_path: str,
+    max_rows: int = MAX_WORKBOOK_ROWS,
+) -> None:
     """S2 (plain variant) — write node tables as a fresh workbook via
     the stdlib adapter; no template/styles, works without openpyxl."""
     from . import xlsx_lite
 
     sheets: dict[str, list[list]] = {}
     for name, df in tables.items():
-        pdf = df.toPandas()
+        pdf = _bounded_pandas(df, name, max_rows)
         rows: list[list] = [list(pdf.columns)]
         for _, row in pdf.iterrows():
             rows.append([None if v is None else v for v in row.tolist()])
@@ -142,6 +172,7 @@ def tables_to_workbook(
     tables: dict[str, DataFrame],
     template_path: str,
     out_path: str,
+    max_rows: int = MAX_WORKBOOK_ROWS,
 ) -> None:
     """S2 — template-overlay write: data region from row 2, template
     column order, header + styles preserved.
@@ -161,7 +192,7 @@ def tables_to_workbook(
             continue
         header = [h for h in template[sheet][0] if h is not None]
         ordered = [c for c in header if c in df.columns]
-        pdf = df.select(*ordered).toPandas()
+        pdf = _bounded_pandas(df.select(*ordered), sheet, max_rows)
         col_pos = {c: header.index(c) for c in ordered}
         rows = []
         for tup in pdf.itertuples(index=False):

@@ -551,6 +551,36 @@ def test_workbook_to_tables_via_stdlib_adapter(spark, tmp_path):
     assert back["participant"].count() == 2
 
 
+def test_workbook_sinks_refuse_unbounded_collect(spark, tmp_path):
+    """VERDICT r9 item 2: the Excel sinks are driver-side manifest
+    writers — past max_rows they must refuse with an error naming the
+    distributed TSV sink, and the probe must be a bounded limit()
+    scan, not a full count."""
+    import pytest as _pytest
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.excel import (
+        tables_to_workbook,
+        write_workbook,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.sources.xlsx_lite import (
+        write_xlsx,
+    )
+
+    big = spark.range(0, 50).selectExpr("cast(id as string) AS sample_id")
+    out = str(tmp_path / "big.xlsx")
+    with _pytest.raises(ValueError, match="write_node_tsvs"):
+        write_workbook({"sample": big}, out, max_rows=10)
+
+    template = str(tmp_path / "template.xlsx")
+    write_xlsx(template, {"sample": [["sample_id"]]})
+    with _pytest.raises(ValueError, match="write_node_tsvs"):
+        tables_to_workbook({"sample": big}, template, out, max_rows=10)
+
+    # within the bound both sinks still write
+    write_workbook({"sample": big}, out, max_rows=50)
+    tables_to_workbook({"sample": big}, template, out, max_rows=50)
+
+
 def test_manifest_pipeline_end_to_end(spark, tmp_path):
     """§3.1 runner, whole loop: xlsx manifest in → repair+derive+index
     → violations report → per-node TSVs + workbook out → read back."""
@@ -1990,3 +2020,37 @@ def test_salted_documents_realistic_dup_rate(spark, tmp_path):
     assert not _os.path.exists(f"{dest}/orders.parquet") or _os.path.islink(
         f"{dest}/orders.parquet"
     )
+
+
+def test_salted_documents_repoints_links_on_new_link_from(spark, tmp_path):
+    """ADVICE r9: re-running with a different link_from must re-point
+    existing symlinks (the marker records the link source), not keep
+    stale links at the old scale point."""
+    import os as _os
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.scale_replica import (
+        ensure_salted_documents,
+    )
+
+    src_a = str(tmp_path / "a")
+    src_b = str(tmp_path / "b")
+    for s, okey in ((src_a, 1), (src_b, 2)):
+        spark.createDataFrame(
+            [(0, "terms of service"), (1, "a document about owls")],
+            ["doc_id", "text"],
+        ).write.parquet(f"{s}/documents.parquet")
+        spark.createDataFrame([(okey, 1)], ["o_orderkey", "o_custkey"]).write.parquet(
+            f"{s}/orders.parquet"
+        )
+
+    dest = str(tmp_path / "salted")
+    ensure_salted_documents(spark, src_a, dest, factor=2, link_from=src_a)
+    link = f"{dest}/orders.parquet"
+    assert _os.path.islink(link)
+    assert _os.readlink(link).startswith(_os.path.abspath(src_a))
+    # same params, same link_from -> idempotent reuse (marker matches)
+    ensure_salted_documents(spark, src_a, dest, factor=2, link_from=src_a)
+    assert _os.readlink(link).startswith(_os.path.abspath(src_a))
+    # new link_from -> marker mismatch -> rebuild re-points the link
+    ensure_salted_documents(spark, src_a, dest, factor=2, link_from=src_b)
+    assert _os.readlink(link).startswith(_os.path.abspath(src_b))
