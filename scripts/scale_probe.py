@@ -61,69 +61,11 @@ def main():
         print(f"salted docs arm (1-in-{salt} exact dups): {DEST}",
               file=sys.stderr)
 
-    queries = (
-        "q1_pricing_summary", "q3_revenue_by_order", "q5_region_revenue",
-        "catalog_stats", "j3_multi_path_flatten", "a9_dedup_keep_last",
-        "w1_eav_pivot", "events_daily_rollup", "dedup_ngram_jaccard",
-        "text_quality", "sim_cosine_topk",
-        # round-3 ops
-        "text_repetition_stats", "text_tfidf_topk", "inverted_index_build",
-        "events_sessionize", "corpus_token_budget_mix",
-        # round-3 pack 8/9 (TPC-H shapes + LLM primitives)
-        "q2_min_cost_supplier", "q13_order_count_distribution",
-        "q18_large_volume_customers", "q21_waiting_suppliers",
-        "corpus_chunk_sliding", "corpus_group_sample_k",
-        "dedup_cluster_star", "kf_transfer_groups",
-        # round-4 ops (semdedup/triangles/kcore excluded: their exact
-        # cosine EDGE BUILD is O(n^2) by design at probe scale — the
-        # operators themselves are keyed; feed them LSH/IVF edges at
-        # 100 TB.  setsim excluded: the synthetic corpus's uniform
-        # 30-word vocabulary defeats rarity-based prefix pruning —
-        # Zipfian corpora are the operator's habitat)
-        "corpus_bloom_decontaminate", "text_quality_classifier",
-        "text_bigram_logprob", "corpus_temperature_mix",
-        "events_cms_heavy_hitters", "profile_hll_distinct",
-        "events_concurrency_peak", "lineitem_weighted_median",
-        "orders_cube_stats", "lineitem_median_twopass",
-        "corpus_weighted_sample",
-        # round-3-session ops
-        "ccdi_to_tabbreaker", "indexd_guid_validation",
-        "text_bpe_tokens", "text_bpe_tokens_fast", "text_html_strip",
-        "privacy_k_anonymity", "linkage_blocked_fuzzy",
-        # round-3-session pack 2 (dedup_minhash_eval excluded: its
-        # EXACT-truth side is an inverted-index pair join that the
-        # synthetic 30-word vocabulary makes near-all-pairs — recall
-        # audits run on samples by design)
-        "cdc_merge_snapshot", "cdc_incremental_agg",
-        "text_trigram_backoff", "corpus_kl_drift",
-        "corpus_batch_schedule", "entity_golden_record",
-        "events_attribution", "corpus_decontaminate_cut",
-        "corpus_split_leakage_safe", "profile_psi_drift",
-        "embedding_doc_pool", "sim_hard_negatives", "sim_pq_topk_det",
-        "repair_fd_violations", "lineitem_trimmed_mean",
-        "features_target_encode_loo", "eval_auc_by_source",
-        "text_bpe_fertility",
-        # round-4/5 ops: the de-weakened scale fixes (rfm distributed
-        # ntile, cds persist, dashboard cache) plus the new kernels
-        "customer_rfm_segments", "cds_flatten", "ccdi_release_dashboard",
-        "bam_stats_extract", "multimodal_png_decode",
-        "multimodal_wav_decode", "multimodal_jpeg_decode",
-        "multimodal_mjpeg_video_decode", "multimodal_flac_decode",
-        "multimodal_gif_decode", "multimodal_route_decode",
-        "dedup_image_ahash_pairs", "dedup_audio_ahash_pairs",
-        "dedup_video_clip_pairs", "corpus_warc_extract",
-        "corpus_tar_extract",
-        "cog_dcc_postprocess_merge",
-        "corpus_weighted_sample",
-        "dcc_manifest_guid_remap", "corpus_pack_sequences",
-        "graph_pagerank_topk", "dedup_minhash_pairs",
-        "dedup_simhash_pairs",
-        # round-6: the LSH-edge and kNN-graph scale paths for graph
-        # construction (their exact all-pairs twins stay excluded by
-        # design)
-        "graph_triangle_count_lsh", "graph_kcore_membership_lsh",
-        "graph_triangle_count_knn", "graph_kcore_membership_knn",
-    )
+    # one canonical standing list, shared with `bench.py --sweep`
+    # (VERDICT r9 item 7); the exclusion rationale lives on the tuple
+    from bench import SWEEP_QUERIES
+
+    queries = SWEEP_QUERIES
     # SCALE_QUERIES=a,b,c confines the sweep (the 100x decade runs a
     # focused headliner+iterative set; the full standing list at 100x
     # would take hours without adding plan-shape information)
