@@ -683,10 +683,38 @@ def setsim_prefix_join(
     is what makes prefixes selective: the most frequent tokens
     (worst join keys) are pushed out of every prefix.
 
+    Two structural rules, both r10 probe findings:
+
+    1. IDENTICAL SETS COLLAPSE FIRST (boilerplate collapse): docs are
+       grouped by their rarity-ordered token array, the join runs on
+       one representative per distinct set, and pairs expand back
+       through narrow (gid, id) member joins afterwards — identical
+       members pair at Jaccard 1.0 row-locally, cross-group pairs
+       inherit the representative score.  Plan cost now scales with
+       UNIQUE content, not copies: a boilerplate-heavy corpus (the
+       realistic 100 TB shape, and exactly the probe fixtures) no
+       longer multiplies the join work by the duplication factor²
+       before the threshold can prune anything.
+    2. Verification happens INSIDE the prefix join (the kernel shape
+       of Vernica et al., SIGMOD'10): the full sorted set rides each
+       prefix posting, so Jaccard is computed row-locally in the
+       join's codegen stage and the threshold filter runs before
+       anything pair-shaped exists downstream.  The r10 100×-salted
+       probe OOM'd the previous shape — candidate (id_a, id_b) pairs
+       joined BACK to the corpus to fetch both token arrays, which
+       widened an ~80M-row pair stream by ~2.4 KB through two
+       sort-merge sorts (~190 GB) — the exact "payload rides the
+       pair stream" wall the r8 kNN re-rank removed; payload now
+       moves O(unique_sets · prefix_len) keyed by token, never
+       O(pairs).  A pair sharing k prefix tokens appears k times in
+       the join; the row whose ``ptok`` is the FIRST common prefix
+       token (both prefixes share the global order, so
+       array_intersect of the prefixes is order-stable) is the one
+       kept — exact-once output with no pair-stream distinct.
+
     Shuffles: token df agg, the df join-back + per-set re-group, the
-    prefix-token candidate join, and the verify join on ids — every
-    one keyed, none quadratic.  Candidate verification computes real
-    Jaccard, so false positives from blocking are filtered exactly.
+    set-collapse group-by, the prefix-token kernel join, and the two
+    narrow member-expansion joins — every one keyed, none quadratic.
     """
     toks = df.select(F.col(id_col).alias("id"), F.explode(set_col).alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
@@ -699,38 +727,90 @@ def setsim_prefix_join(
                 lambda s: s["tok"],
             ).alias("toks_sorted")
         )
+    )
+    groups = (
+        ordered.groupBy("toks_sorted")
+        .agg(F.collect_list("id").alias("ids"))
+        .withColumn("gid", F.array_min("ids"))
         .withColumn("n", F.size("toks_sorted"))
-        # the rarity-ordered index feeds the prefix self-join (both
-        # sides) AND both verify sides — materialize so the shingle
-        # explode + df join + re-group run once, not four times (this
-        # is the index every AllPairs implementation builds anyway)
+        # the collapsed index feeds both kernel sides AND both member
+        # expansions — materialize so the shingle explode + df join +
+        # re-group + collapse run once, not four times (this is the
+        # index every AllPairs implementation builds anyway)
         .localCheckpoint()
     )
     plen = (
         F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     ).cast("int")
-    pref = ordered.select(
-        "id", F.explode(F.slice(F.col("toks_sorted"), F.lit(1), plen)).alias("ptok")
+    pref = groups.select(
+        "gid",
+        "toks_sorted",
+        "n",
+        F.explode(F.slice(F.col("toks_sorted"), F.lit(1), plen)).alias(
+            "ptok"
+        ),
     )
-    cand = (
-        pref.select(F.col("id").alias("id_a"), "ptok")
-        .join(pref.select(F.col("id").alias("id_b"), "ptok"), "ptok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    a = pref.select(
+        F.col("gid").alias("gid_a"), F.col("toks_sorted").alias("sa"),
+        F.col("n").alias("na"), "ptok",
     )
-    sa = ordered.select(
-        F.col("id").alias("id_a"), F.col("toks_sorted").alias("sa"), F.col("n").alias("na")
+    b = pref.select(
+        F.col("gid").alias("gid_b"), F.col("toks_sorted").alias("sb"),
+        F.col("n").alias("nb"), "ptok",
     )
-    sb = ordered.select(
-        F.col("id").alias("id_b"), F.col("toks_sorted").alias("sb"), F.col("n").alias("nb")
-    )
+    # prefixes recomputed from the riding set POST-join (a slice is a
+    # row-local copy) so the exchange ships one array per posting, not
+    # an array plus its ~70% prefix
+    plen_of = lambda n: (  # noqa: E731 - tiny local formula
+        n - F.ceil(F.lit(threshold) * n) + 1
+    ).cast("int")
+    pa = F.slice("sa", F.lit(1), plen_of(F.col("na")))
+    pb = F.slice("sb", F.lit(1), plen_of(F.col("nb")))
     inter = F.size(F.array_intersect("sa", "sb"))
     jac = F.round(inter / (F.col("na") + F.col("nb") - inter), score_scale)
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+    rep_pairs = (
+        a.join(b, "ptok")
+        .filter(F.col("gid_a") < F.col("gid_b"))
+        # exact-once: keep the row keyed by the first common prefix
+        # token (prefix intersect — small arrays — runs before the
+        # full verify so redundant rows die cheaply)
+        .filter(
+            F.element_at(F.array_intersect(pa, pb), 1) == F.col("ptok")
+        )
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
-        .select(F.col("id_a"), F.col("id_b"), "jaccard")
+        .select("gid_a", "gid_b", "jaccard")
     )
+    members = groups.select("gid", F.explode("ids").alias("id"))
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("gid").alias("gid_a"), F.col("id").alias("ma")),
+            "gid_a",
+        )
+        .join(
+            members.select(F.col("gid").alias("gid_b"), F.col("id").alias("mb")),
+            "gid_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # identical nonempty sets pair at exactly 1.0 (empty sets never
+    # share a token, so — matching the all-pairs definition — they
+    # do not pair at all)
+    dup_members = groups.filter(
+        (F.size("ids") > 1) & (F.col("n") > 0)
+    ).select("gid", F.explode("ids").alias("id"))
+    within = (
+        dup_members.alias("x")
+        .join(dup_members.alias("y"), "gid")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)

@@ -289,17 +289,52 @@ def clip_near_dup_pairs(
     clip pair.  The shuffle carries (frame, band, key, id) — never
     clip×clip.
 
+    IDENTICAL CLIPS COLLAPSE FIRST (r10, the setsim boilerplate-
+    collapse rule applied to the video family): clips are grouped by
+    their full ordered sampled-hash sequence, the banded join runs on
+    one representative per DISTINCT sequence, and pairs expand back
+    through narrow (gid, id) member joins — identical members match
+    on every sampled frame row-locally.  Before this, a corpus with
+    g byte-identical copies of a clip put g copies of every frame
+    hash into the same (frame, band, key) bucket and the join's
+    frame-match stream grew as g² BEFORE the distinct could collapse
+    anything — the r10 100× aliased-replica probe (groups of ~50-100
+    identical clips) OOM'd the executor heap in exactly that stage.
+    Plan cost now scales with unique content; the contractual pair
+    output is produced by narrow expansion joins that stream.
+
     ``materialize=True`` (default) ``localCheckpoint``s the hash rows:
-    they feed BOTH sides of the band self-join, and without the
-    checkpoint the whole upstream decode (an Arrow kernel over every
-    clip) runs twice — at 100 TB that is a second full decode pass.
-    The checkpointed frame is tiny (a few longs per sampled frame),
-    never the payload bytes.
+    they feed the signature group-by whose result feeds four
+    consumers, and without the checkpoint the whole upstream decode
+    (an Arrow kernel over every clip) runs twice — at 100 TB that is
+    a second full decode pass.  The checkpointed frames are tiny (a
+    few longs per sampled frame), never the payload bytes.
     """
     from pyspark.sql import functions as F
 
     if materialize:
         frame_hashes = frame_hashes.localCheckpoint()
+    sigs = (
+        frame_hashes.filter(F.col("h1").isNotNull())
+        .groupBy("media_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("frame_no", "h1", "h2"))
+            ).alias("sig")
+        )
+    )
+    groups = (
+        sigs.groupBy("sig")
+        .agg(F.collect_list("media_id").alias("ids"))
+        .withColumn("gid", F.array_min("ids"))
+        .withColumn("n_frames", F.size("sig"))
+        # feeds the representative hash frame AND both member
+        # expansions AND the within-group pairs — materialize once
+        .localCheckpoint()
+    )
+    rep_hashes = groups.select(
+        F.col("gid").alias("media_id"), F.explode("sig").alias("f")
+    ).select("media_id", "f.frame_no", "f.h1", "f.h2")
     bands = [
         F.struct(
             F.lit(band).alias("band"),
@@ -313,7 +348,7 @@ def clip_near_dup_pairs(
         for band in range(8)
     ]
     banded = (
-        frame_hashes.filter(F.col("h1").isNotNull())
+        rep_hashes
         .select(
             "media_id", "frame_no", "h1", "h2",
             F.explode(F.array(*bands)).alias("b"),
@@ -341,8 +376,46 @@ def clip_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
-    return (
+    rep_pairs = (
         frame_matches.groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_frames_matched"))
         .filter(F.col("n_frames_matched") >= min_matching_frames)
+        .select(
+            F.col("id_a").alias("gid_a"),
+            F.col("id_b").alias("gid_b"),
+            "n_frames_matched",
+        )
     )
+    members = groups.select("gid", F.explode("ids").alias("id"))
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("gid").alias("gid_a"), F.col("id").alias("ma")),
+            "gid_a",
+        )
+        .join(
+            members.select(F.col("gid").alias("gid_b"), F.col("id").alias("mb")),
+            "gid_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "n_frames_matched",
+        )
+    )
+    # identical clips match on every sampled frame (hamming 0 ≤ any
+    # max); a group whose clips carry fewer than min_matching_frames
+    # sampled frames pairs nowhere, same as the banded path
+    dup_members = groups.filter(
+        (F.size("ids") > 1) & (F.col("n_frames") >= min_matching_frames)
+    ).select("gid", F.explode("ids").alias("id"), "n_frames")
+    within = (
+        dup_members.alias("x")
+        .join(dup_members.alias("y"), "gid")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.n_frames").cast("long").alias("n_frames_matched"),
+        )
+    )
+    return cross.unionByName(within)

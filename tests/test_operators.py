@@ -3095,6 +3095,55 @@ def test_video_clip_frame_hashes_and_near_dup(spark):
     assert (1, 3) not in spairs and (2, 3) not in spairs
 
 
+def test_clip_near_dup_identical_clip_collapse(spark):
+    """r10 boilerplate collapse: byte-identical clips share one hash
+    sequence, pair each other on every sampled frame, and pair third
+    parties identically to their representative — the banded join
+    must see one row-set per DISTINCT sequence (the 100× aliased
+    probe OOM'd the pre-collapse shape on exactly such groups)."""
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.video import (
+        clip_near_dup_pairs,
+        encode_avi_mjpeg,
+        video_clip_frame_hashes,
+    )
+
+    def frame(f, k, pert=False):
+        def pix(x, y):
+            v = ((x // 8) * 37 + (y // 8) * 91 + 13 * f + k) % 256
+            if pert and f == 1 and x < 8 and y < 8:
+                v = (v + 128) % 256
+            return v
+
+        return encode_jpeg(32, 32, pix, quant=1, grayscale=True)
+
+    same = encode_avi_mjpeg([frame(f, 5) for f in range(3)], 32, 32)
+    near = encode_avi_mjpeg(
+        [frame(f, 5, pert=True) for f in range(3)], 32, 32
+    )
+    far = encode_avi_mjpeg([frame(f, 111) for f in range(3)], 32, 32)
+    media = spark.createDataFrame(
+        [(1, bytearray(same)), (2, bytearray(same)), (3, bytearray(same)),
+         (4, bytearray(near)), (5, bytearray(far))],
+        "media_id long, payload binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_frames_matched"]
+        for r in clip_near_dup_pairs(
+            video_clip_frame_hashes(media), max_hamming=7,
+            min_matching_frames=2,
+        ).collect()
+    }
+    # within-group: all C(3,2) identical pairs, matched on all 3 frames
+    assert pairs[(1, 2)] == pairs[(1, 3)] == pairs[(2, 3)] == 3
+    # cross-group: every identical member pairs the near clip exactly
+    # the way its representative does
+    assert pairs[(1, 4)] == pairs[(2, 4)] == pairs[(3, 4)] >= 2
+    assert not any(5 in p for p in pairs)
+
+
 def test_gif_encode_decode_lzw_interlace_and_quarantine(spark):
     """Real (stdlib) GIF decode: dynamic-dictionary LZW, 16- and
     256-color palettes, interlace row reorder pinned by the
