@@ -28,6 +28,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries to the front; everything here is also locally verified across
 # the whole registry by scripts/verify_driver.py before each commit.
 _CERTIFY_FIRST = [
+    # round-10 reworked entries (identical-content collapse + setsim
+    # kernel verify; locally 296/296 green then re-stamped — fronted
+    # so the r10 driver window re-proves them hash-green on record)
+    "dedup_setsim_prefix_join",
+    "dedup_video_clip_pairs",
+    "dedup_containment_pairs",
+    "dedup_simhash_pairs",
     # round-9 reworked entries (re-certified hash-green in r09).  As of
     # r10 the fingerprint hashes the fn's TRANSITIVE in-package deps
     # (_dep_nodes below), so operator-module drift voids certification
