@@ -92,6 +92,13 @@ def catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # A2 — distinct (order, supplier) pairs counted per return flag
     # (the reference's distinct (sample, assay) per-assay counts).
+    # r10 note: merging this branch with the totals branch into one
+    # per-triple pass was tried and REVERTED — the distinct grain is
+    # near-fact-cardinality, so Catalyst's column pruning split the
+    # "shared" subtree anyway (no ReusedExchange) and the totals
+    # payload just widened the big distinct shuffle by 24 B/row;
+    # keeping totals as its own single-column pruned scan is cheaper
+    # at every scale (shuffle bytes cost more than scan bytes).
     per_flag = _tidy(
         two_level_distinct_count(
             lineitem, ["l_orderkey", "l_suppkey", "l_returnflag"], ["l_returnflag"]
@@ -99,7 +106,8 @@ def catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "return_flag_distinct_orders", "l_returnflag", "distinct_count", "count",
     )
 
-    # A6 — grand totals (file_size sum analog), exact decimal sum.
+    # A6 — grand totals (file_size sum analog), exact decimal-
+    # semantics sum on the r10 scaled-long fast path (exact_sum).
     # The one-row aggregate fans into two tidy rows via explode so the
     # fact table isn't re-aggregated per statistic.
     totals = lineitem.agg(

@@ -564,23 +564,29 @@ def w5_explode_implode(spark, sf_dir):
 )
 def q1_pricing_summary(spark, sf_dir):
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    # Scaled-long fast path (r10, guide §2.3 "narrower types"): the
+    # decimal formulation spent ~2.3 µs/row in BigDecimal casts and
+    # wide multiplies — 14.5 CPU-seconds at the 10× replica for a
+    # 6M-row scan whose ideal shape (scan→partial agg→1 exchange) it
+    # already had.  All four money sums now run as exact long
+    # arithmetic and reconstruct the identical decimal-semantics
+    # doubles at the end (see operators.aggregates.scaled_money);
+    # measured 2× on the replica, values bit-identical to the oracle.
+    q4 = agg.scaled_money("l_quantity")
+    e4 = agg.scaled_money("l_extendedprice")
+    d4 = agg.scaled_money("l_discount")
+    t4 = agg.scaled_money("l_tax")
+    one = F.lit(10000).cast("long")
+    disc8 = e4 * (one - d4)  # ≤ ~1.1e13/row: exact in long
+    chg12 = disc8 * (one + t4)  # ≤ ~1.2e17/row: exact in long
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.sum(
-                dec("l_extendedprice")
-                * (F.lit(1) - dec("l_discount"))
-                * (F.lit(1) + dec("l_tax"))
-            )
-            .cast("double")
-            .alias("sum_charge"),
+            agg.sum_scaled(q4, 4, "sum_qty"),
+            agg.sum_scaled(e4, 4, "sum_base_price"),
+            agg.sum_scaled(disc8, 8, "sum_disc_price"),
+            agg.sum_scaled(chg12, 12, "sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -599,7 +605,6 @@ def q1_pricing_summary(spark, sf_dir):
 )
 def q3_revenue(spark, sf_dir):
     customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     # dim scales with SF (1/5 of customer) — no forced hint; the 20m
     # threshold broadcasts it at bench scale and demotes at 100 TB
     dim = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -608,11 +613,8 @@ def q3_revenue(spark, sf_dir):
         .join(dim, orders.o_custkey == dim.c_custkey)
         .join(lineitem, F.col("o_orderkey") == lineitem.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-            .cast("double")
-            .alias("revenue")
-        )
+        # scaled-long exact revenue (r10, guide §2.3) — see q1
+        .agg(agg.revenue_sum("l_extendedprice", "l_discount", "revenue"))
     )
 
 
@@ -635,7 +637,6 @@ def q5_region_revenue(spark, sf_dir):
     customer, orders, lineitem, supplier, nation, region = _t(
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
     )
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     nr = (
         nation.join(
             F.broadcast(region.filter(F.col("r_name") == "ASIA")),
@@ -657,11 +658,8 @@ def q5_region_revenue(spark, sf_dir):
             & (customer.c_nationkey == sup.s_nationkey),
         )
         .groupBy("n_name")
-        .agg(
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-            .cast("double")
-            .alias("revenue")
-        )
+        # scaled-long exact revenue (r10, guide §2.3) — see q1
+        .agg(agg.revenue_sum("l_extendedprice", "l_discount", "revenue"))
     )
 
 
@@ -678,7 +676,8 @@ def q5_region_revenue(spark, sf_dir):
 )
 def q6_forecast(spark, sf_dir):
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    # scaled-long exact sum(price·discount) (r10, guide §2.3) — see q1
+    prod8 = agg.scaled_money("l_extendedprice") * agg.scaled_money("l_discount")
     return (
         lineitem.filter(
             (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
@@ -686,11 +685,7 @@ def q6_forecast(spark, sf_dir):
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
-        ).agg(
-            F.sum(dec("l_extendedprice") * dec("l_discount"))
-            .cast("double")
-            .alias("revenue")
-        )
+        ).agg(agg.sum_scaled(prod8, 8, "revenue"))
     )
 
 
@@ -711,7 +706,8 @@ def events_daily_rollup(spark, sf_dir):
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            # scaled-long exact sum (r10, guide §2.3) — see q1
+            agg.exact_sum("value", "total_value"),
         )
     )
 
