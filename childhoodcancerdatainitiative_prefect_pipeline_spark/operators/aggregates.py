@@ -62,6 +62,22 @@ def sum_scaled(scaled: Column, frac: int, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def scaled_to_double(scaled: Column, frac: int, alias: str | None = None) -> Column:
+    """An ALREADY-SUMMED scaled-long value → the same DOUBLE its
+    decimal twin (``CAST(decimal_sum AS DOUBLE)``) produces.
+
+    Same exactness argument as :func:`sum_scaled`'s final step: the
+    decimal division's planned scale (≥ ``frac``+1 for these divisors)
+    represents the quotient exactly, so the only rounding is the final
+    double cast — identical to the decimal path.  Used where a
+    scaled-long group sum survives as a column (q11/q15/q18-style
+    HAVING shapes) instead of being cast inside the aggregation.
+    """
+    div = F.lit(10**frac).cast(f"decimal({len(str(10 ** frac))},0)")
+    out = (scaled.cast("decimal(38,0)") / div).cast("double")
+    return out.alias(alias) if alias else out
+
+
 def exact_sum(col: str | Column, alias: str | None = None) -> Column:
     """Sum a double column exactly, emit double.
 

@@ -78,11 +78,17 @@ def blocked_fuzzy_matches(
             .drop("__bn__")
         )
     pairs = lb.join(rb, "__bk__")
+    # Thresholded levenshtein (r10, guide §1.2 step 2): the 3-arg form
+    # (Spark 3.5+) runs the banded O(len·k) DP and returns -1 past the
+    # bound, instead of the full O(len²) matrix per candidate pair.
+    # Surviving rows carry the identical exact distance (the band is
+    # exact up to the threshold), so `>= 0` keeps exactly the rows
+    # `<= max_dist` kept before, with the same distance values.
     return pairs.select(
         left_id,
         right_id,
-        F.levenshtein("__ln__", "__rn__").alias("distance"),
-    ).filter(F.col("distance") <= max_dist)
+        F.levenshtein("__ln__", "__rn__", max_dist).alias("distance"),
+    ).filter(F.col("distance") >= 0)
 
 
 def best_match_per_left(matches: DataFrame, left_id: str, right_id: str) -> DataFrame:

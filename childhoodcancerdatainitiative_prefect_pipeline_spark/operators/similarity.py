@@ -538,21 +538,30 @@ def pq_codebook(
         .orderBy(id_col)
         .limit(n_codewords)
     )
-    parts = [
-        donors.select(
-            F.lit(m).alias("m"),
-            F.col(id_col).alias("cid"),
-            F.slice(F.col(vec_col), 1 + m * d_sub, d_sub).alias("cw"),
-        )
-        for m in range(n_sub)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    # ONE posexplode pass instead of an n_sub-way union of slices
+    # (r10, guide §2.4 "remove shuffles/passes outright"): the union
+    # re-ran the donors TakeOrderedAndProject subtree once per
+    # subspace — 16 scans to materialize 1024 rows, measured 4.8 s of
+    # the 10× PQ probe's 15.9 s.  posexplode emits the identical
+    # (m, cid, cw) triples (pos = subspace index) in one donors scan:
+    # probe 4.8 s → 0.6 s, values byte-identical (row order is
+    # irrelevant — the codebook is consumed as a sorted collect_list
+    # and a broadcast hash side keyed (m, cid)).
+    out = donors.select(
+        F.col(id_col).alias("cid"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), 1 + m * d_sub, d_sub)
+                    for m in range(n_sub)
+                ]
+            )
+        ).alias("m", "cw"),
+    ).select("m", "cid", "cw")
     # The codebook is tiny (n_sub × n_codewords rows) and feeds BOTH
     # the encode argmin and the ADC distance tables — materialize so
-    # the n_sub-way donor-scan union runs once, not once per reference
-    # (36 scans in the r6 plan audit without this).
+    # the donor scan runs once, not once per reference (36 scans in
+    # the r6 plan audit without this).
     return out.localCheckpoint()
 
 
@@ -592,21 +601,71 @@ def pq_encode(
             F.collect_list(F.struct("m", "cid", "cw"))
         ).alias("cbs")
     )
-    crossed = e.join(F.broadcast(cb))
+    # Pre-split the codebook per subspace ON THE BROADCAST SIDE (r10,
+    # guide §1.2 step 2): the per-row `filter(cbs, c.m == m)` scanned
+    # the full n_sub×n_codewords array once per subspace per corpus
+    # row (16×1024 predicate evals/row).  This projection runs once on
+    # the single broadcast row; corpus rows then pay one element_at
+    # per subspace.  Same structs, same order (sort_array ordered by
+    # m first, so the per-m sublists are identical).
+    cb = cb.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            lambda m: F.filter(F.col("cbs"), lambda c: c["m"] == m),
+        ).alias("cbs_by_m")
+    )
+    # Flatten the vector to scalar columns once per row (the
+    # flatten_vectors trick, r10): inside a HOF lambda every candidate
+    # re-evaluates outer expressions (no CSE), so element_at(v, i)
+    # would run n_codewords× per element; a bound scalar-column
+    # reference is one array access per ROW instead.
+    dims = n_sub * d_sub
+    crossed = e.join(F.broadcast(cb)).select(
+        F.col(id_col),
+        F.col("cbs_by_m"),
+        *[
+            F.element_at(F.col(vec_col), i + 1).alias(f"__v{i}__")
+            for i in range(dims)
+        ],
+    )
 
     def code_for(m: int) -> Column:
         # array_min over (distance, cid) structs IS the argmin with the
         # smallest-cid tie-break (lexicographic struct ordering), and
         # evaluates each candidate distance exactly once — Catalyst
         # does not CSE subexpressions inside HOF lambdas, so a
-        # compare-and-keep fold would compute every distance twice
-        sub = F.slice(F.col(vec_col), 1 + m * d_sub, d_sub)
-        cands = F.filter(F.col("cbs"), lambda c: c["m"] == F.lit(m))
+        # compare-and-keep fold would compute every distance twice.
+        # r10 (guide §1.2 step 2, per-task work): the candidate
+        # distance is UNROLLED element arithmetic instead of the
+        # _l2sq_micro zip_with+aggregate fold — the fold allocated a
+        # zipped array and ran the interpreted lambda machinery per
+        # candidate (n_sub × n_codewords = 1024 folds/row; measured
+        # 470 µs/row at the 10× probe, the whole encode cost).  The
+        # unrolled sum keeps the fold's exact left-associated term
+        # order (0.0 + t1 + … + tn ≡ t1 + … + tn for tᵢ ≥ 0 in IEEE),
+        # so the rounded micro-distance — and every downstream argmin
+        # and tie-break — is bit-identical.  10× probe, all three
+        # encode changes together (unroll + broadcast-side codebook
+        # split + flat row projection): encode 9.4 → 4.8 s, the full
+        # PQ query 15.9 → 8.0 s warm.
+        base = m * d_sub
+        subs = [F.col(f"__v{base + i}__") for i in range(d_sub)]
+        cands = F.element_at(F.col("cbs_by_m"), m + 1)
+
+        def dist(c: Column) -> Column:
+            total: Column | None = None
+            for i, s in enumerate(subs, start=1):
+                diff = s - F.element_at(c["cw"], i)
+                t = diff * diff
+                total = t if total is None else total + t
+            assert total is not None
+            return F.round(total * 1000000).cast("long")
+
         best = F.array_min(
             F.transform(
                 cands,
                 lambda c: F.struct(
-                    _l2sq_micro(sub, c["cw"]).alias("d"),
+                    dist(c).alias("d"),
                     c["cid"].alias("cid"),
                 ),
             )

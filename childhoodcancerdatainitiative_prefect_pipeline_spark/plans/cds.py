@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: conflict columns whose priority flips (child wins) at the terminal
@@ -176,9 +176,20 @@ def join_hop(
     for ``reverse_cols`` — the ``anatomic_site`` exception).
     """
     shared = [c for c in parent.columns if c in cur.columns and c != key]
-    renamed = cur
-    for c in shared:
-        renamed = renamed.withColumnRenamed(c, f"{c}__child")
+    # ONE select instead of a withColumnRenamed per shared column:
+    # each stacked rename is a full Project node Catalyst re-analyzes
+    # across 14 paths × up to 4 hops (guide §7.3 "planning").  Plan
+    # output unchanged; build-side wall moved within session noise at
+    # the 10× probe (the driver constant is dominated by the
+    # localCheckpoint jobs, not analysis) — kept for the smaller
+    # logical plan, not a measured win.
+    shared_set = set(shared)
+    renamed = cur.select(
+        *[
+            F.col(c).alias(f"{c}__child") if c in shared_set else F.col(c)
+            for c in cur.columns
+        ]
+    )
     p = F.broadcast(parent) if broadcast_parent else parent
     joined = p.join(renamed, on=key, how="inner")
     resolved = []
@@ -275,27 +286,51 @@ def cds_metadata(
     link pushdown prunes to disjoint row groups — re-reading beats
     caching 100 TB.
     """
+    # Pre-filter the PI rows INTO the level dimensions (r10): halves
+    # the two checkpointed level dims (2 personnel rows/study → 1)
+    # before they are materialized and broadcast 14×.  NOTE the
+    # measured honesty: executed-plan CPU was already within noise of
+    # the old shape (151 vs 163 CPU-s at the 10× probe) because
+    # Catalyst pushes the post-union filter down to sit directly above
+    # each checkpointed dim scan — the eager checkpoint is not a
+    # pushdown barrier for the JOIN side, only for the dim build
+    # itself.  What this buys is the halved checkpoint materialization
+    # + broadcast payload, and independence from pushdown across the
+    # 14-arm union.  Output-equivalent: personnel_type originates only
+    # in the study_personnel hop, no join changes it, and the final
+    # filter below is retained (rows with NULL personnel fail `= 'PI'`
+    # on either side of the joins).
+    nodes = {
+        k: (v.filter(F.col("personnel_type") == "PI")
+            if "personnel_type" in v.columns else v)
+        for k, v in nodes.items()
+    }
     if persist_file:
         file_df = file_df.localCheckpoint()
     if persist_nodes:
         nodes = {k: v.localCheckpoint() for k, v in nodes.items()}
     flat = flatten_paths(file_df, nodes, paths)
     flat = flat.filter(F.col("personnel_type") == "PI")
-    proj = flat.select(
-        *[
-            F.col(c) if c in flat.columns else F.lit(None).cast("string").alias(c)
-            for c in final_cols
-        ]
-    )
-    proj = proj.withColumn(
-        "anatomic_site",
-        F.when(F.col("sample_id").isNull(), F.lit(None)).otherwise(
-            F.col("anatomic_site")
-        ),
-    )
-    for c in required_cols:
-        proj = proj.withColumn(c, F.coalesce(F.col(c), F.lit("Not Applicable")))
-    return proj.dropDuplicates()
+    # ONE projection for template columns + the anatomic_site "minor
+    # fix" + required-prop fills: the previous withColumn-per-column
+    # stack re-analyzed the (wide, 14-arm) plan once per required
+    # column (guide §7.3)
+    flat_cols = set(flat.columns)
+    required = set(required_cols)
+
+    def _final(c: str) -> Column:
+        expr = (
+            F.col(c) if c in flat_cols else F.lit(None).cast("string")
+        )
+        if c == "anatomic_site":
+            expr = F.when(F.col("sample_id").isNull(), F.lit(None)).otherwise(
+                expr
+            )
+        if c in required:
+            expr = F.coalesce(expr, F.lit("Not Applicable"))
+        return expr.alias(c)
+
+    return flat.select(*[_final(c) for c in final_cols]).dropDuplicates()
 
 
 # ---------------------------------------------------------------------------

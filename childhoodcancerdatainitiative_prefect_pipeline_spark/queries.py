@@ -1408,9 +1408,7 @@ def stream_tumbling_rollup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("n_users"),
-        F.sum(F.col("value").cast("decimal(18,4)"))
-        .cast("double")
-        .alias("total_value"),
+        agg.exact_sum("value", "total_value"),
     )
     return base.select(
         F.expr(us.format("win.start")).alias("window_start_us"),
@@ -2154,9 +2152,7 @@ def stream_session_windows(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("session_value"),
+            agg.exact_sum("value", "session_value"),
         )
         .select(
             F.expr(us.format("sess.start")).alias("session_start_us"),
@@ -5834,9 +5830,7 @@ def events_range_join(spark, sf_dir):
     joined = interval_join(points, intervals, "value", "lo", "hi", bucket_width=8.0)
     return joined.groupBy("interval_id").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,4)"))
-        .cast("double")
-        .alias("sum_value"),
+        agg.exact_sum("value", "sum_value"),
     )
 
 
@@ -5945,9 +5939,7 @@ def orders_rollup_stats(spark, sf_dir):
         base.rollup("n_name", "c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("total_price"),
+            agg.exact_sum("o_totalprice", "total_price"),
         )
         .select(
             F.coalesce(F.col("n_name"), F.lit("ALL")).alias("study"),
@@ -7035,9 +7027,7 @@ def stream_sliding_rollup(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("total_value"),
+            agg.exact_sum("value", "total_value"),
         )
         .select(
             F.expr(us.format("win.start")).alias("window_start_us"),
@@ -7771,9 +7761,7 @@ def orders_abc_pareto(spark, sf_dir):
 
     (orders,) = _t(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-        .cast("double")
-        .alias("revenue")
+        agg.exact_sum("o_totalprice", "revenue")
     )
     wc = (
         Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
@@ -8084,14 +8072,12 @@ def q7_nation_volume(spark, sf_dir):
             )
         )
     )
-    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
-    )
     return joined.groupBy(
         "supp_nation",
         "cust_nation",
         F.year("o_orderdate").cast("long").alias("o_year"),
-    ).agg(F.sum(rev).cast("double").alias("revenue"))
+        # scaled-long exact revenue (r10, guide §2.3) — see q1
+    ).agg(agg.revenue_sum("l_extendedprice", "l_discount", "revenue"))
 
 
 _Q10_ORACLE = """SELECT c_custkey, c_name,
@@ -8127,15 +8113,13 @@ def q10_returned_items(spark, sf_dir):
         & (F.col("o_orderdate") < "1996-04-01")
     )
     li = lineitem.filter(F.col("l_returnflag") == "R")
-    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
-    )
     return (
         customer.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        # scaled-long exact revenue (r10, guide §2.3) — see q1
+        .agg(agg.revenue_sum("l_extendedprice", "l_discount", "revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -8168,11 +8152,14 @@ def q14_promo_share(spark, sf_dir):
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-02-01")
     )
-    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    # scaled-long exact conditional revenue (r10, guide §2.3) — see q1:
+    # both sums reconstruct the identical decimal-semantics doubles, so
+    # the ratio is bit-identical to the decimal formulation
+    rev8 = agg.scaled_money("l_extendedprice") * (
+        F.lit(10000).cast("long") - agg.scaled_money("l_discount")
     )
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
-        F.lit(0).cast("decimal(18,4)")
+    promo8 = F.when(F.col("p_type") == "PROMO", rev8).otherwise(
+        F.lit(0).cast("long")
     )
     return (
         # part projection is SF-scaling — no hint, AQE decides
@@ -8183,8 +8170,8 @@ def q14_promo_share(spark, sf_dir):
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(promo).cast("double")
-                / F.sum(rev).cast("double")
+                * agg.sum_scaled(promo8, 8)
+                / agg.sum_scaled(rev8, 8)
             )
             .cast("double")
             .alias("promo_revenue_pct")
@@ -8214,9 +8201,6 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
 )
 def q19_disjunctive_filter(spark, sf_dir):
     lineitem, part = _t(spark, sf_dir, "lineitem", "part")
-    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
-    )
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -8242,7 +8226,8 @@ def q19_disjunctive_filter(spark, sf_dir):
         )
         .filter(cond)
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            # scaled-long exact revenue (r10, guide §2.3) — see q1
+            agg.revenue_sum("l_extendedprice", "l_discount", "revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -8543,10 +8528,14 @@ def graph_pagerank_topk(spark, sf_dir):
 _DEC = "decimal(18,4)"
 
 
-def _vol():
-    """Decimal-exact extendedprice*(1-discount) used by every revenue query."""
-    return F.col("l_extendedprice").cast(_DEC) * (
-        F.lit(1) - F.col("l_discount").cast(_DEC)
+def _vol8():
+    """Exact extendedprice*(1-discount) as a scaled long (8 fractional
+    digits) — the r10 fast-path twin of the pack-8 decimal volume
+    expression (guide §2.3; see q1 / operators.aggregates.scaled_money).
+    ``agg.sum_scaled(_vol8(), 8)`` is bit-identical to
+    ``SUM(decimal_vol) :: DOUBLE``."""
+    return agg.scaled_money("l_extendedprice") * (
+        F.lit(10000).cast("long") - agg.scaled_money("l_discount")
     )
 
 
@@ -8655,15 +8644,19 @@ def q8_market_share(spark, sf_dir):
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
-            _vol().alias("vol"),
+            # scaled-long exact volume (r10, guide §2.3) — see _vol8
+            _vol8().alias("vol8"),
             "supp_nation",
         )
     )
-    nat = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol")))
+    nat = agg.sum_scaled(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("vol8")), 8
+    )
+    tot = agg.sum_scaled(F.col("vol8"), 8)
     return t.groupBy("o_year").agg(
-        nat.cast("double").alias("nation_volume"),
-        F.sum("vol").cast("double").alias("total_volume"),
-        (nat.cast("double") / F.sum("vol").cast("double")).alias("mkt_share"),
+        nat.alias("nation_volume"),
+        tot.alias("total_volume"),
+        (nat / tot).alias("mkt_share"),
     )
 
 
@@ -8709,9 +8702,11 @@ def q9_profit_by_nation(spark, sf_dir):
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
     )
-    cost = F.col("p_retailprice").cast(_DEC) * F.col("l_quantity").cast(_DEC)
-    rev_d = F.sum(_vol()).cast("double")
-    cost_d = F.sum(cost).cast("double")
+    # scaled-long exact revenue/cost (r10, guide §2.3): retail₄·qty₄ is
+    # an exact long product (≤ ~1e13/row), summed per sum_scaled
+    cost8 = agg.scaled_money("p_retailprice") * agg.scaled_money("l_quantity")
+    rev_d = agg.sum_scaled(_vol8(), 8)
+    cost_d = agg.sum_scaled(cost8, 8)
     return joined.groupBy(
         F.col("n_name").alias("nation"),
         F.year("o_orderdate").cast("long").alias("o_year"),
@@ -8741,12 +8736,16 @@ WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) FROM pp) * 0.0007""
 )
 def q11_important_parts(spark, sf_dir):
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    pp = lineitem.groupBy("l_partkey").agg(F.sum(_vol()).alias("val"))
-    total = pp.agg(F.sum("val").cast("double").alias("grand_total"))
+    # scaled-long exact per-part value (r10, guide §2.3): the per-part
+    # long sum is bounded far inside int64 (lines-per-part × ~1.1e13);
+    # the grand total re-sums as decimal(38,0) inside sum_scaled
+    pp = lineitem.groupBy("l_partkey").agg(F.sum(_vol8()).alias("val8"))
+    total = pp.agg(agg.sum_scaled(F.col("val8"), 8, "grand_total"))
+    val_d = agg.scaled_to_double(F.col("val8"), 8)
     return (
         pp.join(F.broadcast(total))
-        .filter(F.col("val").cast("double") > F.col("grand_total") * 0.0007)
-        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+        .filter(val_d > F.col("grand_total") * 0.0007)
+        .select("l_partkey", val_d.alias("part_value"))
     )
 
 
@@ -8854,16 +8853,20 @@ def q15_top_supplier(spark, sf_dir):
             & (F.col("l_shipdate") < "1998-04-01")
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_vol()).alias("total_rev"))
+        # scaled-long exact revenue (r10, guide §2.3): the max/equality
+        # comparisons below run on exact longs — same ties as decimals
+        .agg(F.sum(_vol8()).alias("rev8"))
     )
-    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    mx = rev.agg(F.max("rev8").alias("max_rev8"))
     return (
         rev.join(F.broadcast(mx))
-        .filter(F.col("total_rev") == F.col("max_rev"))
+        .filter(F.col("rev8") == F.col("max_rev8"))
         # supplier is SF-scaling — no hint (the mx side stays scalar)
         .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
-            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+            "s_suppkey",
+            "s_name",
+            agg.scaled_to_double(F.col("rev8"), 8, "total_revenue"),
         )
     )
 
@@ -8938,17 +8941,19 @@ def q17_small_quantity_revenue(spark, sf_dir):
     li_b = lineitem.join(
         brand_parts, F.col("l_partkey") == F.col("p_partkey")
     )
+    # scaled-long exact quantities (r10, guide §2.3): the correlated
+    # cross-multiplication compares both sides ×10⁴ — same boolean
     pa = li_b.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(F.col("l_quantity").cast(_DEC)).alias("sq"),
+        F.sum(agg.scaled_money("l_quantity")).alias("sq4"),
         F.count("*").alias("cnt"),
     )
     return (
         li_b.join(pa, F.col("pk") == F.col("l_partkey"))
-        .filter(F.col("l_quantity").cast(_DEC) * 5 * F.col("cnt") < F.col("sq"))
+        .filter(
+            agg.scaled_money("l_quantity") * 5 * F.col("cnt") < F.col("sq4")
+        )
         .agg(
-            F.sum(F.col("l_extendedprice").cast(_DEC))
-            .cast("double")
-            .alias("total_price"),
+            agg.exact_sum("l_extendedprice", "total_price"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -8975,10 +8980,12 @@ def q18_large_volume_customers(spark, sf_dir):
     lineitem, orders, customer = _t(
         spark, sf_dir, "lineitem", "orders", "customer"
     )
+    # scaled-long exact quantity sum (r10, guide §2.3): HAVING
+    # threshold compares longs (120 → 1_200_000 at ×10⁴) — same rows
     oq = (
         lineitem.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("sq"))
-        .filter(F.col("sq") > 120)
+        .agg(F.sum(agg.scaled_money("l_quantity")).alias("sq4"))
+        .filter(F.col("sq4") > 1200000)
     )
     return (
         oq.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -8990,7 +8997,7 @@ def q18_large_volume_customers(spark, sf_dir):
             "o_orderkey",
             "o_orderdate",
             "o_totalprice",
-            F.col("sq").cast("double").alias("sum_qty"),
+            agg.scaled_to_double(F.col("sq4"), 4, "sum_qty"),
         )
     )
 
@@ -9017,8 +9024,10 @@ WHERE s_suppkey IN (
 )
 def q20_part_share_suppliers(spark, sf_dir):
     lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    # scaled-long exact quantities (r10, guide §2.3): share predicate
+    # cross-multiplies longs — both sides ×10⁴, same boolean
     per = lineitem.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast(_DEC)).alias("sq")
+        F.sum(agg.scaled_money("l_quantity")).alias("sq")
     )
     tot = per.groupBy(F.col("l_partkey").alias("tpk")).agg(
         F.sum("sq").alias("tq")
@@ -9125,9 +9134,10 @@ GROUP BY c_nationkey"""
 )
 def q22_dormant_customers(spark, sf_dir):
     customer, orders = _t(spark, sf_dir, "customer", "orders")
+    # scaled-long exact balance sum (r10, guide §2.3) — see q1
     avgbal = customer.filter(F.col("c_acctbal") > 0).agg(
         (
-            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double") / F.count("*")
+            agg.sum_scaled(agg.scaled_money("c_acctbal"), 4) / F.count("*")
         ).alias("ab")
     )
     return (
@@ -9141,7 +9151,7 @@ def q22_dormant_customers(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("totacctbal"),
+            agg.exact_sum("c_acctbal", "totacctbal"),
         )
     )
 
@@ -12006,9 +12016,7 @@ def lineitem_scd2_enrich(spark, sf_dir):
         .groupBy(F.col("asof_prio").alias("priority_at_ship"))
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("revenue"),
+            agg.exact_sum("l_extendedprice", "revenue"),
         )
     )
 
@@ -12059,9 +12067,7 @@ def customer_rfm_segments(spark, sf_dir):
             .cast("long")
             .alias("recency_days"),
             F.count("*").alias("frequency"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("monetary"),
+            agg.exact_sum("o_totalprice", "monetary"),
         )
     )
     scored = base
@@ -12075,9 +12081,7 @@ def customer_rfm_segments(spark, sf_dir):
         )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers"),
-        F.sum(F.col("monetary").cast("decimal(18,4)"))
-        .cast("double")
-        .alias("segment_value"),
+        agg.exact_sum("monetary", "segment_value"),
     )
 
 
@@ -12436,9 +12440,7 @@ def orders_dow_seasonality(spark, sf_dir):
         orders.groupBy(F.dayofweek("o_orderdate").alias("dow"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("revenue"),
+            agg.exact_sum("o_totalprice", "revenue"),
         )
     )
 
@@ -17180,7 +17182,21 @@ def ccdi_release_dashboard_query(spark, sf_dir):
     # re-plans every sub-flow's scans under a single cross-join tree
     # (VERDICT r03 item 4 — at scale these would be read back from the
     # flows' materialized release artifacts, not recomputed).
-    v, d, s, c = (x.localCheckpoint() for x in (v, d, s, c))
+    # r10 (guide §2.6 "overlap independent jobs"): the four eager
+    # checkpoints are independent — submit them from a small thread
+    # pool so the later flows' tasks back-fill executors freed by the
+    # earlier flows' stragglers, instead of running strictly
+    # sequentially.  Results are unchanged (each checkpoint touches
+    # disjoint state); FIFO scheduling gives exactly the back-fill
+    # behaviour the guide describes.  Measured at the 10× replica
+    # (interleaved same-session A/B pairs, warm runs): 97.7→83.5 s and
+    # 79.9→61.4 s — a consistent 15-23% (cds, the largest flow, keeps
+    # most cores busy, so the three smaller flows only back-fill its
+    # scheduling gaps and stragglers).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        v, d, s, c = pool.map(lambda x: x.localCheckpoint(), (v, d, s, c))
     return v.crossJoin(d).crossJoin(s).crossJoin(c)
 
 

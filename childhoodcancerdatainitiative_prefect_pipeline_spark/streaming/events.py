@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
+from ..operators.aggregates import exact_sum
+
 
 def _as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
     """Coerce the event-time column to TIMESTAMP (LTZ).
@@ -51,7 +53,7 @@ def tumbling_rollup(
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        exact_sum("value", "total_value"),
     ).select(
         F.col("win.start").alias("window_start"),
         F.col("win.end").alias("window_end"),
@@ -75,7 +77,7 @@ def sessionize(
         .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("session_value"),
+            exact_sum("value", "session_value"),
         )
         .select(
             F.col("sess.start").alias("session_start"),
