@@ -5462,8 +5462,10 @@ def corpus_curation_pipeline(spark, sf_dir):
     (documents,) = _t(spark, sf_dir, "documents")
     # single-file local input → one scan partition; spread the heavy
     # HOF work across cores (SCALE.md rule 4 — occupancy; a real
-    # multi-split corpus skips this shuffle)
-    docs = documents.repartition(64)
+    # multi-split corpus skips this shuffle).  Width derives from the
+    # session's parallelism (r10: was a constant 64 tuned for
+    # local[32] — identical there, scale-adaptive elsewhere)
+    docs = documents.repartition(spark.sparkContext.defaultParallelism * 2)
     # stage the token array ONCE — quality + lang-id reference the
     # same bound column instead of re-tokenizing per metric
     # (Catalyst does not CSE inside HOF lambdas; SCALE.md staging rule)
