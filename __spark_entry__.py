@@ -28,9 +28,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries to the front; everything here is also locally verified across
 # the whole registry by scripts/verify_driver.py before each commit.
 _CERTIFY_FIRST = [
-    # round-10 reworked entries (identical-content collapse + setsim
-    # kernel verify; locally 296/296 green then re-stamped — fronted
-    # so the r10 driver window re-proves them hash-green on record)
+    # round-10 OPTIMIZATION-phase reworks (scaled-long exact sums, PQ
+    # encode rework, threaded dashboard, thresholded levenshtein, cds
+    # cleanups; locally 296/296 green then re-stamped — fronted so the
+    # r10 driver window re-proves them hash-green on record)
+    "q1_pricing_summary",
+    "q3_revenue_by_order",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "catalog_stats",
+    "events_daily_rollup",
+    "sim_pq_topk_det",
+    "ccdi_release_dashboard",
+    "cds_flatten",
+    "linkage_blocked_fuzzy",
+    "entity_golden_record",
+    "customer_rfm_segments",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_filter",
+    "q20_part_share_suppliers",
+    "q22_dormant_customers",
+    "stream_tumbling_rollup",
+    "stream_session_windows",
+    "stream_sliding_rollup",
+    "events_range_join",
+    "orders_rollup_stats",
+    "orders_abc_pareto",
+    "lineitem_scd2_enrich",
+    "orders_dow_seasonality",
+    "orders_cube_stats",
+    "corpus_curation_pipeline",
+    # round-10 build-phase reworked entries (identical-content collapse
+    # + setsim kernel verify; locally 296/296 green then re-stamped)
     "dedup_setsim_prefix_join",
     "dedup_video_clip_pairs",
     "dedup_containment_pairs",

@@ -241,22 +241,33 @@ def test_bench_wait_for_quiet(monkeypatch):
 def test_certify_first_prepend_wins_over_stale_mentions():
     """Re-prioritizing an entry = PREPENDING it to _CERTIFY_FIRST; a
     stale mention further down the list must not demote it (the pos
-    map keeps the FIRST occurrence).  Pinned on the live repo: the r9
-    reworked entries (operator-path changes the fingerprint rule
-    cannot see) must land inside the driver's 50-slot window."""
+    map keeps the FIRST occurrence).  Pinned on the live repo: the
+    CURRENT round's reworked entries must land inside the driver's
+    50-slot window so the round's changes are re-proved hash-green on
+    record (the r9 list this previously pinned was driver-certified in
+    CORRECTNESS_r09 — certification is cumulative)."""
     names = list(entrymod.queries())[:50]
     for n in (
-        "events_sessionize",
-        "dedup_minhash_clusters_md5",
-        "dedup_cluster_components",
-        "dedup_cluster_star",
+        # r10 optimization-phase reworks (scaled-long sums, PQ encode,
+        # threaded dashboard, thresholded levenshtein, cds cleanups)
+        "q1_pricing_summary",
+        "catalog_stats",
+        "sim_pq_topk_det",
+        "ccdi_release_dashboard",
+        "cds_flatten",
+        "linkage_blocked_fuzzy",
         "entity_golden_record",
-        "graph_pagerank_topk",
-        "graph_kcore_membership",
-        "graph_kcore_membership_lsh",
-        "graph_kcore_membership_knn",
+        "customer_rfm_segments",
+        "q11_important_parts",
+        "q15_top_supplier",
+        "stream_tumbling_rollup",
+        "orders_abc_pareto",
+        "corpus_curation_pipeline",
+        # r10 build-phase pair-entry reworks
+        "dedup_setsim_prefix_join",
+        "dedup_simhash_pairs",
     ):
-        assert n in names, f"{n} fell out of the r09 certify window"
+        assert n in names, f"{n} fell out of the r10 certify window"
 
 
 def test_live_window_fronts_uncertified():
