@@ -23,13 +23,25 @@ def scaled_money(col: str | Column, frac: int = 4) -> Column:
     """Exact unscaled integer ``value × 10^frac`` of
     ``CAST(col AS DECIMAL(18,frac))`` as a LONG.
 
-    Valid when the column's true decimal expansion has at most
-    ``frac`` fractional digits and ``|value| < 9e14`` (so the scaled
-    long cannot overflow) — every monetary/measure column in the star
-    schema is 2-dp money, well inside both bounds.  For such data
-    ``trunc(v·10^frac + sign(v)·0.5)`` reproduces the HALF_UP decimal
-    cast exactly: the double product lands within a few ulps of the
-    true integer, so the ±0.5 nudge always crosses to it.
+    Validity bounds (ADVICE r10 corrected the original ``|v| < 9e14``
+    claim, which only guarded the long overflow, not exactness):
+
+    - the column's true decimal expansion has at most ``frac``
+      fractional digits, AND
+    - ``|value·10^frac| ≲ 2^51`` (≈ ``|value| ≤ 2e11`` at frac=4):
+      past that, the double product ``v·10^frac`` can land ≥ 0.5 ulp
+      from the true integer and the ±0.5 nudge silently rounds the
+      wrong way (empirical fuzz: first mismatches vs the decimal cast
+      at |v| ≈ 2e11, e.g. v=834308901502.93).  Within the bound the
+      product is within a few ulps (< 0.5 absolute) of the true
+      integer, so ``trunc(v·10^frac + sign(v)·0.5)`` reproduces the
+      HALF_UP decimal cast exactly.
+
+    These bound the PER-ROW value, not group totals (sums run in
+    DECIMAL(38,0), :func:`sum_scaled`).  Every monetary/measure column
+    in the star schema is 2-dp money ≤ ~1e7 per row at any scale
+    factor — five orders inside the bound; the bound itself is pinned
+    by tests/test_properties.py::test_scaled_money_*.
 
     The point is CPU (guide §2.3, narrower types): a double→decimal
     cast plus wide decimal multiplies cost ~µs/row through BigDecimal,
@@ -50,12 +62,17 @@ def sum_scaled(scaled: Column, frac: int, alias: str | None = None) -> Column:
     The longs are summed as DECIMAL(38,0): integer addition, order-
     independent, long-backed (compact, fast) while the running total
     fits 18 digits and exact far beyond any 100 TB total (overflow at
-    1e38).  The final division by ``10^frac`` is planned at result
-    scale ≥ 6 which is exact for this schema: every summed value has
-    at most 6 true fractional digits (2-dp money; 2dp×2dp products
-    have 4; q1's charge terms 6), so the quotient is representable and
-    no rounding occurs before the single final double cast — the same
-    one the decimal path performs.
+    1e38).  The final division by ``10^frac`` is planned by Spark's
+    ``adjustPrecisionScale`` at result scale EXACTLY 6 for every
+    divisor used here (frac = 4/8/12 — the naive ``s1+p2+1`` scale
+    overflows precision 38 and is capped back to
+    ``max(6, ...)`` = 6; ADVICE r10).  Hard precondition, pinned by
+    tests/test_properties.py::test_sum_scaled_planned_scale_is_6: the
+    quotient has at most 6 TRUE fractional digits, or it would be
+    HALF_UP-rounded before the double cast and diverge from the
+    decimal path.  This schema satisfies it: 2-dp money sums have 2;
+    2dp×2dp product sums (frac=8) have 4; q1's charge sums (frac=12)
+    have exactly 6 — the boundary.
     """
     div = F.lit(10**frac).cast(f"decimal({len(str(10 ** frac))},0)")
     out = (F.sum(scaled.cast("decimal(38,0)")) / div).cast("double")
@@ -66,10 +83,11 @@ def scaled_to_double(scaled: Column, frac: int, alias: str | None = None) -> Col
     """An ALREADY-SUMMED scaled-long value → the same DOUBLE its
     decimal twin (``CAST(decimal_sum AS DOUBLE)``) produces.
 
-    Same exactness argument as :func:`sum_scaled`'s final step: the
-    decimal division's planned scale (≥ ``frac``+1 for these divisors)
-    represents the quotient exactly, so the only rounding is the final
-    double cast — identical to the decimal path.  Used where a
+    Same exactness argument — and the same hard precondition — as
+    :func:`sum_scaled`'s final step: the division is planned at scale
+    6 (NOT ``frac``+1; ``adjustPrecisionScale`` caps it — ADVICE r10),
+    so the quotient must have at most 6 true fractional digits for the
+    only rounding to be the final double cast.  Used where a
     scaled-long group sum survives as a column (q11/q15/q18-style
     HAVING shapes) instead of being cast inside the aggregation.
     """
@@ -82,10 +100,13 @@ def exact_sum(col: str | Column, alias: str | None = None) -> Column:
     """Sum a double column exactly, emit double.
 
     Decimal-cast semantics (order-independent, engine-portable), but
-    executed on the scaled-long fast path — see :func:`scaled_money` /
-    :func:`sum_scaled` for the equivalence argument and validity
-    bounds.  Result is bit-identical to
-    ``SUM(CAST(col AS DECIMAL(18,4))) :: DOUBLE``.
+    executed on the scaled-long fast path.  Result is bit-identical to
+    ``SUM(CAST(col AS DECIMAL(18,4))) :: DOUBLE`` — CONDITIONAL on
+    :func:`scaled_money`'s per-row bounds: values carry at most 4
+    true fractional digits and ``|value| ≲ 2e11``.  Callers applying
+    this to generic ``value`` columns (e.g. streaming/events rollups)
+    inherit that precondition; the fixtures' event values are 2-dp and
+    bounded, verified bit-identical at three SFs (ADVICE r10).
     """
     c = F.col(col) if isinstance(col, str) else col
     return sum_scaled(scaled_money(c), 4, alias)

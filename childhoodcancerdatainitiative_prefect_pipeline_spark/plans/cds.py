@@ -160,6 +160,69 @@ CDS_PATHS: tuple[CdsPath, ...] = (
 )
 
 
+def _hop(
+    parent: DataFrame,
+    parent_cols: list[str],
+    cur: DataFrame,
+    cur_cols: list[str],
+    key: str,
+    reverse_cols: tuple[str, ...] = (),
+    broadcast_parent: bool = True,
+) -> tuple[DataFrame, list[str]]:
+    """One chain hop with the output schema computed in PYTHON.
+
+    Two driver-constant rules learned from cProfile at the 10× probe
+    (guide §7.3 "planning" — construction was ~15 s of wall, nearly
+    all py4j socket wait):
+
+    - The join's output column list is fully determined by the two
+      input schemas (``key`` first, then parent's other columns, then
+      the child's), so it is computed here and returned for the next
+      hop — calling ``joined.columns`` would force a JVM analyzer
+      pass per hop.
+    - Projections are built as ``selectExpr`` strings, not Column
+      trees: every ``F.col``/``alias``/``coalesce`` is its own py4j
+      round trip, ~200 per hop × 37 hops ≈ 7.4k round trips ≈ 5 s of
+      driver wall.  One ``selectExpr`` call ships the whole
+      projection in a single round trip; the parsed expressions are
+      the same Catalyst nodes, so the plan is unchanged.
+    """
+    shared = [c for c in parent_cols if c in cur_cols and c != key]
+    # ONE select instead of a withColumnRenamed per shared column:
+    # each stacked rename is a full Project node Catalyst re-analyzes
+    # across 14 paths × up to 4 hops (guide §7.3 "planning").
+    shared_set = set(shared)
+    renamed = cur.selectExpr(
+        *[
+            (f"`{c}` AS `{c}__child`" if c in shared_set else f"`{c}`")
+            for c in cur_cols
+        ]
+    )
+    p = F.broadcast(parent) if broadcast_parent else parent
+    joined = p.join(renamed, on=key, how="inner")
+    joined_cols = (
+        [key]
+        + [c for c in parent_cols if c != key]
+        + [
+            (f"{c}__child" if c in shared_set else c)
+            for c in cur_cols
+            if c != key
+        ]
+    )
+    resolved = []
+    out_cols = []
+    for c in joined_cols:
+        if c.endswith("__child"):
+            continue
+        if c in shared_set:
+            a, b = (f"{c}__child", c) if c in reverse_cols else (c, f"{c}__child")
+            resolved.append(f"coalesce(`{a}`, `{b}`) AS `{c}`")
+        else:
+            resolved.append(f"`{c}`")
+        out_cols.append(c)
+    return joined.selectExpr(*resolved), out_cols
+
+
 def join_hop(
     parent: DataFrame,
     cur: DataFrame,
@@ -175,33 +238,16 @@ def join_hop(
     Shared columns collapse to ``coalesce(parent, child)`` (reversed
     for ``reverse_cols`` — the ``anatomic_site`` exception).
     """
-    shared = [c for c in parent.columns if c in cur.columns and c != key]
-    # ONE select instead of a withColumnRenamed per shared column:
-    # each stacked rename is a full Project node Catalyst re-analyzes
-    # across 14 paths × up to 4 hops (guide §7.3 "planning").  Plan
-    # output unchanged; build-side wall moved within session noise at
-    # the 10× probe (the driver constant is dominated by the
-    # localCheckpoint jobs, not analysis) — kept for the smaller
-    # logical plan, not a measured win.
-    shared_set = set(shared)
-    renamed = cur.select(
-        *[
-            F.col(c).alias(f"{c}__child") if c in shared_set else F.col(c)
-            for c in cur.columns
-        ]
+    df, _ = _hop(
+        parent,
+        parent.columns,
+        cur,
+        cur.columns,
+        key,
+        reverse_cols=reverse_cols,
+        broadcast_parent=broadcast_parent,
     )
-    p = F.broadcast(parent) if broadcast_parent else parent
-    joined = p.join(renamed, on=key, how="inner")
-    resolved = []
-    for c in joined.columns:
-        if c.endswith("__child"):
-            continue
-        if c in shared:
-            a, b = (f"{c}__child", c) if c in reverse_cols else (c, f"{c}__child")
-            resolved.append(F.coalesce(F.col(a), F.col(b)).alias(c))
-        else:
-            resolved.append(F.col(c))
-    return joined.select(*resolved)
+    return df
 
 
 def build_levels(
@@ -240,19 +286,49 @@ def flatten_paths(
 
     ``nodes`` must contain ``sample``, ``pdx``, ``cell_line``,
     ``study_level``, ``participant_level``.
+
+    Schemas are threaded through the hops in Python (see ``_hop``):
+    the 37 hops cost one JVM analyzer pass each when the next hop asks
+    ``cur.columns``, ~5.5 s of single-threaded driver time per
+    construction at the 10× probe.  Only the (checkpointed, shallow)
+    inputs are asked for their schema.
     """
+    return _flatten_paths(file_df, nodes, paths)[0]
+
+
+def _flatten_paths(
+    file_df: DataFrame,
+    nodes: dict[str, DataFrame],
+    paths: tuple[CdsPath, ...] = CDS_PATHS,
+) -> tuple[DataFrame, list[str]]:
+    """``flatten_paths`` plus the union's column list, computed in
+    Python (``unionByName(allowMissingColumns=True)`` appends each
+    arm's new names after the accumulated ones)."""
+    file_cols = file_df.columns
+    node_cols = {k: v.columns for k, v in nodes.items()}
     outs: list[DataFrame] = []
+    outs_cols: list[list[str]] = []
     for path in paths:
-        cur = file_df
+        cur, cur_cols = file_df, file_cols
         for i, (node, key) in enumerate(path.chain):
             terminal = i == len(path.chain) - 1
             rev = REVERSE_COLS if (path.reverse_site and terminal) else ()
-            cur = join_hop(nodes[node], cur, key, reverse_cols=rev)
+            cur, cur_cols = _hop(
+                nodes[node], node_cols[node], cur, cur_cols, key,
+                reverse_cols=rev,
+            )
         outs.append(cur)
+        outs_cols.append(cur_cols)
     result = outs[0]
-    for other in outs[1:]:
+    union_cols = list(outs_cols[0])
+    seen = set(union_cols)
+    for other, ocols in zip(outs[1:], outs_cols[1:]):
         result = result.unionByName(other, allowMissingColumns=True)
-    return result
+        for c in ocols:
+            if c not in seen:
+                seen.add(c)
+                union_cols.append(c)
+    return result, union_cols
 
 
 def cds_metadata(
@@ -305,17 +381,30 @@ def cds_metadata(
             if "personnel_type" in v.columns else v)
         for k, v in nodes.items()
     }
+    # r11 measured-and-REJECTED variants (interleaved in-session A/Bs
+    # at the 10× replica, OPTIMIZATION_r11.md §cds): (a) slicing the
+    # fact checkpoint by entry-link key — arm input records drop
+    # 84.0M → 31.1M but the filtered-out rows were near-free UnsafeRow
+    # filter hits, and 5 extra materializations ADD ~50 CPU-s (wall a
+    # wash); (b) widening the fact checkpoint (repartition to 2×
+    # parallelism) to break the 140-task skew — per-task overheads
+    # ballooned the union stage 134 → 305 CPU-s for no wall gain;
+    # (c) running the six checkpoint builds from a thread pool —
+    # +20 CPU-s of contention, wall within weather.  The r10
+    # sequential narrow shape stays.
     if persist_file:
         file_df = file_df.localCheckpoint()
     if persist_nodes:
         nodes = {k: v.localCheckpoint() for k, v in nodes.items()}
-    flat = flatten_paths(file_df, nodes, paths)
+    flat, union_cols = _flatten_paths(file_df, nodes, paths)
     flat = flat.filter(F.col("personnel_type") == "PI")
     # ONE projection for template columns + the anatomic_site "minor
     # fix" + required-prop fills: the previous withColumn-per-column
     # stack re-analyzed the (wide, 14-arm) plan once per required
-    # column (guide §7.3)
-    flat_cols = set(flat.columns)
+    # column (guide §7.3).  union_cols comes from _flatten_paths'
+    # Python schema threading — asking flat.columns here would force
+    # one more full analyzer pass over the 14-arm union.
+    flat_cols = set(union_cols)
     required = set(required_cols)
 
     def _final(c: str) -> Column:
@@ -323,9 +412,17 @@ def cds_metadata(
             F.col(c) if c in flat_cols else F.lit(None).cast("string")
         )
         if c == "anatomic_site":
-            expr = F.when(F.col("sample_id").isNull(), F.lit(None)).otherwise(
-                expr
-            )
+            # the "minor fix" nulls anatomic_site for sample-less rows;
+            # guard against templates whose walk never carries
+            # sample_id (absent column ≡ all-null column here, which
+            # matches the old withColumn stack's null output — ADVICE
+            # r10)
+            if "sample_id" in flat_cols:
+                expr = F.when(
+                    F.col("sample_id").isNull(), F.lit(None)
+                ).otherwise(expr)
+            else:
+                expr = F.lit(None).cast("string")
         if c in required:
             expr = F.coalesce(expr, F.lit("Not Applicable"))
         return expr.alias(c)

@@ -73,6 +73,10 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        names = {s.strip() for s in only.split(",") if s.strip()}
+        queries = {k: v for k, v in queries.items() if k in names}
     failed = []
 
     # HUGEINT output guard (VERDICT r6 item 2): the driver fetches

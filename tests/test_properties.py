@@ -733,3 +733,165 @@ def test_gif_roundtrip_lossless_property(seed, w, h, ncolors, interlace):
     assert d["pos_checksum"] == sum(
         (y * w + x + 1) * img[y][x] for y in range(h) for x in range(w)
     )
+
+
+# ---------------------------------------------------------------------------
+# scaled_money / sum_scaled validity bounds (VERDICT r10 item 7 +
+# ADVICE r10): the fast path's exactness contract was previously
+# enforced only by docstring — and the documented bound was WRONG
+# (|v| < 9e14 guards the long overflow, not exactness).  These tests
+# pin the REAL bounds so breaking them fails the suite.
+# ---------------------------------------------------------------------------
+
+
+def _decimal_cast_unscaled(v: float) -> int:
+    """Python reference for Spark's CAST(v AS DECIMAL(18,4)) × 10⁴.
+
+    Spark's Decimal.set(double) parses ``Double.toString(v)`` — the
+    SHORTEST round-trip decimal representation, not the double's exact
+    binary expansion — then quantizes HALF_UP.  Python's ``repr`` is
+    the same shortest-round-trip string, so ``Decimal(repr(v))`` is
+    the faithful reference (Decimal(v) is NOT: e.g. v=0.00195 has
+    exact binary value 0.001949…, which would round down to 19 where
+    Spark yields 20)."""
+    import decimal
+
+    d = decimal.Decimal(repr(v)).quantize(
+        decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+    )
+    return int(d * 10000)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    scaled=st.lists(
+        st.one_of(
+            # bulk of the money range (2-dp × 10⁴ grid and finer)
+            st.integers(min_value=-(10**9), max_value=10**9),
+            # near the exactness bound |v·10⁴| ≲ 2^51
+            st.integers(min_value=2 * 10**15 - 10**4, max_value=2 * 10**15),
+            st.integers(min_value=-(2 * 10**15), max_value=-(2 * 10**15) + 10**4),
+            # HALF_UP boundary neighborhoods: 5th-digit-5 values whose
+            # double expansion exercises the ±0.5 nudge both ways
+            st.integers(min_value=-(10**8), max_value=10**8).map(
+                lambda k: k  # scaled5 grid handled via /1e5 below
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    fifth_digit=st.booleans(),
+)
+def test_scaled_money_matches_decimal_cast_within_bound(
+    spark, scaled, fifth_digit
+):
+    """Within |v·10⁴| ≲ 2^51, scaled_money must equal BOTH the Python
+    Decimal reference and Spark's own decimal(18,4) cast, bit-exactly
+    — including x.xxxx5 half-up neighborhoods (fifth_digit draws put
+    values on the scaled-by-10⁵ grid, whose 4-digit quantization is
+    the boundary case)."""
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.aggregates import (
+        scaled_money,
+    )
+
+    div = 1e5 if fifth_digit else 1e4
+    vals = [s / div for s in scaled]
+    # keep every draw inside the documented exactness bound
+    vals = [v for v in vals if abs(v) * 1e4 <= 2.0e15] or [0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v: double")
+    rows = df.select(
+        "v",
+        scaled_money("v").alias("fast"),
+        (F.col("v").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("dec"),
+    ).collect()
+    for r in rows:
+        ref = _decimal_cast_unscaled(r["v"])
+        assert r["dec"] == ref, (r["v"], r["dec"], ref)
+        assert r["fast"] == ref, (r["v"], r["fast"], ref)
+
+
+def test_scaled_money_bound_is_real_beyond_2e11(spark):
+    """Canary pinning WHY the bound exists: ADVICE r10's fuzz found the
+    first divergence near |v| ≈ 2e11 (v=834308901502.93 → fast path
+    8343089015029302 vs decimal truth 8343089015029300).  If this ever
+    starts passing exactly, the helper changed and the docstring bound
+    must be re-derived."""
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.aggregates import (
+        scaled_money,
+    )
+
+    v = 834308901502.93
+    row = (
+        spark.createDataFrame([(v,)], "v: double")
+        .select(
+            scaled_money("v").alias("fast"),
+            (F.col("v").cast("decimal(18,4)") * 10000)
+            .cast("long")
+            .alias("dec"),
+        )
+        .collect()[0]
+    )
+    assert row["dec"] == _decimal_cast_unscaled(v) == 8343089015029300
+    assert row["fast"] != row["dec"], (
+        "fast path now matches beyond the documented bound — "
+        "re-derive scaled_money's validity bound"
+    )
+
+
+def test_sum_scaled_planned_scale_is_6(spark):
+    """Spark's adjustPrecisionScale caps decimal(38,0)/10^frac at
+    result scale 6 for every frac used (4/8/12) — NOT frac+1 (ADVICE
+    r10).  Also pins the consequence: a quotient with >6 true
+    fractional digits is HALF_UP-rounded before the double cast, so
+    sum_scaled is only exact for ≤6-digit quotients."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,)], "s: long")
+    for frac in (4, 8, 12):
+        div = F.lit(10**frac).cast(f"decimal({len(str(10 ** frac))},0)")
+        q = df.select(
+            (F.sum(F.col("s").cast("decimal(38,0)")) / div).alias("q")
+        )
+        scale = q.schema["q"].dataType.scale
+        assert scale == 6, (frac, q.schema["q"].dataType)
+    # consequence: scaled=1 at frac=8 (true quotient 1e-8) rounds to 0
+    from childhoodcancerdatainitiative_prefect_pipeline_spark.operators.aggregates import (
+        sum_scaled,
+    )
+
+    got = df.select(sum_scaled(F.col("s"), 8, "v")).collect()[0]["v"]
+    assert got == 0.0 and got != 1e-8
+
+
+def test_decimal_holdouts_stay_decimal():
+    """Comment-to-test promotion (VERDICT r10 item 7): three query
+    paths deliberately stay on decimal arithmetic because the
+    scaled-long fast path is not provably safe there —
+    orders_abc_pareto_scaled (whole-table running total can exceed
+    int64 at 100 TB), events_time_weighted_avg (value₄×duration_µs
+    can exceed int64 per row), lineitem_weighted_median (the weight
+    participates in a crossing-bucket division whose decimal/integer
+    semantics differ).  Converting any of them must consciously break
+    this test and re-argue the bound."""
+    import inspect
+
+    from childhoodcancerdatainitiative_prefect_pipeline_spark import queries
+
+    for name in (
+        "orders_abc_pareto_scaled",
+        "events_time_weighted_avg",
+        "lineitem_weighted_median",
+    ):
+        src = inspect.getsource(queries.REGISTRY[name].fn)
+        assert "scaled_money" not in src and "exact_sum" not in src, name
+        assert "decimal" in src.lower(), name
