@@ -112,7 +112,9 @@ def _warm_tables(spark, sf_dir: str) -> None:
             ).collect()
 
 
-def _time_queries(spark, sf_dir: str) -> dict[str, float]:
+def _time_queries(
+    spark, sf_dir: str, spread: dict[str, list[float]] | None = None
+) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in REGISTRY:
@@ -123,12 +125,21 @@ def _time_queries(spark, sf_dir: str) -> dict[str, float]:
         # session amortizes; steady-state throughput is the comparable
         # number at any scale factor.
         best = float("inf")
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
+            best = min(best, runs[-1])
         timings[name] = round(best, 4)
+        if spread is not None:
+            # r11 (VERDICT r10 item 6): record the observed per-run
+            # spread so PERF's >10% regression gate can be read
+            # against measured same-session noise instead of a single
+            # cold number.  ADDITIVE only — the timed loop and the
+            # reported best-of-2 are unchanged.
+            spread[name] = [round(min(runs), 4), round(max(runs), 4)]
         _drain_hot_buckets()
     return timings
 
@@ -257,7 +268,8 @@ def main() -> None:
     REGISTRY["a1_group_count"].fn(spark, sf_dir).count()
     _warm_tables(spark, sf_dir)
 
-    timings = _time_queries(spark, sf_dir)
+    spread: dict[str, list[float]] = {}
+    timings = _time_queries(spark, sf_dir, spread=spread)
     total = round(sum(timings.values()), 4)
 
     result = {
@@ -265,6 +277,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # observed [min, max] of the two timed runs per query (r11,
+        # VERDICT r10 item 6): a cross-round delta smaller than the
+        # in-session spread is weather, not plan change.
+        "run_spread_sec": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "loadavg": loadavg,
         # r7 VERDICT item 1 ("what's wrong"): a headline measured on a
@@ -292,12 +308,14 @@ def main() -> None:
             built = ensure_replica(spark, sf_dir, dest, factor=10)
             t_rep = round(time.perf_counter() - t0, 1)
             _warm_tables(spark, dest)
-            t2 = _time_queries(spark, dest)
+            spread2: dict[str, list[float]] = {}
+            t2 = _time_queries(spark, dest, spread=spread2)
             point = {
                 "sf": 1.0,
                 "value": round(sum(t2.values()), 4),
                 "unit": "sec",
                 "queries": t2,
+                "run_spread_sec": spread2,
                 "replica": ("built" if built else "reused")
                 + f" in {t_rep}s",
                 # VERDICT r9 item 3: the sf1.0 point runs inside the
