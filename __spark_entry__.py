@@ -28,6 +28,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries to the front; everything here is also locally verified across
 # the whole registry by scripts/verify_driver.py before each commit.
 _CERTIFY_FIRST = [
+    # round-11 OPTIMIZATION-phase reworks (cds driver-constant rework
+    # via selectExpr/schema threading, pagerank degrees-on-nodes +
+    # dangling fold, CC probe fold, kNN dot_flat/flatten selectExpr,
+    # dashboard job-group cancellation; locally 296/296 green then
+    # re-stamped — fronted so the r11 driver window re-proves them
+    # hash-green on record)
+    "cds_flatten",
+    "ccdi_release_dashboard",
+    "graph_pagerank_topk",
+    "entity_golden_record",
+    "dedup_cluster_components",
+    "dedup_minhash_clusters_md5",
+    "graph_triangle_count_knn",
+    "graph_kcore_membership_knn",
+    "similarity_graph_routed_low",
     # round-10 OPTIMIZATION-phase reworks (scaled-long exact sums, PQ
     # encode rework, threaded dashboard, thresholded levenshtein, cds
     # cleanups; locally 296/296 green then re-stamped — fronted so the

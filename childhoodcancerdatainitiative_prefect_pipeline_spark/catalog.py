@@ -116,8 +116,43 @@ def load_testdata(
     # parquet under sessions we don't build (VERDICT r01 item 1).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cat = Catalog(spark)
+    app_id = spark.sparkContext.applicationId
     for name in tables:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_table(spark, app_id, sf_dir, name)
+        if register_views:
+            cat.register(name, df)
+        else:
+            cat.tables[name] = df
+    return cat
+
+
+#: (applicationId, abspath, dir mtime) → lazy DataFrame HANDLE.  This
+#: memoizes the read-time METADATA work only — ``spark.read.parquet``
+#: lists the directory and reads footers for the schema, ~100 ms per
+#: table per call, which was ~33% of the sf0.1 headline bench
+#: (measured r11: construction 3.4 s of the 10.4 s total, dominated by
+#: load_testdata; guide §6 file listing / §7.3 driver constants).  It
+#: is NOT result caching: the value is an unexecuted plan, every
+#: action still scans the parquet files.  The mtime key drops the
+#: entry if the table directory is rewritten (e.g. a replica rebuild),
+#: and the applicationId key drops it with the session.
+_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _read_table(
+    spark: SparkSession, app_id: str, sf_dir: str, name: str
+) -> DataFrame:
+    import os
+
+    path = os.path.abspath(f"{sf_dir}/{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (app_id, path, mtime)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
         # TIMESTAMP(NANOS) parquet columns arrive as long nanos under
         # `nanosAsLong`; normalize to microsecond timestamps (same
         # truncation DuckDB applies when it reads TIMESTAMP_NS).
@@ -126,8 +161,5 @@ def load_testdata(
                 df = df.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
-        if register_views:
-            cat.register(name, df)
-        else:
-            cat.tables[name] = df
-    return cat
+        _DF_CACHE[key] = df
+    return df

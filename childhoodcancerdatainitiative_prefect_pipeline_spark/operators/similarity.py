@@ -830,10 +830,15 @@ def flatten_vectors(
     JIT-compiled at any practical ``dims``.  Flatten once per corpus,
     join the flat frames, and compute dots with ``dot_flat``.
     """
-    arr = as_double_array(vec_col)
-    return df.select(
-        F.col(id_col),
-        *[F.element_at(arr, i + 1).alias(f"{prefix}{i}") for i in range(dims)],
+    # selectExpr, one parse: 2·dims Column-object round trips per call
+    # otherwise (guide §7.3 — same driver-constant rule as dot_flat)
+    return df.selectExpr(
+        f"`{id_col}`",
+        *[
+            f"element_at(CAST(`{vec_col}` AS ARRAY<DOUBLE>), {i + 1})"
+            f" AS `{prefix}{i}`"
+            for i in range(dims)
+        ],
     )
 
 
@@ -843,13 +848,20 @@ def dot_flat(prefix_a: str, prefix_b: str, dims: int) -> Column:
     Same term order as ``dot_unrolled`` on the equivalent arrays, so
     results are bit-identical — certified oracle hashes are preserved
     when a plan switches from array to flat layout.
+
+    Built as ONE parsed SQL expression, not a Python-folded Column
+    tree: each ``F.col``/``*``/``+`` is a py4j round trip, so a
+    64-term fold costs ~260 round trips per call site — measured r11
+    at the 10× probe, 3.4 s of driver wall across knn_graph_edges'
+    five dot_flat sites (guide §7.3 driver constants).  SQL ``+`` is
+    left-associative, so the parsed tree is the identical
+    ``((t0+t1)+t2)+…`` chain.
     """
-    expr: Column | None = None
-    for i in range(dims):
-        t = F.col(f"{prefix_a}{i}") * F.col(f"{prefix_b}{i}")
-        expr = t if expr is None else (expr + t)
-    assert expr is not None
-    return expr
+    return F.expr(
+        " + ".join(
+            f"`{prefix_a}{i}`*`{prefix_b}{i}`" for i in range(dims)
+        )
+    )
 
 
 def knn_graph_edges(
@@ -893,14 +905,15 @@ def knn_graph_edges(
     for whole-stage codegen.
     """
     vcols = [f"v{i}" for i in range(dims)]
-    arr = as_double_array(vec_col)
     # one pass: candidate family v*, query family q* (identical values,
     # distinct names so the pair join needs no wide rename), one norm
-    # expression per family (bit-identical)
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        *[F.element_at(arr, i + 1).alias(f"v{i}") for i in range(dims)],
-        *[F.element_at(arr, i + 1).alias(f"q{i}") for i in range(dims)],
+    # expression per family (bit-identical).  selectExpr: ~4·dims
+    # Column round trips otherwise (guide §7.3, see dot_flat)
+    _el = f"element_at(CAST(`{vec_col}` AS ARRAY<DOUBLE>), {{i}})"
+    e = embeddings.selectExpr(
+        f"`{id_col}` AS vec_id",
+        *[f"{_el.format(i=i + 1)} AS v{i}" for i in range(dims)],
+        *[f"{_el.format(i=i + 1)} AS q{i}" for i in range(dims)],
     ).withColumn(
         "nrm", F.sqrt(dot_flat("v", "v", dims))
     ).withColumn(

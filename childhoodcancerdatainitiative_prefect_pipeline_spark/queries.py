@@ -17195,10 +17195,30 @@ def ccdi_release_dashboard_query(spark, sf_dir):
     # 79.9→61.4 s — a consistent 15-23% (cds, the largest flow, keeps
     # most cores busy, so the three smaller flows only back-fill its
     # scheduling gaps and stragglers).
+    # Correct concurrent labelling/cancellation relies on PySpark
+    # pinned-thread mode (default since 3.2; ADVICE r10).  If one
+    # checkpoint fails, cancel the SIBLINGS' still-running jobs (via a
+    # shared job group — group state is thread-local, so each worker
+    # sets it) before propagating — without this the exception
+    # surfaces while the other three flows keep burning the cluster
+    # unsupervised.  Other threads' queries on a shared session are
+    # outside the group and unaffected.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        v, d, s, c = pool.map(lambda x: x.localCheckpoint(), (v, d, s, c))
+    sc = spark.sparkContext
+
+    def _cp(x):
+        sc.setJobGroup(
+            "ccdi_release_dashboard", "dashboard sub-flow checkpoint"
+        )
+        return x.localCheckpoint()
+
+    try:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            v, d, s, c = pool.map(_cp, (v, d, s, c))
+    except Exception:
+        sc.cancelJobGroup("ccdi_release_dashboard")
+        raise
     return v.crossJoin(d).crossJoin(s).crossJoin(c)
 
 

@@ -248,26 +248,24 @@ def test_certify_first_prepend_wins_over_stale_mentions():
     CORRECTNESS_r09 — certification is cumulative)."""
     names = list(entrymod.queries())[:50]
     for n in (
-        # r10 optimization-phase reworks (scaled-long sums, PQ encode,
-        # threaded dashboard, thresholded levenshtein, cds cleanups)
-        "q1_pricing_summary",
-        "catalog_stats",
-        "sim_pq_topk_det",
-        "ccdi_release_dashboard",
+        # r11 optimization-phase reworks (cds driver-constant rework,
+        # pagerank degrees-on-nodes + dangling fold, CC probe fold,
+        # kNN dot_flat/flatten selectExpr, dashboard job-group
+        # cancellation).  The r10 window this previously pinned was
+        # driver-certified in CORRECTNESS_r10 — certification is
+        # cumulative, so each round pins ITS reworks; r11's 9 prepends
+        # rotate the r10 tail out of the 50-slot window by design.
         "cds_flatten",
-        "linkage_blocked_fuzzy",
+        "ccdi_release_dashboard",
+        "graph_pagerank_topk",
         "entity_golden_record",
-        "customer_rfm_segments",
-        "q11_important_parts",
-        "q15_top_supplier",
-        "stream_tumbling_rollup",
-        "orders_abc_pareto",
-        "corpus_curation_pipeline",
-        # r10 build-phase pair-entry reworks
-        "dedup_setsim_prefix_join",
-        "dedup_simhash_pairs",
+        "dedup_cluster_components",
+        "dedup_minhash_clusters_md5",
+        "graph_triangle_count_knn",
+        "graph_kcore_membership_knn",
+        "similarity_graph_routed_low",
     ):
-        assert n in names, f"{n} fell out of the r10 certify window"
+        assert n in names, f"{n} fell out of the r11 certify window"
 
 
 def test_live_window_fronts_uncertified():
