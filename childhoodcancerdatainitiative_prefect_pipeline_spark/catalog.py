@@ -126,22 +126,28 @@ def load_testdata(
     return cat
 
 
-#: (applicationId, abspath, dir mtime) → lazy DataFrame HANDLE.  This
-#: memoizes the read-time METADATA work only — ``spark.read.parquet``
-#: lists the directory and reads footers for the schema, ~100 ms per
-#: table per call, which was ~33% of the sf0.1 headline bench
-#: (measured r11: construction 3.4 s of the 10.4 s total, dominated by
-#: load_testdata; guide §6 file listing / §7.3 driver constants).  It
-#: is NOT result caching: the value is an unexecuted plan, every
-#: action still scans the parquet files.  The mtime key drops the
-#: entry if the table directory is rewritten (e.g. a replica rebuild),
-#: and the applicationId key drops it with the session.
-_DF_CACHE: dict[tuple, DataFrame] = {}
-
-
 def _read_table(
     spark: SparkSession, app_id: str, sf_dir: str, name: str
 ) -> DataFrame:
+    """(applicationId, abspath, dir mtime) → lazy DataFrame HANDLE.
+
+    Memoizes the read-time METADATA work only — ``spark.read.parquet``
+    lists the directory and reads footers for the schema, ~100 ms per
+    table per call, which was ~33% of the sf0.1 headline bench
+    (measured r11: construction 3.4 s of the 10.4 s total, dominated
+    by load_testdata; guide §6 file listing / §7.3 driver constants).
+    It is NOT result caching: the value is an unexecuted plan, every
+    action still scans the parquet files.  The mtime key drops the
+    entry if the table directory is rewritten (e.g. a replica
+    rebuild), and the applicationId key drops it with the session.
+
+    The cache dict lives as an ATTRIBUTE of this function, not a
+    module global: the certification fingerprint value-hashes plain
+    data globals referenced by in-package functions, so a mutable
+    module-level cache would drift every entry's fingerprint as it
+    fills (function attributes are outside the hash; the function's
+    SOURCE — which is hashed — fully determines the cache semantics).
+    """
     import os
 
     path = os.path.abspath(f"{sf_dir}/{name}.parquet")
@@ -150,7 +156,8 @@ def _read_table(
     except OSError:
         mtime = -1.0
     key = (app_id, path, mtime)
-    df = _DF_CACHE.get(key)
+    cache: dict = _read_table.__dict__.setdefault("_cache", {})
+    df = cache.get(key)
     if df is None:
         df = spark.read.parquet(path)
         # TIMESTAMP(NANOS) parquet columns arrive as long nanos under
@@ -161,5 +168,5 @@ def _read_table(
                 df = df.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
-        _DF_CACHE[key] = df
+        cache[key] = df
     return df

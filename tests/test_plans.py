@@ -114,13 +114,23 @@ def test_no_python_udfs_in_oracle_checked_plans(spark, sf_dir):
         "multimodal_stub_features",
         "text_fingerprint",
     }
-    offenders = []
-    for name, q in REGISTRY.items():
+    # threaded whole-registry walk (guide §2.6): plan construction per
+    # entry is independent; serial, this was the slowest plan test at
+    # ~145 s (iterative entries execute their checkpoint loops during
+    # construction)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(item):
+        name, q = item
         if q.oracle is None or name in allowed_python:
-            continue
-        plan = _plan(q.fn(spark, sf_dir))
-        if "EvalPython" in plan:
-            offenders.append(name)
+            return None
+        return name if "EvalPython" in _plan(q.fn(spark, sf_dir)) else None
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        offenders = [n for n in pool.map(check, REGISTRY.items()) if n]
+    jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(jrdds.keySet().toArray()):
+        jrdds.get(rid).unpersist()
     assert not offenders, f"python in hot path: {offenders}"
 
 
@@ -541,10 +551,15 @@ def test_no_unrouted_bigint_moment_sums(spark, sf_dir):
 
     # bounded products, justified where declared: none currently.
     allow: dict[str, str] = {}
-    offenders = []
-    for name, q in REGISTRY.items():
+
+    # threaded whole-registry walk — see
+    # test_no_python_udfs_in_oracle_checked_plans for why
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(item):
+        name, q = item
         if name in allow:
-            continue
+            return None
         plan = str(q.fn(spark, sf_dir)._jdf.queryExecution().analyzed())
         for blob in _balanced_blobs(plan, "sum"):
             if " * " not in blob:
@@ -556,8 +571,14 @@ def test_no_unrouted_bigint_moment_sums(spark, sf_dir):
             if re.search(r"#\d+L\)* \* ", blob) and re.search(
                 r" \* \(*[a-zA-Z_]+[^ )]*#\d+L", blob
             ):
-                offenders.append((name, blob[:120]))
-                break
+                return (name, blob[:120])
+        return None
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        offenders = [o for o in pool.map(check, REGISTRY.items()) if o]
+    jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(jrdds.keySet().toArray()):
+        jrdds.get(rid).unpersist()
     assert not offenders, (
         "BIGINT moment sums without decimal routing (int64 wraparound "
         f"risk at scale): {offenders}"
